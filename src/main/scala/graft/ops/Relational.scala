@@ -1,0 +1,301 @@
+package graft.ops
+
+import graft.Q
+import graft.schema.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.2, §2.5-2.7): filters,
+  * projections, aggregations, the join family, windows, sorts/top-k, set
+  * ops, rollup/cube, and the scalar-function library — all Catalyst
+  * built-ins, exercised over the TPC-H-ish testdata.
+  *
+  * Scale posture: filters/projections push to the parquet scan; small dims
+  * (region/nation/supplier, and customer vs lineitem) are broadcast
+  * explicitly; large-large joins (lineitem ⋈ orders) shuffle on the join key
+  * once and aggregate partially map-side. Every query orders by exact-typed
+  * (int/string) keys only, so oracle comparison never depends on float
+  * ordering ties.
+  */
+object Relational {
+
+  val catalog: Seq[Q] = Seq(
+
+    // ---- aggregation (TPC-H Q1 flavor): scan → filter → partial+final agg
+    Q("q01_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_discount), 4) AS avg_disc,
+              count(*) AS count_order
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- filter + projection: both must reach the parquet scan
+    // (PushedFilters + 4-column ReadSchema in .explain)
+    Q("q02_filter_project",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- broadcast join: dim tables ship to every executor, no shuffle of
+    // the fact side beyond the final agg
+    Q("q03_join_broadcast",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+              count(*) AS n_orders
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- large-large join: lineitem ⋈ orders shuffles once on orderkey
+    // (sort-merge / shuffled-hash under AQE), partial agg map-side
+    Q("q04_join_large",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+              count(*) AS n_items
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- semi join (EXISTS)
+    Q("q05_semi_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    // ---- anti join (NOT EXISTS): parts never shipped in quantity > 45
+    // (non-empty at sf0.01 — customers-without-orders is 0 rows, and a 0-row
+    // match would be a vacuous correctness check)
+    Q("q06_anti_join",
+      (s, d) => Tables.part(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name FROM part
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                WHERE l_partkey = p_partkey AND l_quantity > 45)
+              ORDER BY p_partkey""")),
+
+    // ---- left outer join: count(col) skips nulls on both engines
+    Q("q07_outer_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_spent"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+              round(sum(coalesce(o_totalprice, 0.0)), 2) AS total_spent
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---- window top-k per group (row_number; deterministic tie-break)
+    Q("q08_window_topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // ---- window frames: running sum + lag per partition
+    Q("q09_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, d)
+          .withColumn("running_qty",
+            round(sum(col("l_quantity"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("running_qty"), col("prev_qty"))
+          .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+              round(sum(l_quantity) OVER w, 2) AS running_qty,
+              lag(l_quantity, 1) OVER w AS prev_qty
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""")),
+
+    // ---- global top-k: Spark plans TakeOrderedAndProject (no full sort)
+    Q("q10_sort_limit",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")),
+
+    // ---- distinct aggregation (exact)
+    Q("q11_distinct_agg",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_customers"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name, count(DISTINCT c_mktsegment) AS n_segments,
+              count(*) AS n_customers
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- approximate distinct (HyperLogLog++): Spark-specific estimate, no
+    // SQL oracle — rows-only check. At 100 TB this replaces exact
+    // countDistinct wherever a ±2% answer is acceptable (no shuffle of the
+    // distinct values, constant-size sketch per group).
+    Q("q11b_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+      None),
+
+    // ---- set ops: union / intersect / except on exact-typed keys
+    Q("q12_union",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey")),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+              UNION SELECT s_nationkey AS nationkey FROM supplier
+              ORDER BY nationkey""")),
+
+    Q("q13_intersect",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+              INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+              ORDER BY nationkey""")),
+
+    // (non-empty: part keys minus keys of high-quantity lineitems)
+    Q("q14_except",
+      (s, d) => Tables.part(s, d).select(col("p_partkey").as("partkey"))
+        .except(Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+          .select(col("l_partkey").as("partkey")))
+        .orderBy(col("partkey")),
+      Some("""SELECT p_partkey AS partkey FROM part
+              EXCEPT SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 45
+              ORDER BY partkey""")),
+
+    // ---- rollup: subtotal hierarchy (NULL group labels made explicit so
+    // both engines agree on the text form)
+    Q("q15_rollup",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("n_customers"), col("sum_acctbal"))
+        .orderBy(col("nation"), col("segment")),
+      Some("""SELECT coalesce(n_name, 'ALL') AS nation,
+              coalesce(c_mktsegment, 'ALL') AS segment,
+              count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY ROLLUP (n_name, c_mktsegment)
+              ORDER BY nation, segment""")),
+
+    // ---- cube: all grouping combinations
+    Q("q16_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("returnflag"), col("linestatus")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              coalesce(l_linestatus, 'ALL') AS linestatus,
+              round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+              FROM lineitem
+              GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY returnflag, linestatus""")),
+
+    // ---- scalar-function library: string / date / math / conditional
+    Q("q17_scalar_fns",
+      (s, d) => Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderstatus")).as("status_upper"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+          substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+          length(col("o_orderpriority")).cast("int").as("pri_len"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          month(col("o_orderdate")).cast("int").as("o_month"),
+          dayofmonth(col("o_orderdate")).cast("int").as("o_day"),
+          round(col("o_totalprice") / 100.0, 1).as("price_h"),
+          (col("o_orderkey") % 7).as("key_mod"),
+          when(col("o_totalprice") > 200000.0, lit("big"))
+            .when(col("o_totalprice") > 100000.0, lit("mid"))
+            .otherwise(lit("small")).as("bucket"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+              upper(o_orderstatus) AS status_upper,
+              o_orderstatus || '-' || o_orderpriority AS status_pri,
+              substring(o_orderpriority, 1, 1) AS pri_code,
+              CAST(length(o_orderpriority) AS INTEGER) AS pri_len,
+              CAST(year(o_orderdate) AS INTEGER) AS o_year,
+              CAST(month(o_orderdate) AS INTEGER) AS o_month,
+              CAST(day(o_orderdate) AS INTEGER) AS o_day,
+              round(o_totalprice / 100.0, 1) AS price_h,
+              o_orderkey % 7 AS key_mod,
+              CASE WHEN o_totalprice > 200000.0 THEN 'big'
+                   WHEN o_totalprice > 100000.0 THEN 'mid'
+                   ELSE 'small' END AS bucket
+              FROM orders ORDER BY o_orderkey"""))
+  )
+}

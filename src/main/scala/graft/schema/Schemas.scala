@@ -1,0 +1,66 @@
+package graft.schema
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table loaders + explicit schemas for the driver testdata
+  * (`/root/testdata/sf*`, see TESTDATA.md) and the ingestion-parity
+  * nested-user record (reference: `/root/reference/ingestion/api_client.py:9-13`,
+  * fields consumed at `transformations.py:31-41`).
+  *
+  * Explicit StructTypes everywhere: schema inference is nondeterministic and
+  * unaffordable at 100 TB (a full-file scan); a pinned schema also lets the
+  * vectorized parquet reader prune columns at the scan.
+  */
+object Schemas {
+
+  /** Nested RandomUser-shaped record (required subset; extra fields tolerated
+    * by schema-on-read). Reference flattens immediately with json_normalize
+    * (`transformations.py:25`); we keep it nested and flatten at the edge.
+    */
+  val userSchema: StructType = StructType(Seq(
+    StructField("name", StructType(Seq(
+      StructField("title", StringType),
+      StructField("first", StringType),
+      StructField("last", StringType)))),
+    StructField("email", StringType),
+    StructField("login", StructType(Seq(
+      StructField("uuid", StringType),
+      StructField("username", StringType),
+      StructField("password", StringType)))),
+    StructField("dob", StructType(Seq(
+      StructField("date", StringType),
+      StructField("age", LongType)))),
+    StructField("registered", StructType(Seq(
+      StructField("date", StringType),
+      StructField("age", LongType)))),
+    StructField("phone", StringType),
+    StructField("location", StructType(Seq(
+      StructField("street", StructType(Seq(
+        StructField("number", LongType),
+        StructField("name", StringType)))),
+      StructField("city", StringType),
+      StructField("state", StringType),
+      StructField("country", StringType),
+      StructField("postcode", StringType))))
+  ))
+}
+
+/** Scan helpers. One parquet file per table; at cluster scale these would be
+  * partitioned directories — `spark.read.parquet` handles both identically.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
