@@ -1,0 +1,166 @@
+package graft.expr
+
+import java.nio.charset.StandardCharsets
+import java.security.SecureRandom
+import java.util.Base64
+
+import javax.crypto.Mac
+import javax.crypto.SecretKeyFactory
+import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PII-securing expression library — the engine equivalent of the reference's
+  * scalar-UDF layer (`/root/reference/ingestion/crypto_utils.py:57-104`,
+  * applied row-wise at `transformations.py:59-63`).
+  *
+  * Determinism contract (SURVEY.md §4.3): `hashPassword` (random salt) and
+  * `encrypt` (random IV) are NONDETERMINISTIC and flagged so, or Catalyst
+  * may collapse/re-execute them and yield different ciphertexts for the same
+  * row within one plan. `blindIndex` is deterministic BY DESIGN — that is
+  * the whole point of a blind index (equality search over encrypted data,
+  * `crypto_utils.py:103-113`).
+  *
+  * Scale notes: `blindIndex` is a custom codegen'd Catalyst Expression (stays
+  * inside whole-stage codegen; Mac instances are cached per-thread).
+  * Encryption uses Spark's built-in `aes_encrypt`/`aes_decrypt` (AES-GCM,
+  * random IV — the capability twin of the reference's Fernet token;
+  * `crypto_utils.py:84-88`). Key-derivation cost for password hashing is the
+  * designed bottleneck in the reference (Argon2id 64 MiB×3,
+  * `crypto_utils.py:57`); offline deps make an Argon2 JVM lib unavailable, so
+  * PBKDF2-WithHmacSHA512 is the documented stand-in (salted, peppered, slow,
+  * tunable cost — same capability, different KDF).
+  */
+object Crypto {
+
+  /** trim + lowercase — reference `normalize_email` (`crypto_utils.py:97-98`). */
+  def normalizeEmail(c: Column): Column = lower(trim(c))
+
+  /** Deterministic keyed hash (HMAC-SHA256 hexdigest) for equality search on
+    * encrypted columns — reference `blind_index` (`crypto_utils.py:103-104`).
+    * Codegen'd custom Expression; see [[HmacSha256Hex]].
+    */
+  def hmacSha256Hex(data: Column, key: Column): Column =
+    ColumnShim.column(
+      HmacSha256Hex(ColumnShim.expression(data),
+        ColumnShim.expression(key)))
+
+  /** blind index of an email-like column = HMAC(key, lower(trim(s))) —
+    * reference composition at `transformations.py:63`. */
+  def blindIndex(c: Column, key: String): Column =
+    hmacSha256Hex(normalizeEmail(c), lit(key))
+
+  /** AES-GCM encrypt/decrypt (random IV ⇒ encrypt is nondeterministic).
+    * Capability parity with the reference's Fernet tokens (authenticated
+    * symmetric encryption), not byte-format parity. Built-ins are codegen'd
+    * and run fully distributed. Key must be 16/24/32 bytes.
+    */
+  def encrypt(c: Column, key: String): Column =
+    base64(aes_encrypt(c.cast(StringType), lit(key)))
+  def decrypt(c: Column, key: String): Column =
+    aes_decrypt(unbase64(c), lit(key)).cast(StringType)
+
+  // ---- password hashing (PBKDF2 stand-in for Argon2id; see class doc) ----
+
+  /** PHC-style record: pbkdf2-sha512$<iters>$<saltB64>$<dkB64>. */
+  private[graft] def pbkdf2Hash(password: String, pepper: String,
+      iterations: Int, salt: Array[Byte]): String = {
+    val spec = new PBEKeySpec((password + pepper).toCharArray, salt,
+      iterations, 256)
+    val dk = SecretKeyFactory.getInstance("PBKDF2WithHmacSHA512")
+      .generateSecret(spec).getEncoded
+    val b64 = Base64.getEncoder
+    s"pbkdf2-sha512$$$iterations$$${b64.encodeToString(salt)}$$${b64.encodeToString(dk)}"
+  }
+
+  private[graft] def verifyPassword(password: String, pepper: String,
+      stored: String): Boolean = stored.split('$') match {
+    case Array("pbkdf2-sha512", iters, saltB64, dkB64) =>
+      val salt = Base64.getDecoder.decode(saltB64)
+      val again = pbkdf2Hash(password, pepper, iters.toInt, salt)
+      java.security.MessageDigest.isEqual(
+        stored.getBytes(StandardCharsets.UTF_8),
+        again.getBytes(StandardCharsets.UTF_8))
+    case _ => false
+  }
+
+  /** Salted+peppered slow-KDF password hash as a nondeterministic UDF —
+    * reference `hash_password` (`crypto_utils.py:73-75`). Iteration count is
+    * a cost knob (reference pins Argon2 time_cost=3/64 MiB; we default to a
+    * CI-friendly cost and document that production would raise it).
+    */
+  def hashPassword(c: Column, pepper: String, iterations: Int = 25000): Column = {
+    val rng = new SecureRandom()
+    val f = udf { (pw: String) =>
+      if (pw == null) null
+      else {
+        val salt = new Array[Byte](16)
+        rng.synchronized(rng.nextBytes(salt))
+        pbkdf2Hash(pw, pepper, iterations, salt)
+      }
+    }.asNondeterministic()
+    f(c)
+  }
+}
+
+/** HMAC-SHA256 hexdigest as a native Catalyst expression with code
+  * generation: the hot path stays inside whole-stage codegen (a Scala UDF
+  * here would break the codegen span and add ser/de per row — measurable at
+  * 100 TB). Deterministic and foldable-safe; null-intolerant (null in →
+  * null out).
+  */
+case class HmacSha256Hex(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hmac_sha256_hex"
+
+  override def nullSafeEval(data: Any, key: Any): Any =
+    CryptoRuntime.hmacSha256Hex(data.asInstanceOf[UTF8String],
+      key.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (d, k) =>
+      s"graft.expr.CryptoRuntime.hmacSha256Hex($d, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HmacSha256Hex =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static runtime for codegen'd calls. Mac instances are cached per thread
+  * per key (Mac is not thread-safe; init dominates cost otherwise).
+  */
+object CryptoRuntime {
+  private val macs = new ThreadLocal[java.util.HashMap[String, Mac]] {
+    override def initialValue() = new java.util.HashMap[String, Mac]()
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def hmacSha256Hex(data: UTF8String, key: UTF8String): UTF8String = {
+    val keyStr = key.toString
+    var mac = macs.get.get(keyStr)
+    if (mac == null) {
+      mac = Mac.getInstance("HmacSHA256")
+      mac.init(new SecretKeySpec(keyStr.getBytes(StandardCharsets.UTF_8),
+        "HmacSHA256"))
+      macs.get.put(keyStr, mac)
+    }
+    val raw = mac.doFinal(data.getBytes)
+    val out = new Array[Char](raw.length * 2)
+    var i = 0
+    while (i < raw.length) {
+      out(2 * i) = HEX((raw(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(raw(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.Q
+import graft.expr.Crypto
+import graft.jobs.IngestionJob
+import graft.schema.Tables
+import org.apache.spark.sql.functions._
+
+/** Ingestion-parity pillars as oracle-checked queries (SURVEY.md §2.1-2.4):
+  * nested-struct flatten, keep-first upsert, and the PII-securing transform.
+  * The testdata has no nested columns, so q20 builds a depth-3 struct from
+  * `customer` on the fly and flattens it back — the oracle states the
+  * expected flat result directly. Nondeterministic crypto outputs are
+  * checked by INVARIANT (format/length/round-trip), not by value
+  * (SURVEY.md §4.3).
+  */
+object Ingest {
+
+  private val AesKey = "0123456789abcdef"
+  private val BidxKey = "test-blind-index-key"
+
+  val catalog: Seq[Q] = Seq(
+
+    // ---- P1 recursive flatten of a depth-3 struct (json_normalize twin)
+    Q("q20_flatten",
+      (s, d) => Flatten.flatten(
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          struct(
+            col("c_name").as("name"),
+            struct(
+              col("c_acctbal").as("acctbal"),
+              struct(col("c_mktsegment").as("segment")).as("market")
+            ).as("account")
+          ).as("profile")))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+              c_name AS profile_name,
+              c_acctbal AS profile_account_acctbal,
+              c_mktsegment AS profile_account_market_segment
+              FROM customer ORDER BY c_custkey""")),
+
+    // ---- U1-U3 keep-first upsert: existing (keys ≡ 0 mod 3) wins over an
+    // incoming batch (keys ≡ 0 mod 2, price doubled); the oracle states the
+    // winner per key in closed form.
+    Q("q21_upsert",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val existing = orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("key"),
+            round(col("o_totalprice"), 2).as("price"), lit("old").as("src"))
+        val incoming = orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("key"),
+            round(col("o_totalprice") * 2, 2).as("price"), lit("new").as("src"))
+        Upsert.keepFirst(existing, incoming, Seq("key"), Seq(col("key")))
+          .orderBy(col("key"))
+      },
+      Some("""SELECT o_orderkey AS key, round(o_totalprice, 2) AS price,
+                'old' AS src
+              FROM orders WHERE o_orderkey % 3 = 0
+              UNION ALL
+              SELECT o_orderkey, round(o_totalprice * 2, 2), 'new'
+              FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+              ORDER BY key""")),
+
+    // ---- insert-if-absent (anti-join formulation of the upsert)
+    Q("q21b_insert_if_absent",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val existing = orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("key"), lit("old").as("src"))
+        val incoming = orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("key"), lit("new").as("src"))
+        Upsert.insertIfAbsent(existing, incoming, Seq("key"))
+          .orderBy(col("key"))
+      },
+      Some("""SELECT o_orderkey AS key, 'old' AS src
+              FROM orders WHERE o_orderkey % 3 = 0
+              UNION ALL
+              SELECT o_orderkey, 'new'
+              FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+              ORDER BY key""")),
+
+    // ---- F1-F5 secure transform, invariant-checked: normalize is
+    // value-exact; blind index / password hash / encryption are checked by
+    // length, format, and decrypt-round-trip (random salt/IV make the raw
+    // values nondeterministic by design)
+    Q("q22_secure_transform",
+      (s, d) => Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          Crypto.normalizeEmail(col("c_name")).as("name_norm"),
+          length(Crypto.blindIndex(col("c_name"), BidxKey)).as("bidx_len"),
+          (Crypto.decrypt(Crypto.encrypt(col("c_name"), AesKey), AesKey)
+            === col("c_name")).as("roundtrip"),
+          Crypto.hashPassword(col("c_name"), "pepper", iterations = 1000)
+            .rlike("^pbkdf2-sha512\\$1000\\$[A-Za-z0-9+/=]+\\$[A-Za-z0-9+/=]+$")
+            .as("hash_format_ok"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, lower(trim(c_name)) AS name_norm,
+              CAST(64 AS INTEGER) AS bidx_len,
+              true AS roundtrip, true AS hash_format_ok
+              FROM customer ORDER BY c_custkey""")),
+
+    // ---- O1-O4 full pipeline e2e on the canned API fixture: two runs into
+    // a fresh store; run 2 re-ingests the same batch — keep-first dedup must
+    // leave counts unchanged. Rows-only check (store content holds
+    // nondeterministic ciphertexts); ScalaTest covers the golden semantics.
+    Q("q23_ingest_e2e",
+      (s, _) => {
+        val repo = sys.env.getOrElse("GRAFT_REPO", "/root/repo")
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_store"
+        val fs = new org.apache.hadoop.fs.Path(store)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        val fixture = s"$repo/data/fixtures/users_fixture.json"
+        val m1 = IngestionJob.run(s, fixture, store)
+        val m2 = IngestionJob.run(s, fixture, store) // idempotent re-ingest
+        import s.implicits._
+        Seq(
+          ("run1", m1.rowsFetched, m1.rowsAfterDedup),
+          ("run2", m2.rowsFetched, m2.rowsAfterDedup)
+        ).toDF("run", "rows_fetched", "rows_after_dedup")
+      },
+      None)
+  )
+}

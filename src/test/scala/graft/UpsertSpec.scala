@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.Upsert
+import org.apache.spark.sql.functions._
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FIXTURES.md §2 golden scenario: store {A,B}; batch {B′,C} → {A, B, C}
+  // with B keeping its ORIGINAL (store) payload.
+  test("keep-first: existing rows beat incoming on key collision") {
+    val existing = Seq(("A", "a-old"), ("B", "b-old")).toDF("k", "v")
+    val incoming = Seq(("B", "b-new"), ("C", "c-new")).toDF("k", "v")
+    val out = Upsert.keepFirst(existing, incoming, Seq("k"), Seq(col("v")))
+      .orderBy("k").as[(String, String)].collect().toSeq
+    assert(out == Seq(("A", "a-old"), ("B", "b-old"), ("C", "c-new")))
+  }
+
+  test("keep-first: first occurrence wins within the incoming batch") {
+    val existing = spark.emptyDataset[(Int, String, String)]
+      .toDF("k", "v", "pos")
+    val incoming = Seq((1, "first", "p1"), (1, "second", "p2"))
+      .toDF("k", "v", "pos")
+    val out = Upsert.keepFirst(existing, incoming, Seq("k"), Seq(col("pos")))
+      .select("v").as[String].collect().toSeq
+    assert(out == Seq("first"))
+  }
+
+  test("insertIfAbsent ≡ keepFirst when incoming is unique per key") {
+    val existing = Seq((1, "old1"), (3, "old3")).toDF("k", "v")
+    val incoming = Seq((2, "new2"), (3, "new3")).toDF("k", "v")
+    val a = Upsert.insertIfAbsent(existing, incoming, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect().toSeq
+    val b = Upsert.keepFirst(existing, incoming, Seq("k"), Seq(col("k")))
+      .orderBy("k").as[(Int, String)].collect().toSeq
+    assert(a == b && a == Seq((1, "old1"), (2, "new2"), (3, "old3")))
+  }
+
+  // property-style: seeded random trials (scalacheck-scalatest bridge is not
+  // in the offline dep set; the invariants are what matters)
+  test("property: upsert is idempotent, keys unique, row counts bounded") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 15) {
+      val oldKeys = List.fill(rng.nextInt(20))(rng.nextInt(15)).distinct
+      val newKeys = List.fill(rng.nextInt(20))(rng.nextInt(15))
+      val existing = oldKeys.map(k => (k, s"old$k")).toDF("k", "v")
+      val incoming = newKeys.map(k => (k, s"new$k")).toDF("k", "v")
+      val once = Upsert.keepFirst(existing, incoming, Seq("k"), Seq(col("v")))
+      val twice = Upsert.keepFirst(once, incoming, Seq("k"), Seq(col("v")))
+      val n1 = once.count()
+      // key-uniqueness invariant
+      assert(once.select("k").distinct().count() == n1)
+      // bounds: max(|old|,|new distinct|) ≤ |final| ≤ |old ∪ new|
+      assert(n1 >= (oldKeys.size max newKeys.distinct.size).toLong)
+      assert(n1 == (oldKeys ++ newKeys).distinct.size.toLong)
+      // idempotence: re-upserting the same batch changes nothing
+      assert(twice.orderBy("k", "v").collect().toSeq ==
+        once.orderBy("k", "v").collect().toSeq)
+    }
+  }
+}
