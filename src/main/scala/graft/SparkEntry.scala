@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Every operator module contributes its catalog here. */
-  def catalog: Seq[Q] = ops.Relational.catalog ++ ops.Ingest.catalog
+  def catalog: Seq[Q] =
+    ops.Relational.catalog ++ ops.Ingest.catalog ++ ops.TextOps.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-flavor aggregation: scan → pushed filter → partial+final agg.

@@ -1,0 +1,355 @@
+package graft.ops
+
+import graft.Q
+import graft.schema.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators for LLM-training-data pipelines over the
+  * `documents` table: quality scoring, exact dedup, token counting,
+  * language-ID heuristic, MinHash+LSH and SimHash near-dup, exact n-gram
+  * Jaccard, winnowing fingerprints.
+  *
+  * Scale posture: everything is built-in expressions (whole-stage codegen,
+  * no UDFs). The exact all-pairs Jaccard (q35) uses a shingle inverted
+  * index — one shuffle on shingle, one on pair — and is the CORRECTNESS
+  * oracle; at 100 TB you run the LSH path (q34): candidate generation
+  * touches only (band, bucket) collisions, so cost scales with the number
+  * of true near-dups, not with n². SimHash (q36) is the constant-space
+  * alternative: 8 bytes/doc + pigeonhole chunk join.
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens; mirrors DuckDB
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')` exactly. */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Distinct word trigrams ("shingles"), 1-based element_at — mirrors the
+    * DuckDB `list_transform(range(1, len-1), …)` formulation. */
+  private def shingles(tokens: Column): Column =
+    array_distinct(
+      when(size(tokens) >= 3,
+        transform(sequence(lit(1), size(tokens) - 2), i =>
+          concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
+            element_at(tokens, i + 2))))
+        .otherwise(array()))
+
+  private def docsWithShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+
+  // MinHash parameters: 32 hash functions, 8 bands × 4 rows. Collision
+  // probability 1-(1-j^4)^8: j=0.5 → 0.40, j=0.8 → 0.97, j=0.9 → 0.996 —
+  // tuned to catch the ≥0.8 near-dup band reliably.
+  private val NumHashes = 32
+  private val NumBands = 8
+  private val RowsPerBand = NumHashes / NumBands
+
+  val catalog: Seq[Q] = Seq(
+
+    // ---- quality scoring: length/token/punct/stopword signals
+    Q("q30_text_quality",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("tk", toks(col("text")))
+        .select(
+          col("doc_id"), col("lang"),
+          length(col("text")).as("n_chars"),
+          size(col("tk")).as("n_tokens"),
+          round(length(array_join(col("tk"), "")) /
+            greatest(size(col("tk")), lit(1)).cast("double"), 4)
+            .as("avg_token_len"),
+          round(size(filter(col("tk"),
+            t => t === "the" || t === "a" || t === "of" || t === "and"))
+            / greatest(size(col("tk")), lit(1)).cast("double"), 4)
+            .as("stopword_ratio"),
+          round(length(regexp_replace(col("text"), "[\\sa-zA-Z0-9]", ""))
+            / length(col("text")).cast("double"), 4).as("punct_ratio"),
+          when(size(col("tk")) >= 40, lit("long"))
+            .when(size(col("tk")) >= 15, lit("mid"))
+            .otherwise(lit("short")).as("len_bucket"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT *, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents)
+              SELECT doc_id, lang,
+              CAST(length(text) AS INTEGER) AS n_chars,
+              CAST(len(tk) AS INTEGER) AS n_tokens,
+              round(length(array_to_string(tk, '')) * 1.0 /
+                greatest(len(tk), 1), 4) AS avg_token_len,
+              round(len(list_filter(tk, x -> x IN ('the','a','of','and')))
+                * 1.0 / greatest(len(tk), 1), 4) AS stopword_ratio,
+              round(length(regexp_replace(text, '[\sa-zA-Z0-9]', '', 'g'))
+                * 1.0 / length(text), 4) AS punct_ratio,
+              CASE WHEN len(tk) >= 40 THEN 'long'
+                   WHEN len(tk) >= 15 THEN 'mid'
+                   ELSE 'short' END AS len_bucket
+              FROM t ORDER BY doc_id""")),
+
+    // ---- exact dedup under re-crawl: union with self, dedup on normalized
+    // text (whitespace-collapsed lowercase), per-lang before/after counts.
+    // At 100 TB: dropDuplicates on a 64-bit content hash instead of the full
+    // text (shuffle ships 8 bytes + key, not documents).
+    Q("q31_exact_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val recrawl = docs.unionByName(docs)
+          .withColumn("text_norm",
+            regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        recrawl.dropDuplicates("text_norm")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_unique"))
+          .join(recrawl.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_raw")), Seq("lang"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH recrawl AS (
+              SELECT * FROM documents UNION ALL SELECT * FROM documents)
+              SELECT lang,
+              count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                AS n_unique,
+              count(*) AS n_raw
+              FROM recrawl GROUP BY lang ORDER BY lang""")),
+
+    // ---- token counting: whitespace words vs BPE-ish regex pieces
+    // (letter runs | digit runs | single punctuation)
+    Q("q32_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+                AS n_ws_tokens,
+              CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+              CAST(length(text) AS INTEGER) AS n_chars
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- language-ID: stopword-set voting (n-gram-class heuristic).
+    // Degenerate on this synthetic corpus (shared vocab → everything votes
+    // 'en'), which the oracle still verifies; LangIdSpec exercises real
+    // multilingual sentences.
+    Q("q33_langid",
+      (s, d) => {
+        val tk = toks(col("text"))
+        def hits(words: Seq[String]): Column =
+          size(filter(tk, t => words.map(w => t === w).reduce(_ || _)))
+        val en = hits(Seq("the", "a", "and", "of", "is"))
+        val es = hits(Seq("el", "la", "de", "que", "y"))
+        val de = hits(Seq("der", "die", "und", "das", "ist"))
+        val fr = hits(Seq("le", "la", "et", "les", "des"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          en.as("en_hits"), es.as("es_hits"), de.as("de_hits"), fr.as("fr_hits"),
+          when(greatest(en, es, de, fr) === 0, lit("und"))
+            .when(en === greatest(en, es, de, fr), lit("en"))
+            .when(es === greatest(en, es, de, fr), lit("es"))
+            .when(de === greatest(en, es, de, fr), lit("de"))
+            .otherwise(lit("fr")).as("lang_pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+              v AS (SELECT doc_id,
+                len(list_filter(tk, x -> x IN ('the','a','and','of','is'))) AS en_hits,
+                len(list_filter(tk, x -> x IN ('el','la','de','que','y'))) AS es_hits,
+                len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS de_hits,
+                len(list_filter(tk, x -> x IN ('le','la','et','les','des'))) AS fr_hits
+              FROM t)
+              SELECT CAST(en_hits AS INTEGER) AS en_hits,
+                CAST(es_hits AS INTEGER) AS es_hits,
+                CAST(de_hits AS INTEGER) AS de_hits,
+                CAST(fr_hits AS INTEGER) AS fr_hits, doc_id,
+                CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und'
+                     WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+                     WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+                     WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+                     ELSE 'fr' END AS lang_pred
+              FROM v ORDER BY doc_id""")),
+
+    // ---- MinHash + LSH near-dup: signature → bands → bucket join →
+    // verify candidates with exact Jaccard. The 100 TB path: candidate
+    // pairs ∝ true near-dups. Not SQL-expressible (xxhash64 seed family) —
+    // TextDedupSpec cross-checks it against q35's exact pairs.
+    Q("q34_minhash_lsh",
+      (s, d) => minHashLshPairs(docsWithShingles(s, d), jaccardThreshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // ---- exact n-gram Jaccard via shingle inverted index (two shuffles:
+    // by shingle, by pair). Correctness oracle for q34.
+    Q("q35_ngram_jaccard",
+      (s, d) => {
+        val sh = docsWithShingles(s, d)
+        exactJaccardPairs(sh, sh, 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+                i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+              FROM documents),
+              e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+              sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
+              inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT id_a, id_b,
+                round(ni * 1.0 / (sa.sz + sb.sz - ni), 4) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5
+              ORDER BY id_a, id_b""")),
+
+    // ---- SimHash near-dup: 64-bit signature (8 bytes/doc), candidates via
+    // 16-bit chunk pigeonhole (hamming ≤ 3 ⇒ some chunk equal), verified by
+    // bit_count(xor). Not SQL-expressible; cross-checked in TextDedupSpec.
+    Q("q36_simhash",
+      (s, d) => simHashPairs(
+        Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("tk")),
+        maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // ---- winnowing fingerprints (MOSS-style): k-gram hashes, sliding
+    // window of 4, keep each window's min → position-robust fingerprint
+    // set. Oracle checks the SQL-computable invariants (gram count, bounds).
+    Q("q37_winnow_fingerprint",
+      (s, d) => {
+        val w = 4
+        val grams = shingles(toks(col("text")))
+        val hashes = transform(grams, g => xxhash64(g))
+        val nWins = greatest(size(hashes) - (w - 1), lit(0))
+        val fps = when(size(hashes) >= w,
+          array_distinct(transform(sequence(lit(1), nWins),
+            i => array_min(slice(hashes, i, lit(w))))))
+          .otherwise(array_distinct(hashes))
+        Tables.documents(s, d)
+          .select(col("doc_id"), grams.as("grams"), fps.as("fps"))
+          .select(
+            col("doc_id"),
+            size(col("grams")).as("n_grams"),
+            (size(col("fps")) >= least(lit(1), size(col("grams"))) &&
+              size(col("fps")) <= size(col("grams"))).as("fp_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents)
+              SELECT doc_id,
+              CAST(len(list_distinct(list_transform(range(1, len(tk)-1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS INTEGER)
+                AS n_grams,
+              true AS fp_ok
+              FROM t ORDER BY doc_id"""))
+  )
+
+  /** Exact pairwise Jaccard ≥ threshold between two shingled doc sets via
+    * inverted index. Columns: (doc_id, sh) on both sides; emits
+    * (id_a, id_b, jaccard) with id_a < id_b when both sides are the same
+    * dataset. At scale, cap shingle document-frequency first (stop-shingle
+    * removal) to bound the inverted-index fanout.
+    */
+  def exactJaccardPairs(left: DataFrame, right: DataFrame,
+      threshold: Double): DataFrame = {
+    val e1 = left.select(col("doc_id").as("id_a"), explode(col("sh")).as("s"))
+    val e2 = right.select(col("doc_id").as("id_b"), explode(col("sh")).as("s"))
+    val inter = e1.join(e2, e1("s") === e2("s") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    val sizes = left.select(col("doc_id"), size(col("sh")).as("sz"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("ni") / (col("sz_a") + col("sz_b") - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures + banded LSH + exact-Jaccard verification of the
+    * candidates. Input: (doc_id, sh). Output: (id_a, id_b, jaccard).
+    */
+  def minHashLshPairs(docs: DataFrame, jaccardThreshold: Double): DataFrame = {
+    // signature[h] = min over shingles of xxhash64(h, shingle)
+    val sig = docs
+      .select(col("doc_id"), col("sh"), explode(col("sh")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("sh")).as("sh"),
+        array((0 until NumHashes).map(h =>
+          min(xxhash64(lit(h), col("s")))): _*).as("sig"))
+
+    // band key = hash of the band's signature slice
+    val banded = sig.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        xxhash64(b, array_join(
+          transform(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
+            x => x.cast("string")), "_"))))
+        .as(Seq("band", "bucket")))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("a.sh").as("sh_a"),
+        col("b.doc_id").as("id_b"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // verify candidates exactly (arrays already co-located — no extra join)
+    cand
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("ni") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("ni")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash signatures + pigeonhole candidate join + exact Hamming verify.
+    * Input: (doc_id, tk: array<string>). Output: (id_a, id_b, hamming).
+    * maxHamming ≤ 3 guarantees the 4-way 16-bit chunk split finds all pairs.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val weighted = docs
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("t")))
+
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("w"))
+        .otherwise(-col("w"))).as(s"b$i")
+    }
+    val sig = weighted.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+
+    // 16-bit chunks; SQL shiftrightunsigned accepts a non-literal shift
+    // (the Scala shiftright API pins the shift to an Int)
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftrightunsigned(simhash, c * 16) % 65536)"))
+        .as(Seq("chunk", "ckey")))
+
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def shingled(rows: Seq[(Long, String)]) = {
+    val df = rows.toDF("doc_id", "text")
+    df.select(col("doc_id"), expr(
+      """array_distinct(transform(
+           sequence(1, greatest(size(filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')) - 2, 0)),
+           i -> concat_ws(' ',
+             element_at(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''), i),
+             element_at(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''), i + 1),
+             element_at(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''), i + 2))))""")
+      .as("sh"))
+  }
+
+  test("exact jaccard: identical docs = 1.0, disjoint docs absent") {
+    val docs = shingled(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now friends")))
+    val pairs = TextOps.exactJaccardPairs(docs, docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH finds exactly the high-jaccard pairs on testdata") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .limit(200)
+    val sh = shingled(docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq)
+    val exact = TextOps.exactJaccardPairs(sh, sh, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = TextOps.minHashLshPairs(sh, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // at j >= 0.5 the 8x4 banding catches a pair w.p. >= 0.40 per band
+    // structure; the planted pairs here are j > 0.9 (p ~ 0.996) — require
+    // full agreement on this data
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+  }
+
+  test("simhash: near-identical docs collide, unrelated docs do not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("tk"))
+    val pairs = TextOps.simHashPairs(docs, maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("langid picks the right language on real sentences") {
+    val q = SparkEntry.queries("q33_langid")
+    // write real sentences to a temp parquet shaped like documents
+    val docs = Seq(
+      (0L, "the cat sat on the mat and the dog is happy", "?", "s", 0L),
+      (1L, "el gato y la casa de que hablamos es bonita y grande", "?", "s", 0L),
+      (2L, "der hund und die katze das ist sehr gut und schoen", "?", "s", 0L),
+      (3L, "le chat et les maisons des villes et le chien", "?", "s", 0L),
+      (4L, "xyzzy plugh qwerty", "?", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_langid").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q(spark, dir).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(0L -> "en", 1L -> "es", 2L -> "de", 3L -> "fr",
+      4L -> "und"))
+  }
+}
