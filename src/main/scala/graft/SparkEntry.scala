@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** Every operator module contributes its catalog here. */
   def catalog: Seq[Q] =
-    ops.Relational.catalog ++ ops.Ingest.catalog ++ ops.TextOps.catalog
+    ops.Relational.catalog ++ ops.Ingest.catalog ++ ops.TextOps.catalog ++
+      ops.VectorOps.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-flavor aggregation: scan → pushed filter → partial+final agg.

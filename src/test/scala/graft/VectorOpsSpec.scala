@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.VectorOps
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/cosine match hand-computed values") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f)))
+      .toDF("a", "b")
+    val row = df.select(
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      VectorOps.cosine(col("a"), col("b")).as("c")).head()
+    assert(math.abs(row.getDouble(0) - 0.6) < 1e-6)
+    assert(math.abs(row.getDouble(1) - 0.6) < 1e-6)
+  }
+
+  test("brute-force top-k returns the true nearest neighbors") {
+    // 1 query at the origin direction; corpus at known angles
+    val corpus = Seq(
+      (10L, Array(1f, 0f)),            // cos 1.0
+      (11L, Array(0.9f, 0.4358899f)),  // cos 0.9
+      (12L, Array(0f, 1f)),            // cos 0.0
+      (13L, Array(-1f, 0f)))           // cos -1.0
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val top2 = VectorOps.cosineTopK(queries, corpus, 2)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toSeq
+    assert(top2 == Seq((1, 10L), (2, 11L)))
+  }
+
+  test("ANN recall >= 0.9 on clustered data (tight clusters, k=3)") {
+    // 20 clusters x 10 members: center c has angle theta_c; members jitter
+    // by <= 1 degree, so intra-cluster cos > 0.999 and inter-cluster
+    // cos < 0.95 — LSH must route members to the same buckets.
+    val rng = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      m <- 0 until 10
+    } yield {
+      val theta = c * (2 * math.Pi / 20) + (rng.nextDouble() - 0.5) * 0.035
+      val base = Array.tabulate(8)(i =>
+        (math.cos(theta * (i + 1)) / math.sqrt(4.0)).toFloat)
+      ((c * 10 + m).toLong, base)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 10 === 0) // one per cluster
+    val corpus = df.filter(col("vec_id") % 10 =!= 0)
+    val k = 3
+    val exact = VectorOps.cosineTopK(queries, corpus, k)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = VectorOps.annTopK(queries, corpus, dim = 8, k = k,
+      nBits = 16, bands = 8)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=${exact.size} ann=${ann.size}")
+  }
+
+  test("hyperplane buckets are deterministic") {
+    val df = Seq((1L, Array.tabulate(8)(i => (i + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val b1 = VectorOps.hyperplaneBuckets(df, 8, 16, 4)
+      .select("band", "bucket").as[(Int, Long)].collect().toSeq
+    val b2 = VectorOps.hyperplaneBuckets(df, 8, 16, 4)
+      .select("band", "bucket").as[(Int, Long)].collect().toSeq
+    assert(b1 == b2 && b1.size == 4)
+  }
+}
