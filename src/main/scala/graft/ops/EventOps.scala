@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.Q
+import graft.schema.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (ts, user_id, event_type,
+  * value, props-JSON): JSON property mining, event-time tumbling and
+  * sliding windows, gap-based sessionization, and as-of join.
+  *
+  * Scale posture: every query shuffles at most once on its natural key
+  * (event_type / user_id / window start); sessionization and as-of are
+  * single window passes over a user-partitioned sort — at 100 TB the events
+  * table would be written bucketed/sorted by (user_id, ts) so these run
+  * shuffle-free. Timestamps to the oracle are compared at second precision
+  * (the testdata carries nanosecond parquet timestamps; engines differ in
+  * sub-micro handling).
+  */
+object EventOps {
+
+  val catalog: Seq[Q] = Seq(
+
+    // ---- JSON property mining: get_json_object pushdown-friendly scan
+    Q("q50_json_props",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg(col("k")), 4).as("avg_k"),
+          round(sum(col("value")), 2).as("sum_value"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n_events,
+              round(avg(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
+              round(sum(value), 2) AS sum_value,
+              CAST(min(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS min_k,
+              CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- tumbling 1-day event-time windows
+    Q("q51_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("day"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              event_type,
+              count(*) AS n_events, round(sum(value), 2) AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+    // ---- sliding 2h-by-1h windows: each event lands in 2 windows
+    Q("q52_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start_s"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("win_start_s")),
+      Some("""WITH s AS (
+                SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT
+                  AS win_start_s, value FROM events
+                UNION ALL
+                SELECT floor(epoch(date_trunc('hour', ts) - INTERVAL 1 HOUR))::BIGINT,
+                  value FROM events)
+              SELECT win_start_s, count(*) AS n_events,
+                round(sum(value), 2) AS sum_value
+              FROM s GROUP BY 1 ORDER BY win_start_s""")),
+
+    // ---- gap-based sessionization (30-min inactivity): lag + cumulative
+    // flag sum in one user-partitioned window pass
+    Q("q53_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val withGap = Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+              1L).otherwise(0L))
+          .withColumn("sess_id",
+            sum(col("new_sess")).over(byUser
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        withGap.groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n")).as("n_events"),
+            round(avg(col("n")), 4).as("avg_events_per_session"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (
+                SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS prev_ts
+                FROM events),
+              f AS (
+                SELECT user_id, ts,
+                  CASE WHEN prev_ts IS NULL OR
+                    floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+                FROM g),
+              sess AS (
+                SELECT user_id,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                FROM f),
+              per AS (
+                SELECT user_id, sess_id, count(*) AS n
+                FROM sess GROUP BY 1, 2)
+              SELECT user_id, count(*) AS n_sessions,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                round(avg(n), 4) AS avg_events_per_session
+              FROM per GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- as-of join: for each purchase, the latest click of the same user
+    // at or before it — one window pass over the union (no range-join
+    // explosion; at scale this is the standard sorted-merge as-of shape)
+    Q("q54_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("tag", when(col("event_type") === "click", 0).otherwise(1))
+        val w = Window.partitionBy(col("user_id"))
+          // clicks sort before purchases at equal ts ⇒ "at or before"
+          .orderBy(col("ts"), col("tag"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_click_ts",
+            last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("purchase_s"),
+            unix_timestamp(col("last_click_ts")).as("last_click_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id,
+              floor(epoch(p.ts))::BIGINT AS purchase_s,
+              floor(epoch((
+                SELECT max(c.ts) FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts <= p.ts)))::BIGINT AS last_click_s
+              FROM events p WHERE p.event_type = 'purchase'
+              ORDER BY p.event_id"""))
+  )
+}
