@@ -1,0 +1,220 @@
+package graft.ops
+
+import graft.Q
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata, plus decode / resize / frame-sample /
+  * feature-extract stages as batched `mapPartitions` transforms over typed
+  * Datasets (the Scala-native equivalent of Python's `mapInPandas` — rows
+  * stream through an iterator per partition, processed in fixed-size
+  * batches, never materializing a partition in memory).
+  *
+  * STUB BOUNDARY: this container has no image/audio codecs, so
+  * [[MediaKernels.decodePixels]] is a clearly-marked deterministic fake
+  * (pixels derived from a hash of the payload). Everything AROUND the
+  * kernel is real and tested: the binary+metadata schema, the Dataset
+  * encoders, the batch shape, partition preservation, and the resize /
+  * frame-sample / feature math operating on the decoded buffer. Swapping
+  * in a real codec changes one function.
+  *
+  * Scale posture: payloads never shuffle — every stage is a narrow
+  * mapPartitions; metadata-only queries (q70) prune the payload column at
+  * the scan, so they read kilobytes, not the blobs.
+  */
+object MultimodalOps {
+
+  /** One media asset: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,          // image | audio | video
+      payload: Array[Byte],
+      width: Int, height: Int, channels: Int,
+      sample_rate: Int,      // audio only, else 0
+      n_frames: Int)         // video only, else 1
+
+  final case class DecodedFrame(
+      media_id: Long, frame_idx: Int,
+      width: Int, height: Int, pixels: Array[Byte])
+
+  final case class MediaFeature(media_id: Long, kind: String,
+      feature: Array[Float])
+
+  /** Deterministic media table derived from `documents` (the driver
+    * testdata carries no binary columns): payload = UTF-8 text bytes,
+    * metadata derived arithmetically from doc_id/n_chars so the oracle can
+    * recompute it in SQL.
+    */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("n_chars") % 64 + 16).cast("int").as("width"),
+      (col("n_chars") % 48 + 16).cast("int").as("height"),
+      lit(3).as("channels"),
+      when(col("doc_id") % 3 === 1, 16000).otherwise(0).cast("int")
+        .as("sample_rate"),
+      when(col("doc_id") % 3 === 2, (col("doc_id") % 30 + 2).cast("int"))
+        .otherwise(1).as("n_frames"))
+      .as[MediaRow]
+  }
+
+  /** Decode every frame of every asset — batched mapPartitions keeping at
+    * most `batchSize` decoded buffers in flight per partition. */
+  def decodeFrames(media: Dataset[MediaRow], batchSize: Int = 32)
+      : Dataset[DecodedFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          (0 until m.n_frames).iterator.map { f =>
+            DecodedFrame(m.media_id, f, m.width, m.height,
+              MediaKernels.decodePixels(m.payload, m.width, m.height,
+                m.channels, f))
+          }
+        }
+      }
+    }
+  }
+
+  /** Nearest-neighbor resize of decoded frames (real math over the fake
+    * buffer). */
+  def resizeFrames(frames: Dataset[DecodedFrame], outW: Int, outH: Int)
+      : Dataset[DecodedFrame] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map { fr =>
+      fr.copy(width = outW, height = outH,
+        pixels = MediaKernels.resizeNearest(fr.pixels, fr.width, fr.height,
+          3, outW, outH))
+    })
+  }
+
+  /** Keep every `step`-th frame (video sampling; no-op for single-frame
+    * media). */
+  def sampleFrames(frames: Dataset[DecodedFrame], step: Int)
+      : Dataset[DecodedFrame] = frames.filter(_.frame_idx % step == 0)
+
+  /** Fixed-dim feature vector per asset from its payload (stub extractor:
+    * hash-projection — deterministic, unit-scale). */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16)
+      : Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      MediaFeature(m.media_id, m.kind,
+        MediaKernels.hashFeature(m.payload, dim))
+    })
+  }
+
+  val catalog: Seq[Q] = Seq(
+
+    // ---- metadata-only scan: payload column pruned at the parquet scan
+    // (metadata is arithmetic over doc_id/n_chars ⇒ SQL oracle recomputes)
+    Q("q70_media_meta",
+      (s, d) => mediaTable(s, d).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_frames")).as("total_frames"),
+          round(avg(col("width")), 4).as("avg_width"),
+          sum(length(col("payload"))).as("total_bytes"))
+        .orderBy(col("kind")),
+      Some("""SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+              count(*) AS n_assets,
+              CAST(sum(CASE WHEN doc_id % 3 = 2 THEN doc_id % 30 + 2
+                ELSE 1 END) AS BIGINT) AS total_frames,
+              round(avg(n_chars % 64 + 16), 4) AS avg_width,
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+              FROM documents GROUP BY 1 ORDER BY kind""")),
+
+    // ---- decode → sample every 4th frame → resize to 32x24: counts are
+    // SQL-derivable (ceil(n_frames/4) per asset), so the full pipeline
+    // gets an exact oracle on its cardinality + output dims
+    Q("q71_frame_pipeline",
+      (s, d) => {
+        val frames = decodeFrames(mediaTable(s, d))
+        val out = resizeFrames(sampleFrames(frames, step = 4), 32, 24)
+        out.toDF().groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_sampled"),
+            max(col("width")).as("w"), max(col("height")).as("h"),
+            max(length(col("pixels"))).as("buf_len"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+              CAST(ceil((CASE WHEN doc_id % 3 = 2 THEN doc_id % 30 + 2
+                ELSE 1 END) / 4.0) AS BIGINT) AS n_sampled,
+              CAST(32 AS INTEGER) AS w, CAST(24 AS INTEGER) AS h,
+              CAST(32 * 24 * 3 AS INTEGER) AS buf_len
+              FROM documents ORDER BY media_id""")),
+
+    // ---- feature extraction (stub kernel ⇒ rows-only; invariants in
+    // MultimodalSpec: determinism, dimension, partition preservation)
+    Q("q72_media_features",
+      (s, d) => extractFeatures(mediaTable(s, d)).toDF()
+        .select(col("media_id"), col("kind"), size(col("feature")).as("dim"),
+          round(expr("aggregate(feature, 0D, (a, x) -> a + cast(x as double))"), 4)
+            .as("feat_sum"))
+        .orderBy(col("media_id")),
+      None)
+  )
+}
+
+/** Kernel boundary — the only code a real deployment replaces. */
+object MediaKernels {
+
+  /** STUB DECODER (no codecs in this container): deterministic fake pixel
+    * buffer — byte (x, y) of frame f is a hash of (payload bytes, f, x, y).
+    * Real impl: javax.imageio / ffmpeg bindings.
+    */
+  def decodePixels(payload: Array[Byte], width: Int, height: Int,
+      channels: Int, frame: Int): Array[Byte] = {
+    val seed = java.util.Arrays.hashCode(payload) * 31 + frame
+    val out = new Array[Byte](width * height * channels)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((seed * 1103515245 + i * 12345) >>> 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Real nearest-neighbor resize over an interleaved HxWxC byte buffer. */
+  def resizeNearest(src: Array[Byte], srcW: Int, srcH: Int, channels: Int,
+      outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH * channels)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min(srcH - 1, y * srcH / outH)
+      var x = 0
+      while (x < outW) {
+        val sx = math.min(srcW - 1, x * srcW / outW)
+        var c = 0
+        while (c < channels) {
+          out((y * outW + x) * channels + c) =
+            src((sy * srcW + sx) * channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Stub feature extractor: dim-bucket byte histogram, L1-normalized —
+    * deterministic and unit-scale like a real embedding. */
+  def hashFeature(payload: Array[Byte], dim: Int): Array[Float] = {
+    val counts = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      counts((payload(i) & 0xff) % dim) += 1f
+      i += 1
+    }
+    val total = math.max(1f, payload.length.toFloat)
+    counts.map(_ / total)
+  }
+}
