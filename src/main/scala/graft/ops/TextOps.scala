@@ -35,9 +35,23 @@ object TextOps {
             element_at(tokens, i + 2))))
         .otherwise(array()))
 
+  /** Shingled documents, PERSISTED. Two reasons, both load-bearing:
+    * (1) tokens are materialized before the shingle transform — referencing
+    * the raw `split()` inside the shingle lambda re-tokenizes per element
+    * (observed 10× at sf0.1); (2) the dedup queries self-join this relation,
+    * and the join's inferred `isnotnull(sh)` filter is pushed below the
+    * projection WITH ALIAS SUBSTITUTION — without a materialization barrier
+    * every side of every join recomputes the full tokenize+shingle
+    * expression several times per row. Persisting the shingle set is also
+    * the honest 100 TB design: an inverted index is built once and reused,
+    * not recomputed per consumer. CacheManager dedups by logical plan, so
+    * q34/q35 share one copy.
+    */
   private def docsWithShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), shingles(col("tk")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   // MinHash parameters: 32 hash functions, 8 bands × 4 rows. Collision
   // probability 1-(1-j^4)^8: j=0.5 → 0.40, j=0.8 → 0.97, j=0.9 → 0.996 —
@@ -280,17 +294,17 @@ object TextOps {
     * candidates. Input: (doc_id, sh). Output: (id_a, id_b, jaccard).
     */
   def minHashLshPairs(docs: DataFrame, jaccardThreshold: Double): DataFrame = {
-    // signature[h] = min over shingles of xxhash64(h, shingle)
+    // signature[h] = min over shingles of xxhash64(h, shingle). Only
+    // (doc_id, shingle) rows shuffle — the shingle ARRAY stays out of the
+    // exploded stream (carrying it per-row ballooned the shuffle ~60×).
     val sig = docs
-      .select(col("doc_id"), col("sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .groupBy(col("doc_id"))
-      .agg(
-        first(col("sh")).as("sh"),
-        array((0 until NumHashes).map(h =>
-          min(xxhash64(lit(h), col("s")))): _*).as("sig"))
+      .agg(array((0 until NumHashes).map(h =>
+        min(xxhash64(lit(h), col("s")))): _*).as("sig"))
 
     // band key = hash of the band's signature slice
-    val banded = sig.select(col("doc_id"), col("sh"),
+    val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
         xxhash64(b, array_join(
           transform(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
@@ -301,12 +315,14 @@ object TextOps {
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("a.sh").as("sh_a"),
-        col("b.doc_id").as("id_b"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // verify candidates exactly (arrays already co-located — no extra join)
+    // fetch the two shingle sets only for surviving candidates (rare by
+    // construction), then verify exactly
     cand
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("ni") /
         (size(col("sh_a")) + size(col("sh_b")) - col("ni")))
