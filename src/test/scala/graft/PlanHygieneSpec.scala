@@ -1,0 +1,63 @@
+package graft
+
+/** Regression guards for the physical-plan properties the engine's 100 TB
+  * posture depends on: filters and column pruning reaching the parquet
+  * scan, broadcast joins for dims, TakeOrderedAndProject for top-k, and
+  * whole-stage codegen in scan-heavy pipelines. These are the properties
+  * `.explain` was inspected for by hand; the spec keeps them true.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filter AND projection are pushed into the parquet scan") {
+    val p = plan("q02_filter_project")
+    // plan toString truncates long PushedFilters lists — match the head
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "IsNotNull(l_returnflag), GreaterThan(l_quantity,45.0)"), p)
+    // pruned to exactly the 5 referenced columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_extendedprice:double"), p)
+  }
+
+  test("q03: dim joins broadcast (no shuffle of the fact side for the join)") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_agg")
+    // partial_* functions before the exchange, final HashAggregate after
+    assert(p.contains("partial_sum"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q10: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q10_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q70: metadata query prunes the payload/text column at the scan") {
+    val p = plan("q70_media_meta")
+    // text is needed (payload bytes derive from it) but lang/source are not
+    assert(!p.contains("source"), p)
+  }
+
+  test("custom expressions stay inside codegen stages") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10).select(
+      graft.expr.Crypto.hmacSha256Hex(col("id").cast("string"), lit("k")))
+    // "*(n)" prefix marks whole-stage-codegen stages in the plan string;
+    // a codegen-incapable expression would fall back to a bare Project
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p)
+    val pDot = spark.range(4).selectExpr("array(cast(id as float)) as v")
+      .select(graft.expr.VectorExprs.dotFast(col("v"), col("v")))
+      .queryExecution.executedPlan.toString
+    assert(pDot.contains("*(1) Project"), pDot)
+  }
+}
