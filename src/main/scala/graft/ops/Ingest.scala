@@ -102,6 +102,35 @@ object Ingest {
               true AS roundtrip, true AS hash_format_ok
               FROM customer ORDER BY c_custkey""")),
 
+    // ---- S2/S3 CSV source/sink parity (the reference's store format is
+    // headered CSV, `io_utils.py:21,37`): write a slice as CSV, read it
+    // back with an EXPLICIT schema (inference is nondeterministic and
+    // unaffordable at scale), verify the round-trip aggregate against the
+    // parquet source of truth. CSV degrades timestamps to strings — the
+    // pinned read schema restores types, which is the point of the test.
+    Q("q24_csv_roundtrip",
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_store"
+        val src = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        src.write.mode("overwrite").option("header", true).csv(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_orderstatus",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("o_totalprice",
+            org.apache.spark.sql.types.DoubleType)))
+        s.read.option("header", true).schema(schema).csv(dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              round(sum(o_totalprice), 2) AS total
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- O1-O4 full pipeline e2e on the canned API fixture: two runs into
     // a fresh store; run 2 re-ingests the same batch — keep-first dedup must
     // leave counts unchanged. Rows-only check (store content holds

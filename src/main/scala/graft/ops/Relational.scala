@@ -296,6 +296,103 @@ object Relational {
               CASE WHEN o_totalprice > 200000.0 THEN 'big'
                    WHEN o_totalprice > 100000.0 THEN 'mid'
                    ELSE 'small' END AS bucket
-              FROM orders ORDER BY o_orderkey"""))
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ---- salted aggregation: the 100 TB skew pattern. Stage 1 aggregates
+    // on (key, salt) — a hot key's rows spread over 16 reducers — stage 2
+    // merges the partials. Result provably equals the direct groupBy, which
+    // is exactly what the oracle states.
+    Q("q18_salted_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("_salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(16)))
+        .groupBy(col("l_returnflag"), col("_salt"))
+        .agg(sum(col("l_quantity")).as("part_qty"),
+          count(lit(1)).as("part_n"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("part_qty")), 2).as("sum_qty"),
+          sum(col("part_n")).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+              count(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- percentiles: exact (sort-based) + approx sketch side by side.
+    // Exact matches DuckDB quantile_cont; the approx column is an
+    // invariant check (within the sketch's relative-error bound of exact,
+    // stated as a boolean so the oracle can assert it).
+    Q("q19_percentiles",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+          (abs(expr("percentile_approx(o_totalprice, 0.5, 10000)") -
+            expr("percentile(o_totalprice, 0.5)")) <
+            expr("percentile(o_totalprice, 0.5)") * 0.02).as("approx_close"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+              round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+              round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+              true AS approx_close
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- date/time arithmetic library
+    Q("q17b_date_fns",
+      (s, d) => Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+            .as("days_to_eoy"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          quarter(col("o_orderdate")).cast("int").as("q"),
+          dayofweek(col("o_orderdate")).cast("int").as("dow"),
+          weekofyear(col("o_orderdate")).cast("int").as("woy"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+              CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                AS INTEGER) AS days_to_eoy,
+              strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+              CAST(quarter(o_orderdate) AS INTEGER) AS q,
+              CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+              CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+              strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                AS month_start,
+              floor(epoch(o_orderdate))::BIGINT AS epoch_s
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ---- array/map functions over derived collections
+    Q("q17c_collection_fns",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+          collect_set(col("l_returnflag")).as("flags"))
+        .select(
+          col("l_orderkey"),
+          size(col("lines")).as("n_lines"),
+          element_at(col("lines"), 1).as("first_line"),
+          element_at(col("lines"), -1).as("last_line"),
+          array_contains(col("lines"), 1).as("has_line1"),
+          size(col("flags")).as("n_flags"),
+          aggregate(col("lines"), lit(0),
+            (acc, x) => acc + x).as("line_sum"))
+        .orderBy(col("l_orderkey")),
+      Some("""WITH g AS (
+                SELECT l_orderkey,
+                  list_sort(list(l_linenumber)) AS lines,
+                  list_distinct(list(l_returnflag)) AS flags
+                FROM lineitem GROUP BY l_orderkey)
+              SELECT l_orderkey,
+              CAST(len(lines) AS INTEGER) AS n_lines,
+              lines[1] AS first_line,
+              lines[-1] AS last_line,
+              list_contains(lines, 1) AS has_line1,
+              CAST(len(flags) AS INTEGER) AS n_flags,
+              CAST(list_sum(lines) AS INTEGER) AS line_sum
+              FROM g ORDER BY l_orderkey"""))
   )
 }

@@ -84,6 +84,46 @@ object StreamingOps {
       Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
               event_type,
               count(*) AS n_events, round(sum(value), 2) AS sum_value
-              FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+              FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+    // ---- arbitrary stateful processing (mapGroupsWithState): per-user
+    // running profile kept as explicit state — the custom-state primitive
+    // the reference's cross-run metrics accumulation would map onto.
+    // AvailableNow processes everything, so final state ≡ batch aggregate,
+    // which the oracle states directly.
+    Q("q62_stream_stateful",
+      (s, d) => {
+        import s.implicits._
+        val out = runToMemory(s, d, "update") { df =>
+          df.select(col("user_id").as[Long], col("value").as[Double])
+            .as[(Long, Double)]
+            .groupByKey(_._1)
+            .mapGroupsWithState[UserState, (Long, Long, Double)](
+              org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+              case (uid, rows, state) =>
+                val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+                var n = prev.n; var sum = prev.sum
+                rows.foreach { r => n += 1; sum += r._2 }
+                state.update(UserState(n, sum))
+                (uid, n, sum)
+            }.toDF("user_id", "n_events", "sum_value")
+        }
+        // update mode emits one row per user per batch; AvailableNow may
+        // split the input into several batches — keep the LAST emitted
+        // state per user (n_events is monotone)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+        out.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("user_id"), col("n_events"),
+            round(col("sum_value"), 2).as("sum_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+              round(sum(value), 2) AS sum_value
+              FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }
+
+/** Explicit per-user state carried across micro-batches. */
+final case class UserState(n: Long, sum: Double)
