@@ -58,7 +58,7 @@ object IngestionJob {
     * Timestamps parsed to TIMESTAMP (UTC) instead of carried as strings.
     */
   def secureTransform(users: DataFrame, pepper: String, aesKey: String,
-      bidxKey: String): DataFrame = {
+      bidxKey: String, kdfIterations: Int = 25000): DataFrame = {
     val flat = Flatten.flatten(users)
     val passthrough =
       if (flat.columns.contains("_fetch_pos")) Seq(col("_fetch_pos")) else Nil
@@ -73,7 +73,8 @@ object IngestionJob {
         col("location_country"),
         // derived secure columns (transformations.py:59-63); nondeterministic
         // ones are materialized before any dedup boundary (SURVEY.md §4.3)
-        Crypto.hashPassword(col("login_password"), pepper).as("password_hash"),
+        Crypto.hashPassword(col("login_password"), pepper, kdfIterations)
+          .as("password_hash"),
         Crypto.encrypt(col("email"), aesKey).as("email_enc"),
         Crypto.encrypt(col("phone"), aesKey).as("phone_enc"),
         Crypto.encrypt(col("location_street_name"), aesKey).as("street_name_enc"),

@@ -131,6 +131,24 @@ object Ingest {
               round(sum(o_totalprice), 2) AS total
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- S1' DataSource V2 load generator: 10k deterministic users in 16
+    // partitions through the full secure transform (rows-only: the source
+    // has no DuckDB twin; GraftUserSourceSpec covers determinism, pruning,
+    // and partition planning)
+    Q("q25_generated_users",
+      (s, _) => IngestionJob.secureTransform(
+        s.read.format("graft-users")
+          .option("numUsers", 10000).option("numPartitions", 16).load(),
+        // low KDF cost: 10k hashes in the bench path would otherwise
+        // measure nothing but PBKDF2 (the reference's designed bottleneck,
+        // BASELINE.md — cost is a config knob, not a fixed price)
+        "pepper", AesKey, BidxKey, kdfIterations = 1000)
+        .groupBy(col("location_country"))
+        .agg(count(lit(1)).as("n_users"),
+          countDistinct(col("login_uuid")).as("n_unique"))
+        .orderBy(col("location_country")),
+      None),
+
     // ---- O1-O4 full pipeline e2e on the canned API fixture: two runs into
     // a fresh store; run 2 re-ingests the same batch — keep-first dedup must
     // leave counts unchanged. Rows-only check (store content holds
