@@ -298,6 +298,37 @@ object Relational {
                    ELSE 'small' END AS bucket
               FROM orders ORDER BY o_orderkey""")),
 
+    // ---- 6-table join (TPC-H Q5 shape): region→nation broadcast down the
+    // dim chain; customer/orders/lineitem/supplier co-shuffle on their keys
+    Q("q26_six_table_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name")),
+      Some("""SELECT n_name,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+              count(*) AS n_items
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+                AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+              GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
     // ---- salted aggregation: the 100 TB skew pattern. Stage 1 aggregates
     // on (key, salt) — a hot key's rows spread over 16 reducers — stage 2
     // merges the partials. Result provably equals the direct groupBy, which

@@ -60,7 +60,9 @@ object TextOps {
   private val NumBands = 8
   private val RowsPerBand = NumHashes / NumBands
 
-  val catalog: Seq[Q] = Seq(
+  def catalog: Seq[Q] = catalog1 ++ catalog2
+
+  private val catalog1: Seq[Q] = Seq(
 
     // ---- quality scoring: length/token/punct/stopword signals
     Q("q30_text_quality",
@@ -266,6 +268,61 @@ object TextOps {
                 AS n_grams,
               true AS fp_ok
               FROM t ORDER BY doc_id"""))
+  )
+
+  /** PII redaction + repetition-ratio queries appended to the catalog. */
+  val catalog2: Seq[Q] = Seq(
+
+    // ---- PII redaction (training-data staple): emails and phone-shaped
+    // tokens replaced with typed placeholders. The corpus has no PII, so a
+    // deterministic synthetic contact line is appended per doc — redaction
+    // then provably strips every one of them, which the oracle restates.
+    Q("q38_pii_redact",
+      (s, d) => {
+        val dirty = Tables.documents(s, d).withColumn("text2",
+          concat(col("text"), lit(" contact: user"), col("doc_id"),
+            lit("@example.com or 555-"), lpad(col("doc_id") % 10000, 4, "0")))
+        val clean = dirty.withColumn("redacted",
+          regexp_replace(
+            regexp_replace(col("text2"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "\\b\\d{3}-\\d{4}\\b", "<PHONE>"))
+        clean.select(
+          col("doc_id"),
+          col("redacted").contains("<EMAIL>").as("has_email_tag"),
+          col("redacted").contains("<PHONE>").as("has_phone_tag"),
+          col("redacted").rlike("@").as("residual_at"),
+          (length(col("text2")) - length(col("text"))).as("appended_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, true AS has_email_tag, true AS has_phone_tag,
+              false AS residual_at,
+              CAST(length(' contact: user' || doc_id ||
+                '@example.com or 555-' ||
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                AS INTEGER) AS appended_len
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- repetition ratio (boilerplate/spam signal): frequency of the
+    // most common token over total tokens
+    Q("q39_repetition_ratio",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("c")) / sum(col("c")).cast("double"), 4)
+          .as("rep_ratio"),
+          sum(col("c")).as("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""WITH e AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                  '[a-z0-9]+')) AS t
+                FROM documents),
+              c AS (SELECT doc_id, t, count(*) AS c FROM e GROUP BY 1, 2)
+              SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS rep_ratio,
+              CAST(sum(c) AS BIGINT) AS n_tokens
+              FROM c GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Exact pairwise Jaccard ≥ threshold between two shingled doc sets via

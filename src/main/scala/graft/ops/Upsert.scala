@@ -47,6 +47,43 @@ object Upsert {
       .drop(pri, rn)
   }
 
+  /** Keep-first upsert into a PARTITIONED parquet store, rewriting only the
+    * partitions the incoming batch touches — the 100 TB replacement for the
+    * reference's full-store rewrite (`io_utils.py:24,37`, SURVEY.md §2.1
+    * S3). Mechanics: prune the store read to the touched partition values
+    * (partition pruning — untouched data is never read), merge keep-first,
+    * write back under dynamic partition overwrite (untouched partition
+    * directories are never written).
+    */
+  def partitionedUpsert(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, incoming: DataFrame, keys: Seq[String],
+      partCol: String, order: Seq[Column]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touched = incoming.select(partCol).distinct()
+      .collect().map(_.get(0)).toSeq
+    val storeDir = new org.apache.hadoop.fs.Path(storePath)
+    val storeHasData = fs.exists(storeDir) &&
+      fs.listStatus(storeDir).exists(st =>
+        st.isDirectory || st.getPath.getName.endsWith(".parquet"))
+    val merged =
+      if (!storeHasData) {
+        keepFirst(incoming.limit(0), incoming, keys, order)
+      } else {
+        val existingSlice = spark.read.parquet(storePath)
+          .filter(col(partCol).isin(touched: _*))
+        keepFirst(existingSlice, incoming, keys, order)
+      }
+    val prev = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partCol).parquet(storePath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** existing ∪ (incoming ⟕̸ existing): insert-if-absent. Caller guarantees
     * incoming is unique per key (dedupe first with [[keepFirst]] over an
     * empty existing side, or `dropDuplicates` when arbitrariness is fine).

@@ -36,6 +36,32 @@ class UpsertSpec extends SparkSpec {
     assert(a == b && a == Seq((1, "old1"), (2, "new2"), (3, "old3")))
   }
 
+  test("partitionedUpsert rewrites only touched partitions") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_part_store").toString
+    val seed = Seq((1, "a-v1", "p1"), (2, "b-v1", "p1"), (3, "c-v1", "p2"))
+      .toDF("k", "v", "p")
+    Upsert.partitionedUpsert(spark, store, seed, Seq("k"), "p", Seq(col("v")))
+
+    def fileStates(part: String) = new java.io.File(s"$store/p=$part")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSet
+    val p1Before = fileStates("p1")
+
+    // incoming touches only p2: k=3 collides (existing wins), k=4 is new
+    val incoming = Seq((3, "c-v2", "p2"), (4, "d-v1", "p2"))
+      .toDF("k", "v", "p")
+    Upsert.partitionedUpsert(spark, store, incoming, Seq("k"), "p",
+      Seq(col("v")))
+
+    // untouched partition: exact same files, byte-for-byte untouched
+    assert(fileStates("p1") == p1Before)
+    val out = spark.read.parquet(store)
+      .orderBy("k").as[(Int, String, String)].collect().toSeq
+    assert(out == Seq((1, "a-v1", "p1"), (2, "b-v1", "p1"),
+      (3, "c-v1", "p2"), (4, "d-v1", "p2")))
+  }
+
   // property-style: seeded random trials (scalacheck-scalatest bridge is not
   // in the offline dep set; the invariants are what matters)
   test("property: upsert is idempotent, keys unique, row counts bounded") {
