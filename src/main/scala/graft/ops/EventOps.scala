@@ -120,6 +120,68 @@ object EventOps {
                 round(avg(n), 4) AS avg_events_per_session
               FROM per GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- built-in session_window (same 30-min gap): must agree exactly
+    // with q53's manual lag+cumsum formulation — the oracle IS q53's SQL.
+    // Sub-second boundary nuance: session_window compares full-precision
+    // timestamps while q53 compares whole seconds, so the gap predicate is
+    // evaluated on second-truncated ts here too.
+    Q("q55_session_window",
+      (s, d) => Tables.events(s, d)
+        .withColumn("ts_s", timestamp_seconds(unix_timestamp(col("ts"))))
+        .groupBy(col("user_id"), session_window(col("ts_s"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+          round(avg(col("n")), 4).as("avg_events_per_session"))
+        .orderBy(col("user_id")),
+      Some("""WITH g AS (
+                SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS prev_ts
+                FROM events),
+              f AS (
+                SELECT user_id, ts,
+                  CASE WHEN prev_ts IS NULL OR
+                    floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT >= 1800
+                  THEN 1 ELSE 0 END AS new_sess
+                FROM g),
+              sess AS (
+                SELECT user_id,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                FROM f),
+              per AS (
+                SELECT user_id, sess_id, count(*) AS n
+                FROM sess GROUP BY 1, 2)
+              SELECT user_id, count(*) AS n_sessions,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                round(avg(n), 4) AS avg_events_per_session
+              FROM per GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- string-distance functions: levenshtein between each document's
+    // head and the next document's head (both engines implement the
+    // classic DP — values agree exactly)
+    Q("q56_edit_distance",
+      (s, d) => {
+        val heads = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 30).as("head"))
+        val w = Window.orderBy(col("doc_id"))
+        heads
+          .withColumn("next_head", lead(col("head"), 1).over(w))
+          .filter(col("next_head").isNotNull)
+          .select(col("doc_id"),
+            levenshtein(col("head"), col("next_head")).as("lev"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (
+                SELECT doc_id, substring(text, 1, 30) AS head,
+                  lead(substring(text, 1, 30)) OVER (ORDER BY doc_id)
+                    AS next_head
+                FROM documents)
+              SELECT doc_id,
+                CAST(levenshtein(head, next_head) AS INTEGER) AS lev
+              FROM h WHERE next_head IS NOT NULL ORDER BY doc_id""")),
+
     // ---- as-of join: for each purchase, the latest click of the same user
     // at or before it — one window pass over the union (no range-join
     // explosion; at scale this is the standard sorted-merge as-of shape)
