@@ -111,7 +111,10 @@ object IngestionJob {
       .drop("_fetch_pos")
 
     val tmp = new Path(storePath + ".tmp")
-    finalDf.write.mode("overwrite").parquet(tmp.toString)
+    // batch-of-10-per-run regime (reference's workload): one output file
+    // beats shuffle.partitions near-empty files. The partitioned store at
+    // scale is Upsert.partitionedUpsert, not this path.
+    finalDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val rowsAfterDedup = spark.read.parquet(tmp.toString).count()
     if (fs.exists(store)) fs.delete(store, true)
     fs.rename(tmp, store)

@@ -121,7 +121,48 @@ object StreamingOps {
       },
       Some("""SELECT user_id, count(*) AS n_events,
               round(sum(value), 2) AS sum_value
-              FROM events GROUP BY user_id ORDER BY user_id"""))
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- streaming upsert into a parquet store via foreachBatch: each
+    // micro-batch dedups itself, anti-joins the store, APPENDS only novel
+    // keys — the streaming twin of Upsert.insertIfAbsent (append-only, so
+    // no read-while-overwrite window; idempotent against replays because
+    // replayed keys anti-join away). Store afterwards holds exactly the
+    // distinct (user_id, event_type) pairs — the oracle states that count.
+    Q("q63_stream_upsert",
+      (s, d) => {
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_stream_store"
+        val storePath = new org.apache.hadoop.fs.Path(store)
+        val fs = storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(storePath, true)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_ckpt_upsert").toString
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .select(col("user_id"), col("event_type"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val incoming = batch.dropDuplicates("user_id", "event_type")
+            val novel =
+              if (!fs.exists(storePath)) incoming
+              else incoming.join(batch.sparkSession.read.parquet(store),
+                Seq("user_id", "event_type"), "left_anti")
+            novel.coalesce(1).write.mode("append").parquet(store)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(store)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_distinct_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+              FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }
 

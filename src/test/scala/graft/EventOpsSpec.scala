@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Golden-input tests for the event operators: sessionization gap edges and
+  * as-of join boundary behavior, on hand-built event tables where the
+  * right answer is computable by eye.
+  */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def eventsDir(rows: Seq[(Long, Timestamp, Long, String, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("sessionize: gap exactly 30min starts a new session; <=30min does not") {
+    val d = eventsDir(Seq(
+      (0L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:29:59"), 1L, "view", 1.0, "{}"), // same session
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 1.0, "{}"), // 30:01 gap → new
+      (3L, ts("2024-01-01 11:30:00"), 1L, "view", 1.0, "{}"), // exactly 1800 → NOT new (> test)
+      (4L, ts("2024-01-01 23:00:00"), 2L, "view", 1.0, "{}")))
+    val out = SparkEntry.queries("q53_sessionize")(spark, d)
+      .select("user_id", "n_sessions", "n_events")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // user 1: sessions {0,1}, {2,3}; user 2: {4}
+    assert(out(1L) == ((2L, 4L)))
+    assert(out(2L) == ((1L, 1L)))
+  }
+
+  test("as-of join: purchase with no prior click gets null; ties at equal ts match") {
+    val d = eventsDir(Seq(
+      (0L, ts("2024-01-01 09:00:00"), 1L, "purchase", 5.0, "{}"), // no prior click
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "purchase", 7.0, "{}"), // same-ts click counts
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase", 9.0, "{}"), // latest click = 10:00
+      (4L, ts("2024-01-01 08:00:00"), 2L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "purchase", 3.0, "{}")))
+    val out = SparkEntry.queries("q54_asof_join")(spark, d)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val clickAt10 = ts("2024-01-01 10:00:00").getTime / 1000
+    val clickAt8 = ts("2024-01-01 08:00:00").getTime / 1000
+    assert(out(0L) == -1L)          // nothing before 09:00
+    assert(out(2L) == clickAt10)    // click at the same instant
+    assert(out(3L) == clickAt10)    // most recent, not any earlier one
+    assert(out(5L) == clickAt8)
+  }
+
+  test("session_window and manual sessionization agree on the testdata") {
+    val d = "/root/testdata/sf0.001"
+    val manual = SparkEntry.queries("q53_sessionize")(spark, d)
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    val builtin = SparkEntry.queries("q55_session_window")(spark, d)
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    // q53 uses gap > 1800s, q55 uses >= 1800s (half-open session_window
+    // semantics); on continuous-ts data exact-1800 gaps are absent, so the
+    // two must agree everywhere
+    assert(manual == builtin)
+  }
+}
