@@ -248,6 +248,29 @@ object Relational {
               GROUP BY ROLLUP (n_name, c_mktsegment)
               ORDER BY nation, segment""")),
 
+    // ---- explicit GROUPING SETS (finer control than rollup/cube): totals
+    // per nation, per segment, and grand total — via SQL over a temp view
+    Q("q15b_grouping_sets",
+      (s, d) => {
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .createOrReplaceTempView("gs_cust")
+        s.sql("""SELECT coalesce(n_name, 'ALL') AS nation,
+                 coalesce(c_mktsegment, 'ALL') AS segment,
+                 count(*) AS n_customers,
+                 round(sum(c_acctbal), 2) AS sum_acctbal
+                 FROM gs_cust
+                 GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+                 ORDER BY nation, segment""")
+      },
+      Some("""SELECT coalesce(n_name, 'ALL') AS nation,
+              coalesce(c_mktsegment, 'ALL') AS segment,
+              count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+              ORDER BY nation, segment""")),
+
     // ---- cube: all grouping combinations
     Q("q16_cube",
       (s, d) => Tables.lineitem(s, d)

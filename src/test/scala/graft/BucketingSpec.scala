@@ -13,6 +13,20 @@ class BucketingSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a dropped-in-a-previous-JVM table leaves its warehouse directory
+    // behind while the fresh session's catalog has no entry to DROP —
+    // remove the locations directly
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("b_orders", "b_customer").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
     spark.read.parquet(s"$sf/orders.parquet")
       .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("b_orders")
