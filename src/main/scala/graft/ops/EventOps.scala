@@ -40,6 +40,24 @@ object EventOps {
               CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- typed JSON: from_json into MapType (vs q50's per-path
+    // get_json_object) + map functions
+    Q("q50b_json_map",
+      (s, d) => Tables.events(s, d)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
+        .select(col("event_id"),
+          size(map_keys(col("m"))).as("n_keys"),
+          element_at(col("m"), "k").as("k_val"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys_csv"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(1 AS INTEGER) AS n_keys,
+              CAST(props->>'k' AS INTEGER) AS k_val,
+              'k' AS keys_csv
+              FROM events ORDER BY event_id""")),
+
     // ---- tumbling 1-day event-time windows
     Q("q51_tumbling_window",
       (s, d) => Tables.events(s, d)
