@@ -57,6 +57,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} ann=${ann.size}")
   }
 
+  test("IVF recall >= 0.9 on clustered data (20 cells, probe 4)") {
+    val rng = new scala.util.Random(7)
+    val rows = for { c <- 0 until 20; m <- 0 until 10 } yield {
+      val theta = c * (2 * math.Pi / 20) + (rng.nextDouble() - 0.5) * 0.035
+      ((c * 10 + m).toLong,
+        Array.tabulate(8)(i => (math.cos(theta * (i + 1)) / 2.0).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    val corpus = df.filter(col("vec_id") % 10 =!= 0)
+    val exact = VectorOps.cosineTopK(queries, corpus, 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorOps.ivfTopK(queries, corpus, dim = 8, k = 3,
+      nCells = 20, nProbe = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("hyperplane buckets are deterministic") {
     val df = Seq((1L, Array.tabulate(8)(i => (i + 1).toFloat)))
       .toDF("vec_id", "embedding")
