@@ -26,7 +26,7 @@ object Flatten {
   def flatten(df: DataFrame): DataFrame =
     df.select(flattenCols(df.schema): _*)
 
-  private def flattenCols(schema: StructType): Seq[Column] = {
+  private def flattenCols(schema: StructType, sep: String): Seq[Column] = {
     def walk(field: StructField, path: Seq[String]): Seq[Column] =
       field.dataType match {
         case st: StructType =>
@@ -35,8 +35,21 @@ object Flatten {
           // Path segments backtick-quoted so a literal dot in a source
           // column name (reference-CSV compat) does not parse as a path.
           Seq(col(path.map(p => s"`$p`").mkString("."))
-            .as(path.mkString("_")))
+            .as(path.mkString(sep)))
       }
     schema.fields.toSeq.flatMap(f => walk(f, Seq(f.name)))
   }
+
+  private def flattenCols(schema: StructType): Seq[Column] =
+    flattenCols(schema, "_")
+
+  /** Compat view (SURVEY.md §1.4): the reference's EXACT `json_normalize`
+    * column names — dot-joined, the dots LITERAL characters in the name
+    * (`name.first`, `location.street.number`). For byte-compatible exports
+    * to consumers of the reference's CSV; downstream references need
+    * backtick quoting, which is why [[flatten]]'s underscore canon is the
+    * engine default.
+    */
+  def flattenDotNamed(df: DataFrame): DataFrame =
+    df.select(flattenCols(df.schema, "."): _*)
 }

@@ -151,15 +151,23 @@ object MultimodalOps {
               CAST(32 * 24 * 3 AS INTEGER) AS buf_len
               FROM documents ORDER BY media_id""")),
 
-    // ---- feature extraction (stub kernel ⇒ rows-only; invariants in
-    // MultimodalSpec: determinism, dimension, partition preservation)
+    // ---- feature extraction: the kernel is the documented stub, but its
+    // CONTRACT is oracle-checkable (VERDICT r1 #3) — every feature has
+    // exactly `dim` components and is L1-normalized (payloads are non-empty
+    // text bytes, so the histogram sums to 1 ± float rounding); kind is
+    // arithmetic over doc_id. Determinism + partition preservation stay in
+    // MultimodalSpec.
     Q("q72_media_features",
       (s, d) => extractFeatures(mediaTable(s, d)).toDF()
         .select(col("media_id"), col("kind"), size(col("feature")).as("dim"),
-          round(expr("aggregate(feature, 0D, (a, x) -> a + cast(x as double))"), 4)
-            .as("feat_sum"))
+          (abs(expr("aggregate(feature, 0D, (a, x) -> a + cast(x as double))")
+            - 1.0d) < 0.001d).as("l1_ok"))
         .orderBy(col("media_id")),
-      None)
+      Some("""SELECT doc_id AS media_id,
+              CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+              CAST(16 AS INTEGER) AS dim, true AS l1_ok
+              FROM documents ORDER BY media_id"""))
   )
 }
 

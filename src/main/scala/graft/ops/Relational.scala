@@ -189,17 +189,25 @@ object Relational {
               FROM customer JOIN nation ON c_nationkey = n_nationkey
               GROUP BY n_name ORDER BY n_name""")),
 
-    // ---- approximate distinct (HyperLogLog++): Spark-specific estimate, no
-    // SQL oracle — rows-only check. At 100 TB this replaces exact
-    // countDistinct wherever a ±2% answer is acceptable (no shuffle of the
-    // distinct values, constant-size sketch per group).
+    // ---- approximate distinct (HyperLogLog++): at 100 TB this replaces
+    // exact countDistinct wherever a ±2% answer is acceptable (no shuffle
+    // of the distinct values, constant-size sketch per group). The HLL
+    // estimate is Spark-specific, so the oracle checks the ERROR BOUND
+    // in-plan (same trick as q19's approx_close): exact count alongside,
+    // |approx-exact|/exact ≤ 5% emitted as a boolean the oracle states.
     Q("q11b_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_parts"), col("n_rows"),
+          (abs(col("approx") - col("n_parts")) / col("n_parts").cast("double")
+            <= 0.05).as("approx_ok"))
         .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+              count(*) AS n_rows, true AS approx_ok
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- set ops: union / intersect / except on exact-typed keys
     Q("q12_union",

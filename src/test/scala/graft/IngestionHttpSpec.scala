@@ -1,0 +1,78 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.jobs.{HttpUserFetcher, IngestionJob, LoopbackApi}
+
+/** Live acquisition path (VERDICT r1 #5): real HTTP over loopback, observed
+  * status/retries, fail-fast parity with the reference's raise_for_status
+  * (`/root/reference/ingestion/api_client.py:21`), and the stdout metric-
+  * line contract (`job.py:85-95`).
+  */
+class IngestionHttpSpec extends SparkSpec {
+
+  private val fixture = sys.env.getOrElse("GRAFT_REPO", "/root/repo") +
+    "/data/fixtures/users_fixture.json"
+  private lazy val body =
+    new String(Files.readAllBytes(Paths.get(fixture)), StandardCharsets.UTF_8)
+
+  test("clean fetch observes status 200 and zero retries") {
+    LoopbackApi.withServer(body) { url =>
+      val r = new HttpUserFetcher(url).fetch()
+      assert(r.httpStatus === Some(200))
+      assert(r.retriesUsed === Some(0))
+      // the fixture carries 6 users (5 distinct uuids)
+      assert(IngestionJob.readUsersJson(spark, r.body).count() === 6)
+    }
+  }
+
+  test("transient 503 is retried and the retry count is observed") {
+    LoopbackApi.withServer(body, failFirst = 1) { url =>
+      val r = new HttpUserFetcher(url).fetch()
+      assert(r.httpStatus === Some(200))
+      assert(r.retriesUsed === Some(1))
+    }
+  }
+
+  test("persistent failure fails fast after bounded retries") {
+    LoopbackApi.withServer(body, failFirst = 100) { url =>
+      val e = intercept[java.io.IOException] {
+        new HttpUserFetcher(url, maxRetries = 1).fetch()
+      }
+      assert(e.getMessage.contains("503"))
+    }
+  }
+
+  test("run() through HTTP prints the reference's metric-line contract " +
+      "with observed values") {
+    val store = Files.createTempDirectory("graft_http_store").toString + "/st"
+    val out = new ByteArrayOutputStream()
+    val metrics = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      LoopbackApi.withServer(body, failFirst = 1) { url =>
+        IngestionJob.run(spark, new HttpUserFetcher(url), store,
+          "pepper", "0123456789abcdef", "bidx-key")
+      }
+    }
+    assert(metrics.httpStatus === Some(200))
+    assert(metrics.retriesUsed === Some(1)) // observed, not a literal
+    assert(metrics.rowsFetched === 6)
+    val lines = out.toString("UTF-8").linesIterator.toSeq
+    // job.py:85-95 contract, one line each
+    assert(lines.exists(_.matches("wrote 5 rows to .+")))
+    assert(lines.exists(_.matches("api_url=http://127\\.0\\.0\\.1:\\d+/api.*")))
+    assert(lines.exists(_ == "http_status=200 retries_used=1"))
+    assert(lines.exists(
+      _.matches("rows_fetched=6 rows_after_dedup=5 output=.+")))
+  }
+
+  test("fixture path reports transport metrics as absent, not invented") {
+    val store = Files.createTempDirectory("graft_fx_store").toString + "/st"
+    val metrics = IngestionJob.run(spark, fixture, store)
+    assert(metrics.httpStatus === None)
+    assert(metrics.retriesUsed === None)
+    assert(metrics.logLines("fixture://x")
+      .exists(_ == "http_status=n/a retries_used=n/a"))
+  }
+}

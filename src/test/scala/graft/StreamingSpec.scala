@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming observability + append-mode semantics:
+  *  - [[StreamingOps.ProgressListener]] surfaces per-batch rows/durations
+  *    (SURVEY §2.8's StreamingQueryListener row — the streaming twin of the
+  *    reference's metric lines, `run_ingestion_with_metrics.sh:89-122`);
+  *  - [[StreamingOps.windowAggAppend]] emits exactly the watermark-
+  *    finalized windows (the production sink path — complete mode is only
+  *    for the all-windows oracle demo, see StreamingOps.runToMemory).
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** Deterministic events fixture: 3 users × 4 days, hourly events 00:00-
+    * 23:00 on days 1-3 and a single 12:00 event on day 4 — so a 1-hour
+    * watermark finalizes days 1-3 (day end ≤ max_ts - 1h) and holds back
+    * day 4. Written as parquet micros timestamps (Tables.events passes
+    * those through unchanged). */
+  private def writeFixture(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_fixture").toString
+    val rows = for {
+      day <- 1 to 3; hour <- 0 until 24; user <- 1 to 3
+    } yield (Timestamp.valueOf(f"2024-01-0$day $hour%02d:00:00"),
+      user.toLong, "click", 1.0)
+    val late = Seq((Timestamp.valueOf("2024-01-04 12:00:00"), 1L, "click", 1.0))
+    (rows ++ late).toDF("ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def runAppend(dir: String,
+      listener: StreamingOps.ProgressListener): DataFrame = {
+    spark.streams.addListener(listener)
+    try {
+      val ckpt = Files.createTempDirectory("graft_ckpt_spec").toString
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      // the fixture is a directory of part files — stream it directly
+      // (pathGlobFilter matches leaf FILE names, not directories)
+      val stream = spark.readStream.schema(schema)
+        .parquet(s"$dir/events.parquet")
+      val q = StreamingOps.windowAggAppend(stream, "1 hour").writeStream
+        .format("memory").queryName("spec_append")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table("spec_append")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("append mode emits exactly the watermark-finalized windows, " +
+      "values matching the batch aggregate") {
+    val dir = writeFixture()
+    val listener = new StreamingOps.ProgressListener
+    val got = runAppend(dir, listener)
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // finalized = batch agg over days whose end ≤ max_ts - 1h (days 1-3:
+    // day 4's 12:00 event puts the watermark at 11:00 on day 4)
+    val expected = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("ts") < "2024-01-04")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(expected.nonEmpty)
+    assert(got === expected) // day 4 held back, days 1-3 exact
+  }
+
+  test("ProgressListener observes per-batch rows and durations") {
+    val dir = writeFixture()
+    val listener = new StreamingOps.ProgressListener
+    runAppend(dir, listener)
+    val batches = listener.awaitBatches(1)
+    assert(batches.nonEmpty)
+    assert(batches.map(_.numInputRows).sum === 3 * 24 * 3 + 1)
+    assert(batches.forall(_.batchDurationMs >= 0))
+  }
+}
