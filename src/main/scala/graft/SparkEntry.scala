@@ -10,7 +10,8 @@ object SparkEntry {
   def catalog: Seq[Q] =
     ops.Relational.catalog ++ ops.Ingest.catalog ++ ops.TextOps.catalog ++
       ops.VectorOps.catalog ++ ops.EventOps.catalog ++
-      ops.MultimodalOps.catalog ++ streaming.StreamingOps.catalog
+      ops.MultimodalOps.catalog ++ ops.PipelineOps.catalog ++
+      streaming.StreamingOps.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-flavor aggregation: scan → pushed filter → partial+final agg.

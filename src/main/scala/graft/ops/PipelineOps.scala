@@ -1,0 +1,197 @@
+package graft.ops
+
+import graft.Q
+import graft.schema.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Training-data pipeline composition operators — the steps that sit
+  * BETWEEN the primitives the rest of the catalog provides: near-dup pair
+  * detection → [[connectedComponents]] cluster resolution (pick one doc
+  * per duplicate cluster); corpus → deterministic stratified
+  * train/valid/test split; raw docs → composed quality-filter verdicts.
+  *
+  * Scale posture: cluster resolution is iterative min-label propagation —
+  * each round is one key-equi join + partial-agg min, all shuffles on the
+  * node id, intermediate labels persisted and the previous round
+  * explicitly unpersisted (bounded memory, bounded lineage: every round is
+  * materialized by its convergence count, so nothing recomputes the chain).
+  * Rounds needed = component diameter — near-dup clusters are shallow
+  * (duplicates of a common original), so this converges in 2-3 rounds; a
+  * general billion-edge graph would use the alternating large/small-star
+  * variant of the same join shape.
+  */
+object PipelineOps {
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * @param edges undirected edge list, columns (a, b)
+    * @return (node, cluster_id) — cluster_id = min node id in the component
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // The label table is O(nodes-with-duplicates), tiny relative to the
+    // corpus — run the iterative shuffles at a partition count sized to IT
+    // (same principle as the streaming state stores), restoring the
+    // session setting afterwards. At billion-edge scale this would instead
+    // be left to AQE coalescing.
+    val spark = edges.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try connectedComponentsImpl(edges, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def connectedComponentsImpl(edges: DataFrame,
+      maxIter: Int): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round references the previous labels TWICE (neighbor pull +
+    // self), so a bare persist would double the LOGICAL plan per round —
+    // exponential tree growth even though the data is cached.
+    // localCheckpoint materializes eagerly AND truncates lineage, keeping
+    // every round's plan O(1); the checkpoint blocks are O(nodes) and live
+    // for the loop (they back the returned result, so they must not be
+    // freed mid-computation).
+    // round 0 fused into initialization: with lbl(x)=x, the first
+    // propagation is just min(self, min neighbor id) — one agg, no join
+    var labels = sym.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("nbr_min"))
+      .select(col("node"), least(col("node"), col("nbr_min")).as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // each node pulls the min label among its neighbors, keeps the min
+      // of that and its own — one shuffle-on-node join + partial-agg min
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "nbr"), col("b") === col("nbr"))
+        .groupBy(col("a").as("node")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.withColumnRenamed("lbl", "prev")
+        .join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("prev"), coalesce(col("nbr_lbl"), col("prev"))).as("lbl"),
+          col("prev"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("node"), col("lbl"))
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("lbl", "cluster_id")
+  }
+
+  val catalog: Seq[Q] = Seq(
+
+    // ---- near-dup CLUSTER RESOLUTION: pair detection alone doesn't dedup
+    // a corpus — pairs must be closed into clusters so exactly one doc per
+    // cluster survives. Edges here are the exact-Jaccard ≥ 0.5 pairs (the
+    // DuckDB-mirrorable formulation; production feeds the LSH pairs, which
+    // q34 proves equal); the oracle recomputes the components with a
+    // recursive transitive closure. cluster_id = min doc_id = the kept
+    // representative.
+    Q("q45_dup_clusters",
+      (s, d) => {
+        val sh = TextOps.docsWithShingles(s, d)
+        val pairs = TextOps.exactJaccardPairs(sh, sh, 0.5)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        connectedComponents(pairs)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+                i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+              FROM documents),
+              e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+              sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
+              inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5),
+              edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              tc(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT tc.a, e2.b FROM tc JOIN edges e2 ON tc.b = e2.a),
+              lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+                      FROM tc GROUP BY a)
+              SELECT cluster_id, count(*) AS n_docs
+              FROM lbl GROUP BY cluster_id ORDER BY cluster_id""")),
+
+    // ---- deterministic stratified train/valid/test split (80/10/10): the
+    // split key is a multiplicative hash of doc_id, NOT a random() — so
+    // the split is reproducible run-to-run, stable under corpus growth
+    // (adding docs never moves an existing doc between splits), and
+    // mirrorable by the oracle. Per-(lang, split) counts verify the
+    // stratification.
+    Q("q46_train_test_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bucket",
+          col("doc_id") * lit(2654435761L) % 1000000007L % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("split")),
+      Some("""SELECT lang, CASE
+                WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+              count(*) AS n_docs
+              FROM documents GROUP BY 1, 2 ORDER BY lang, split""")),
+
+    // ---- composed quality filter (Gopher-style heuristic rules: token
+    // count bounds, mean word length, stopword presence, symbol ratio) —
+    // per-doc rule verdicts plus the composed keep decision, all built-in
+    // expressions evaluated in one pass over the scan.
+    Q("q47_quality_filter",
+      (s, d) => {
+        val tk = TextOps.toks(col("text"))
+        Tables.documents(s, d)
+          .withColumn("tk", tk)
+          .withColumn("n_tok", size(col("tk")))
+          .select(
+            col("doc_id"),
+            col("n_tok").between(15, 10000).as("wc_ok"),
+            (length(array_join(col("tk"), "")) /
+              greatest(col("n_tok"), lit(1)).cast("double"))
+              .between(3.0, 10.0).as("mwl_ok"),
+            (size(filter(col("tk"), t =>
+              t === "the" || t === "a" || t === "of" || t === "and")) > 0)
+              .as("stop_ok"),
+            (length(regexp_replace(col("text"), "[\\sa-zA-Z0-9]", ""))
+              / length(col("text")).cast("double") < 0.1).as("sym_ok"))
+          .withColumn("keep",
+            col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("sym_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+              r AS (SELECT doc_id,
+                len(tk) BETWEEN 15 AND 10000 AS wc_ok,
+                length(array_to_string(tk, '')) * 1.0 /
+                  greatest(len(tk), 1) BETWEEN 3.0 AND 10.0 AS mwl_ok,
+                len(list_filter(tk, x -> x IN ('the','a','of','and'))) > 0
+                  AS stop_ok,
+                length(regexp_replace(text, '[\sa-zA-Z0-9]', '', 'g')) * 1.0
+                  / length(text) < 0.1 AS sym_ok
+              FROM t)
+              SELECT doc_id, wc_ok, mwl_ok, stop_ok, sym_ok,
+                wc_ok AND mwl_ok AND stop_ok AND sym_ok AS keep
+              FROM r ORDER BY doc_id"""))
+  )
+}

@@ -167,6 +167,30 @@ object Relational {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""")),
 
+    // ---- RANGE frame (vs q09's ROWS frame): per-customer trailing-30-day
+    // order total — the frame is bounded by the ORDER-BY VALUE, so all
+    // orders on the same day share one frame regardless of tie order
+    // (which also makes the double-sum deterministic across engines).
+    Q("q09b_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
+          .rangeBetween(-30, 0)
+        Tables.orders(s, d)
+          .withColumn("days",
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+              .cast("long"))
+          .select(col("o_orderkey"), col("o_custkey"), col("days"),
+            round(sum(col("o_totalprice")).over(w), 2).as("sum_30d"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+              CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+                AS days,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY date_diff('day', DATE '1995-01-01', o_orderdate)
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_30d
+              FROM orders ORDER BY o_orderkey""")),
+
     // ---- global top-k: Spark plans TakeOrderedAndProject (no full sort)
     Q("q10_sort_limit",
       (s, d) => Tables.orders(s, d)
@@ -359,6 +383,37 @@ object Relational {
               JOIN region ON n_regionkey = r_regionkey
               WHERE r_name = 'ASIA'
               GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // ---- pivot (long→wide): status columns per priority. Pivot VALUES are
+    // pinned explicitly — inferring them is an extra distinct scan and
+    // nondeterministic column order at scale.
+    Q("q27_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+              round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+              round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+              round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- unpivot/melt (wide→long): the inverse — melting the pivoted
+    // result recovers the plain group-by, which is what the oracle states.
+    Q("q27b_unpivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "o_orderstatus", "total")
+        .orderBy(col("o_orderpriority"), col("o_orderstatus")),
+      Some("""SELECT o_orderpriority, o_orderstatus,
+              round(sum(o_totalprice), 2) AS total
+              FROM orders GROUP BY 1, 2
+              ORDER BY o_orderpriority, o_orderstatus""")),
 
     // ---- salted aggregation: the 100 TB skew pattern. Stage 1 aggregates
     // on (key, salt) — a hot key's rows spread over 16 reducers — stage 2

@@ -22,7 +22,7 @@ object TextOps {
 
   /** Lowercased alphanumeric tokens; mirrors DuckDB
     * `regexp_extract_all(lower(text), '[a-z0-9]+')` exactly. */
-  private def toks(c: Column): Column =
+  private[ops] def toks(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
   /** Distinct word trigrams ("shingles"), 1-based element_at — mirrors the
@@ -47,7 +47,7 @@ object TextOps {
     * not recomputed per consumer. CacheManager dedups by logical plan, so
     * q34/q35 share one copy.
     */
-  private def docsWithShingles(s: SparkSession, d: String): DataFrame =
+  private[ops] def docsWithShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), shingles(col("tk")).as("sh"))

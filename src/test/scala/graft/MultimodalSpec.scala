@@ -7,6 +7,51 @@ class MultimodalSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("PPM codec: encode→decode roundtrip and comment-tolerant header") {
+    val rgb = Array.tabulate[Byte](4 * 3 * 3)(i => (i * 7).toByte)
+    val (w, h, px) = MediaKernels.decodePpm(MediaKernels.encodePpm(4, 3, rgb))
+    assert((w, h) == (4, 3))
+    assert(px.toSeq == rgb.toSeq)
+    // a PPM written by another tool may carry '#' comments in the header
+    val commented = "P6\n# made by graft\n4 3\n255\n".getBytes("US-ASCII") ++ rgb
+    val (w2, h2, px2) = MediaKernels.decodePpm(commented)
+    assert((w2, h2) == (4, 3))
+    assert(px2.toSeq == rgb.toSeq)
+  }
+
+  test("WAV codec: encode→decode roundtrip and unknown-chunk tolerance") {
+    val samples = Array.tabulate[Short](100)(i => (i * 331 - 16000).toShort)
+    val (rate, got) =
+      MediaKernels.decodeWavPcm16(MediaKernels.encodeWavPcm16(22050, samples))
+    assert(rate == 22050)
+    assert(got.toSeq == samples.toSeq)
+    // a WAV from another tool may carry extra chunks (e.g. LIST) before
+    // data — the chunk walk must skip them
+    val canonical = MediaKernels.encodeWavPcm16(8000, samples)
+    val extra = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII")).array()
+    val withChunk = canonical.slice(0, 36) ++ extra ++ canonical.slice(36, canonical.length)
+    // fix RIFF size field (bytes 4-7) for the inserted 12 bytes
+    val bb = java.nio.ByteBuffer.wrap(withChunk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + 12)
+    val (rate2, got2) = MediaKernels.decodeWavPcm16(withChunk)
+    assert(rate2 == 8000)
+    assert(got2.toSeq == samples.toSeq)
+  }
+
+  test("audio decode recovers the generated samples exactly") {
+    val clips = MultimodalOps.decodeAudio(
+      MultimodalOps.mediaTable(spark, sf).limit(30)).collect()
+    assert(clips.nonEmpty)
+    clips.foreach { c =>
+      assert(c.sample_rate == 16000)
+      assert(c.samples.nonEmpty)
+    }
+  }
+
   test("resizeNearest: exact corner mapping on a known buffer") {
     // 2x2 single-channel image [[1,2],[3,4]] upscaled to 4x4: each source
     // pixel becomes a 2x2 block

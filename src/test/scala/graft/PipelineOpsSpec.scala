@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.PipelineOps
+import org.apache.spark.sql.functions._
+
+/** Cluster resolution, stratified split, quality filter — the pipeline
+  * composition layer (PipelineOps). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    PipelineOps.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a chain propagates the min label across its full diameter") {
+    // diameter 9: exercises the iterative loop, not just one round
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got.keySet === (1L to 10L).toSet)
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("disjoint components get their own min-id labels") {
+    val got = components(Seq((5L, 3L), (3L, 9L), (20L, 21L), (40L, 41L), (41L, 42L)))
+    assert(got(3L) == 3L && got(5L) == 3L && got(9L) == 3L)
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got(40L) == 40L && got(41L) == 40L && got(42L) == 40L)
+  }
+
+  test("edge direction does not matter (symmetrized internally)") {
+    assert(components(Seq((7L, 2L))) === Map(2L -> 2L, 7L -> 2L))
+    assert(components(Seq((2L, 7L))) === Map(2L -> 2L, 7L -> 2L))
+  }
+
+  test("stratified split is deterministic and moves no doc across runs") {
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q46_train_test_split")
+    val a = q(spark, d).collect().map(_.toSeq).toSeq
+    val b = q(spark, d).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("quality filter emits both keeps and drops on the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q47_quality_filter")(spark, d)
+      .groupBy(col("keep")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse(true, 0L) > 0, "filter keeps some docs")
+    assert(out.getOrElse(false, 0L) > 0, "filter drops some docs")
+  }
+}
