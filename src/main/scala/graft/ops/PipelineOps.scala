@@ -153,6 +153,22 @@ object PipelineOps {
               count(*) AS n_docs
               FROM documents GROUP BY 1, 2 ORDER BY lang, split""")),
 
+    // ---- vocabulary building (tokenizer training's first pass): corpus-
+    // wide token frequencies, top 100 by count. One explode → partial+final
+    // count agg (the shuffle carries (token, partial count), not text) →
+    // global top-k via TakeOrderedAndProject (no full sort).
+    Q("q49_vocabulary",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TextOps.toks(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(100),
+      Some("""SELECT t AS token, count(*) AS freq
+              FROM (SELECT unnest(regexp_extract_all(lower(text),
+                '[a-z0-9]+')) AS t FROM documents)
+              GROUP BY t ORDER BY freq DESC, token ASC LIMIT 100""")),
+
     // ---- composed quality filter (Gopher-style heuristic rules: token
     // count bounds, mean word length, stopword presence, symbol ratio) —
     // per-doc rule verdicts plus the composed keep decision, all built-in

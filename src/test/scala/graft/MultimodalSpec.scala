@@ -84,6 +84,23 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(m => math.abs(m.feature.sum - 1f) < 1e-3))
   }
 
+  test("metadata queries over a STORED media table prune the payload " +
+      "column at the scan") {
+    // the synthetic mediaTable generates payloads from documents.text, so
+    // its own scan can't skip text — but the production shape is a WRITTEN
+    // media store, where metadata queries must read footers + metadata
+    // columns only, never the blobs. Prove it on a written store.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_media_store").toString + "/media"
+    MultimodalOps.mediaTable(spark, sf).limit(50).write
+      .mode("overwrite").parquet(dir)
+    val meta = spark.read.parquet(dir)
+      .groupBy($"kind").agg(org.apache.spark.sql.functions.sum($"n_frames"))
+    val plan = meta.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("payload"), s"payload not pruned:\n$plan")
+  }
+
   test("frame sampling keeps every step-th frame only") {
     val media = MultimodalOps.mediaTable(spark, sf)
       .filter(_.kind == "video").limit(5)
