@@ -144,6 +144,27 @@ object Relational {
                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
               FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
+    // ---- top-k per group as a BOUNDED AGGREGATE (custom Aggregator,
+    // expr/TopKAgg): same result as q08's window formulation, but with
+    // partial aggregation — map tasks reduce to ≤ k rows per key before
+    // the shuffle instead of shuffling and sorting every row (the 100 TB
+    // difference; TopKSpec asserts the two-phase plan and equality).
+    Q("q28_topk_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(graft.expr.TopKAgg.topK(3)(col("o_totalprice"), col("o_orderkey"))
+          .as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("o_custkey"), (col("i") + 1).cast("int").as("rank"),
+          col("t.id").as("o_orderkey"), col("t.score").as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rank")),
+      Some("""SELECT o_custkey, CAST(rn AS INTEGER) AS rank, o_orderkey,
+                o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rank""")),
+
     // ---- window frames: running sum + lag per partition
     Q("q09_window_running",
       (s, d) => {
