@@ -66,6 +66,100 @@ object Crypto {
   def decrypt(c: Column, key: String): Column =
     aes_decrypt(unbase64(c), lit(key)).cast(StringType)
 
+  // ---- Fernet token format (BYTE-FORMAT parity with the reference's
+  // `cryptography.fernet`, `crypto_utils.py:84-88`) ----
+  //
+  // Public Fernet spec:
+  //   key   = base64url(signing_key[16] || encryption_key[16])
+  //   token = base64url(0x80 || ts_be64 || iv[16]
+  //                     || AES128-CBC-PKCS7(encryption_key, iv, plaintext)
+  //                     || HMAC-SHA256(signing_key, all-preceding-bytes))
+  // Every primitive is in the JDK, so format parity needs no external dep:
+  // tokens minted here are structurally valid Fernet (the familiar
+  // "gAAAAA" prefix = version byte 0x80 + zero high-order timestamp
+  // bytes) and tokens from the reference's Python stack decrypt here.
+
+  private def fernetKeys(key: String): (Array[Byte], Array[Byte]) = {
+    val raw = Base64.getUrlDecoder.decode(key)
+    require(raw.length == 32, "Fernet key must decode to 32 bytes")
+    (raw.slice(0, 16), raw.slice(16, 32))
+  }
+
+  /** Mint a Fernet key (base64url of 32 random bytes). */
+  private[graft] def fernetGenerateKey(rng: SecureRandom): String = {
+    val raw = new Array[Byte](32)
+    rng.nextBytes(raw)
+    Base64.getUrlEncoder.encodeToString(raw)
+  }
+
+  /** Deterministic core: encrypt at a pinned timestamp/IV (the testable
+    * seam; [[fernetEncrypt]] feeds it clock + random IV). */
+  private[graft] def fernetEncryptAt(plaintext: Array[Byte], key: String,
+      tsSec: Long, iv: Array[Byte]): String = {
+    val (signKey, encKey) = fernetKeys(key)
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new SecretKeySpec(encKey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val ct = cipher.doFinal(plaintext)
+    val body = java.nio.ByteBuffer.allocate(1 + 8 + 16 + ct.length)
+      .put(0x80.toByte).putLong(tsSec).put(iv).put(ct).array()
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(signKey, "HmacSHA256"))
+    Base64.getUrlEncoder.encodeToString(body ++ mac.doFinal(body))
+  }
+
+  /** Verify (constant-time HMAC compare) + decrypt a Fernet token;
+    * `ttlSec < 0` disables expiry, mirroring Fernet's optional ttl. */
+  private[graft] def fernetDecryptToken(token: String, key: String,
+      ttlSec: Long = -1, nowSec: Long = System.currentTimeMillis() / 1000)
+      : Array[Byte] = {
+    val (signKey, encKey) = fernetKeys(key)
+    val raw = Base64.getUrlDecoder.decode(token)
+    require(raw.length >= 1 + 8 + 16 + 32 && raw(0) == 0x80.toByte,
+      "invalid Fernet token")
+    val body = raw.dropRight(32)
+    val tag = raw.takeRight(32)
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(signKey, "HmacSHA256"))
+    require(java.security.MessageDigest.isEqual(mac.doFinal(body), tag),
+      "Fernet HMAC verification failed")
+    val ts = java.nio.ByteBuffer.wrap(body, 1, 8).getLong
+    require(ttlSec < 0 || nowSec - ts <= ttlSec, "Fernet token expired")
+    val iv = java.util.Arrays.copyOfRange(body, 9, 25)
+    val ct = java.util.Arrays.copyOfRange(body, 25, body.length)
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new SecretKeySpec(encKey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    cipher.doFinal(ct)
+  }
+
+  /** Column-level Fernet encrypt — nondeterministic (random IV + clock),
+    * same flagging rationale as [[encrypt]]. */
+  def fernetEncrypt(c: Column, key: String): Column = {
+    val rng = new SecureRandom()
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val iv = new Array[Byte](16)
+        rng.synchronized(rng.nextBytes(iv))
+        fernetEncryptAt(s.getBytes(StandardCharsets.UTF_8), key,
+          System.currentTimeMillis() / 1000, iv)
+      }
+    }.asNondeterministic()
+    f(c)
+  }
+
+  /** Column-level Fernet decrypt (deterministic). */
+  def fernetDecrypt(c: Column, key: String): Column = {
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else new String(fernetDecryptToken(t, key), StandardCharsets.UTF_8)
+    }
+    f(c)
+  }
+
   // ---- password hashing (PBKDF2 stand-in for Argon2id; see class doc) ----
 
   /** PHC-style record: pbkdf2-sha512$<iters>$<saltB64>$<dkB64>. */

@@ -102,6 +102,28 @@ object Ingest {
               true AS roundtrip, true AS hash_format_ok
               FROM customer ORDER BY c_custkey""")),
 
+    // ---- F2' Fernet BYTE-FORMAT parity (the reference's actual token
+    // format, `crypto_utils.py:84-88`): spec-conformant tokens — version
+    // 0x80 + BE timestamp + IV + AES128-CBC-PKCS7 + HMAC-SHA256, base64url
+    // — minted and verified with JDK primitives only. The oracle states the
+    // invariants: round-trip identity and the canonical "gAAAAA" prefix
+    // (version byte + zero high-order timestamp bytes).
+    Q("q22b_fernet",
+      (s, d) => {
+        // base64url("ABCDEFGHIJKLMNOPABCDEFGHIJKLMNOP") — 16B sign + 16B enc
+        val key = java.util.Base64.getUrlEncoder.encodeToString(
+          "ABCDEFGHIJKLMNOPABCDEFGHIJKLMNOP".getBytes("US-ASCII"))
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          (Crypto.fernetDecrypt(Crypto.fernetEncrypt(col("c_name"), key), key)
+            === col("c_name")).as("roundtrip"),
+          Crypto.fernetEncrypt(col("c_name"), key).startsWith("gAAAAA")
+            .as("format_ok"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, true AS roundtrip, true AS format_ok
+              FROM customer ORDER BY c_custkey""")),
+
     // ---- S2/S3 CSV source/sink parity (the reference's store format is
     // headered CSV, `io_utils.py:21,37`): write a slice as CSV, read it
     // back with an EXPLICIT schema (inference is nondeterministic and

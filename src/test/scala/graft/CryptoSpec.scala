@@ -66,4 +66,63 @@ class CryptoSpec extends SparkSpec {
       .head()
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
+
+  // ---- Fernet byte-format parity ----
+
+  private val fernetKey = java.util.Base64.getUrlEncoder
+    .encodeToString("ABCDEFGHIJKLMNOPABCDEFGHIJKLMNOP".getBytes("US-ASCII"))
+
+  test("Fernet: pinned-timestamp/IV token has the spec's exact byte layout") {
+    val iv = Array.tabulate[Byte](16)(_.toByte)
+    val token = Crypto.fernetEncryptAt(
+      "hello fernet".getBytes("UTF-8"), fernetKey, tsSec = 1700000000L, iv)
+    val raw = java.util.Base64.getUrlDecoder.decode(token)
+    assert(raw(0) == 0x80.toByte)                      // version
+    assert(java.nio.ByteBuffer.wrap(raw, 1, 8).getLong == 1700000000L)
+    assert(raw.slice(9, 25).toSeq == iv.toSeq)          // IV as given
+    assert((raw.length - 57) % 16 == 0)                 // CBC whole blocks
+    assert(token.startsWith("gAAAAA"))                  // canonical prefix
+    val back = Crypto.fernetDecryptToken(token, fernetKey)
+    assert(new String(back, "UTF-8") == "hello fernet")
+  }
+
+  test("Fernet: tampering any byte fails HMAC verification") {
+    val iv = new Array[Byte](16)
+    val token = Crypto.fernetEncryptAt("x".getBytes, fernetKey, 0L, iv)
+    val raw = java.util.Base64.getUrlDecoder.decode(token)
+    raw(raw.length / 2) = (raw(raw.length / 2) ^ 1).toByte
+    val bad = java.util.Base64.getUrlEncoder.encodeToString(raw)
+    intercept[IllegalArgumentException] {
+      Crypto.fernetDecryptToken(bad, fernetKey)
+    }
+  }
+
+  test("Fernet: ttl expiry honored; disabled ttl never expires") {
+    val iv = new Array[Byte](16)
+    val token = Crypto.fernetEncryptAt("x".getBytes, fernetKey,
+      tsSec = 1000L, iv)
+    assert(new String(Crypto.fernetDecryptToken(token, fernetKey,
+      ttlSec = 60, nowSec = 1030L)) == "x")
+    intercept[IllegalArgumentException] {
+      Crypto.fernetDecryptToken(token, fernetKey, ttlSec = 60, nowSec = 2000L)
+    }
+    assert(new String(Crypto.fernetDecryptToken(token, fernetKey,
+      ttlSec = -1, nowSec = Long.MaxValue)) == "x")
+  }
+
+  test("Fernet columns: roundtrip, nondeterministic IVs, null passthrough") {
+    val df = Seq(Some("secret a"), Some("secret b"), None).toDF("v")
+    val out = df.select(col("v"),
+      Crypto.fernetEncrypt(col("v"), fernetKey).as("t1"),
+      Crypto.fernetEncrypt(col("v"), fernetKey).as("t2"))
+      .select(col("v"), col("t1"), col("t2"),
+        Crypto.fernetDecrypt(col("t1"), fernetKey).as("back"))
+      .collect()
+    out.filter(!_.isNullAt(0)).foreach { r =>
+      assert(r.getString(3) == r.getString(0)) // roundtrip
+      assert(r.getString(1) != r.getString(2)) // fresh IV per encryption
+      assert(r.getString(1).startsWith("gAAAAA"))
+    }
+    assert(out.filter(_.isNullAt(0)).forall(r => r.isNullAt(1) && r.isNullAt(3)))
+  }
 }
