@@ -474,6 +474,43 @@ object Relational {
               true AS approx_close
               FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- fixed-width histogram (distribution profiling): closed-form
+    // bucket arithmetic — floor((x - lo)/width) — so both engines bin
+    // identically; one partial+final count agg, no sort.
+    Q("q19b_histogram",
+      (s, d) => Tables.orders(s, d)
+        .select(floor((col("o_totalprice") - 800d) / 50000d).cast("int")
+          .as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(floor((o_totalprice - 800) / 50000) AS INTEGER)
+                AS bucket,
+              count(*) AS n_orders
+              FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // ---- statistical aggregates: stddev / variance / correlation /
+    // covariance (data profiling pass over a training corpus). Rounded to
+    // 4 decimals — both engines use numerically-stable single-pass
+    // formulations whose results agree well past that precision.
+    Q("q19c_stats_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+            .as("cov_qty_disc"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+              round(stddev_samp(l_quantity), 4) AS sd_qty,
+              round(var_samp(l_quantity), 4) AS var_qty,
+              round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+              round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- date/time arithmetic library
     Q("q17b_date_fns",
       (s, d) => Tables.orders(s, d)
