@@ -17,6 +17,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(1) == 11.0)
   }
 
+  test("fernet UDFs roundtrip from SQL") {
+    GraftExtensions.register(spark)
+    val key = java.util.Base64.getUrlEncoder
+      .encodeToString("ABCDEFGHIJKLMNOPABCDEFGHIJKLMNOP".getBytes("US-ASCII"))
+    val row = spark.sql(
+      s"""SELECT graft_fernet_decrypt(
+            graft_fernet_encrypt('top secret', '$key'), '$key') AS back,
+          graft_fernet_encrypt('top secret', '$key') LIKE 'gAAAAA%' AS fmt
+       """).head()
+    assert(row.getString(0) == "top secret")
+    assert(row.getBoolean(1))
+  }
+
   test("array_dot rejects non-array inputs at analysis time") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
