@@ -18,7 +18,13 @@ import org.apache.spark.sql.SparkSession
   *    queries vary ±40% run-to-run from fs/scheduler noise, which is
   *    exactly the noise a recorded baseline must exclude to make the
   *    round-over-round 2× comparison meaningful. BASELINE.md is recorded
-  *    with the same policy.
+  *    with the same policy;
+  *  - the measured action is a `noop`-format write, NOT `count()`: under a
+  *    count, Catalyst prunes every column the count doesn't need — a
+  *    window whose output no filter consumes (q54's as-of column, q09's
+  *    running sums) is optimized out entirely, silently under-measuring
+  *    the query. The noop sink materializes every output column without
+  *    writing bytes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,7 +62,11 @@ object Bench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.mode("overwrite").format("noop").save()
+            true
+          }
           catch { case e: Throwable =>
             errors ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-evidence diagnostic: runs representative operators across the
+  * three testdata scale factors (a 100× data range) and reports
+  * steady-state wall time plus TOTAL SHUFFLE BYTES WRITTEN — the quantity
+  * that decides whether an operator survives a 1000-executor cluster.
+  * Results are recorded in SCALING.md and cited by SURVEY §9.
+  *
+  * Usage: `sbt "runMain graft.ScaleCurve"` (≈5 min).
+  */
+object ScaleCurve {
+
+  private final class ShuffleMeter extends SparkListener {
+    @volatile var bytes = 0L
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      bytes += e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    def reset(): Unit = bytes = 0L
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+
+    val queries = Seq(
+      "q01_agg", "q04_join_large", "q08_window_topk", "q28_topk_agg",
+      "q31_exact_dedup", "q34_minhash_lsh", "q36_simhash",
+      "q40_cosine_topk", "q44_ann_ivf", "q54_asof_join", "q49_vocabulary")
+
+    println(f"${"query"}%-18s ${"sf"}%-8s ${"sec"}%8s ${"shuffleMB"}%10s")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); name <- queries) {
+      val dir = s"/root/testdata/$sf"
+      // steady state: min of 2; shuffle metered on the LAST run. The
+      // action is a noop write so every output column materializes (a
+      // count() lets Catalyst prune unconsumed window/derived columns and
+      // their exchanges — see Bench.scala header).
+      var best = Double.MaxValue
+      var shuffleMb = 0.0
+      for (_ <- 1 to 2) {
+        spark.catalog.clearCache()
+        Thread.sleep(200) // let listener events drain before resetting
+        meter.reset()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        Thread.sleep(200)
+        shuffleMb = meter.bytes / 1e6
+      }
+      println(f"$name%-18s $sf%-8s $best%8.2f $shuffleMb%10.2f")
+    }
+    spark.stop()
+  }
+}

@@ -145,10 +145,13 @@ object Relational {
               FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
     // ---- top-k per group as a BOUNDED AGGREGATE (custom Aggregator,
-    // expr/TopKAgg): same result as q08's window formulation, but with
-    // partial aggregation — map tasks reduce to ≤ k rows per key before
-    // the shuffle instead of shuffling and sorting every row (the 100 TB
-    // difference; TopKSpec asserts the two-phase plan and equality).
+    // expr/TopKAgg): map tasks reduce to ≤ k rows per key before the
+    // shuffle. Spark 4's InferWindowGroupLimit gives q08's rank-filter
+    // shape the same partial pruning (TopKSpec measures shuffle parity,
+    // and a 50×+ gap when that rule can't fire); what the aggregate adds
+    // is COMPOSABILITY — top-k computed alongside other aggregates in one
+    // groupBy pass, grouped array output with no re-explode — and
+    // independence from the recognizable filter pattern.
     Q("q28_topk_agg",
       (s, d) => Tables.orders(s, d)
         .groupBy(col("o_custkey"))

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Q
 import graft.schema.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators for LLM-training-data pipelines over the
@@ -275,24 +276,51 @@ object TextOps {
 
     // ---- winnowing fingerprints (MOSS-style): k-gram hashes, sliding
     // window of 4, keep each window's min → position-robust fingerprint
-    // set. Oracle checks the SQL-computable invariants (gram count, bounds).
+    // set. Formulated RELATIONALLY — explode tokens once, build trigrams
+    // with lead() windows, sliding min as a frame window — because the
+    // array-HOF formulation is an alias-substitution trap: an aliased
+    // `hashes` array referenced inside a per-window lambda re-evaluates
+    // the whole tokenize+shingle+hash chain per window (interpreted,
+    // O(grams²) per doc — observed 14 MINUTES single-task at sf0.1, where
+    // this runs in under a second: every stage after the one cheap
+    // tokenize explode is codegen'd and shuffle-parallel).
+    // Oracle checks the SQL-computable invariants (gram count, fp bounds).
     Q("q37_winnow_fingerprint",
       (s, d) => {
         val w = 4
-        val grams = shingles(toks(col("text")))
-        val hashes = transform(grams, g => xxhash64(g))
-        val nWins = greatest(size(hashes) - (w - 1), lit(0))
-        val fps = when(size(hashes) >= w,
-          array_distinct(transform(sequence(lit(1), nWins),
-            i => array_min(slice(hashes, i, lit(w))))))
-          .otherwise(array_distinct(hashes))
-        Tables.documents(s, d)
-          .select(col("doc_id"), grams.as("grams"), fps.as("fps"))
-          .select(
-            col("doc_id"),
-            size(col("grams")).as("n_grams"),
-            (size(col("fps")) >= least(lit(1), size(col("grams"))) &&
-              size(col("fps")) <= size(col("grams"))).as("fp_ok"))
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
+        val tokens = Tables.documents(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("tpos", "tok")))
+        val grams = tokens
+          .withColumn("t1", lead(col("tok"), 1).over(byDoc))
+          .withColumn("t2", lead(col("tok"), 2).over(byDoc))
+          .filter(col("t2").isNotNull) // full trigrams only
+          .select(col("doc_id"), col("tpos"),
+            xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h"))
+        // first occurrence per distinct gram (shingles() dedups), then
+        // rank and slide a w-gram min window over the deduped sequence
+        val deduped = grams
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"), col("h")).orderBy(col("tpos"))))
+          .filter(col("rn") === 1)
+          .withColumn("pos", row_number().over(byDoc))
+          .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+          .withColumn("wmin", min(col("h")).over(
+            byDoc.rowsBetween(Window.currentRow, w - 1)))
+        val fps = deduped
+          .groupBy(col("doc_id"))
+          .agg(max(col("n_g")).cast("int").as("n_grams"),
+            countDistinct(when(
+              col("pos") <= greatest(col("n_g") - w + 1, lit(1)), col("wmin")))
+              .as("n_fps"))
+        // docs with no full trigram still appear (n_grams 0, vacuous ok)
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(fps, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0)).as("n_grams"),
+            coalesce(col("n_fps") >= least(lit(1), col("n_grams")) &&
+              col("n_fps") <= col("n_grams"), lit(true)).as("fp_ok"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id,

@@ -43,6 +43,60 @@ class TopKSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial (map-side) phase:\n$plan")
   }
 
+  test("shuffle bytes: parity with Spark's InferWindowGroupLimit, 50x+ " +
+      "under the un-optimized window") {
+    // Spark 3.5+ recognizes `row_number() <= k` filters and plans a
+    // partial WindowGroupLimit BEFORE the exchange (SPARK-37099) — so the
+    // optimized window formulation ALSO ships ≤ k rows per key per map
+    // task. This test pins both facts: the bounded aggregate matches that
+    // optimized shuffle volume (same order of magnitude), and both beat
+    // the un-optimized window (rule excluded) by 50×+ — which is what a
+    // rank filter the rule cannot recognize, or an engine without the
+    // rule, would pay. The aggregate's remaining edge is composability:
+    // top-k alongside other aggregates in ONE pass, grouped output with
+    // no re-explode.
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      @volatile var bytes = 0L
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes += e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    spark.sparkContext.addSparkListener(meter)
+    try {
+      // 200k rows over 3 keys (~67k rows/key, k=3): the regime bounded
+      // top-k exists for
+      val df = spark.range(200000).select(($"id" % 3).as("key"),
+        ($"id" % 9973).cast("double").as("score"), $"id".as("ident"))
+      def measure(d: org.apache.spark.sql.DataFrame): Long = {
+        Thread.sleep(300); meter.bytes = 0L
+        d.write.mode("overwrite").format("noop").save()
+        Thread.sleep(300); meter.bytes
+      }
+      val w = Window.partitionBy($"key")
+        .orderBy($"score".desc, $"ident".asc)
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+      val aggBytes = measure(df.groupBy($"key")
+        .agg(TopKAgg.topK(3)($"score", $"ident").as("top")))
+      val winOptBytes = measure(windowed)
+      val ruleKey = "spark.sql.optimizer.excludedRules"
+      val saved = spark.conf.getOption(ruleKey)
+      spark.conf.set(ruleKey,
+        "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+      val winNaiveBytes =
+        try measure(windowed)
+        finally saved match {
+          case Some(v) => spark.conf.set(ruleKey, v)
+          case None => spark.conf.unset(ruleKey)
+        }
+      assert(aggBytes > 0 && winOptBytes > 0 && winNaiveBytes > 0)
+      assert(aggBytes < winOptBytes * 10 && winOptBytes < aggBytes * 10,
+        s"expected same order: agg=$aggBytes optimized-window=$winOptBytes")
+      assert(aggBytes * 50 < winNaiveBytes,
+        s"agg=$aggBytes should be ≪ un-optimized window=$winNaiveBytes")
+    } finally spark.sparkContext.removeSparkListener(meter)
+  }
+
   test("property: matches local sort-take on random data with ties") {
     val rnd = new scala.util.Random(42)
     val rows = Seq.fill(2000)((rnd.nextInt(20).toLong,
