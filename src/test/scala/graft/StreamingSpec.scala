@@ -81,6 +81,44 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected) // day 4 held back, days 1-3 exact
   }
 
+  test("checkpoint resume processes ONLY new files (exactly-once restart)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_resume").toString
+    val data = s"$dir/events.parquet"
+    val ckpt = s"$dir/ckpt" // SAME checkpoint across both runs
+    def run(): Long = {
+      val listener = new StreamingOps.ProgressListener
+      spark.streams.addListener(listener)
+      try {
+        val schema = spark.read.parquet(data).schema
+        val q = spark.readStream.schema(schema).parquet(data)
+          .groupBy($"user_id").agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName("spec_resume")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        listener.awaitBatches(1, 10000).map(_.numInputRows).sum
+      } finally spark.streams.removeListener(listener)
+    }
+    Seq((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(data)
+    val firstRun = run()
+    assert(firstRun === 1) // batch 1: the one existing row
+    Seq((Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "click", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(data)
+    val secondRun = run()
+    assert(secondRun === 2, "restart must process only the NEW file's rows")
+    // state carried across the restart: user 1 still present
+    val counts = spark.table("spec_resume").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("ProgressListener observes per-batch rows and durations") {
     val dir = writeFixture()
     val listener = new StreamingOps.ProgressListener
