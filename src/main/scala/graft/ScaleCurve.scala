@@ -35,8 +35,10 @@ object ScaleCurve {
 
     val queries = Seq(
       "q01_agg", "q04_join_large", "q08_window_topk", "q28_topk_agg",
-      "q31_exact_dedup", "q34_minhash_lsh", "q36_simhash",
-      "q40_cosine_topk", "q44_ann_ivf", "q54_asof_join", "q49_vocabulary")
+      "q22_secure_transform", "q29_salted_join", "q31_exact_dedup",
+      "q34_minhash_lsh", "q36_simhash", "q37_winnow_fingerprint",
+      "q40_cosine_topk", "q44_ann_ivf", "q45_dup_clusters",
+      "q54_asof_join", "q49_vocabulary")
 
     println(f"${"query"}%-18s ${"sf"}%-8s ${"sec"}%8s ${"shuffleMB"}%10s")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); name <- queries) {

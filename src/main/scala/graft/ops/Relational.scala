@@ -439,6 +439,59 @@ object Relational {
               FROM orders GROUP BY 1, 2
               ORDER BY o_orderpriority, o_orderstatus""")),
 
+    // ---- salted JOIN: the manual skew-join pattern (AQE's automatic
+    // split is proven in ScaleBehaviorSpec; this is the fallback when a
+    // hot key must be spread deliberately). The fact side gets a
+    // deterministic salt, the dim side is replicated across all salts, and
+    // the join key becomes (key, salt) — a hot key's rows land on SaltN
+    // reducers instead of one. Every fact row matches exactly once, so the
+    // result provably equals the plain join, which the oracle states.
+    Q("q29_salted_join",
+      (s, d) => {
+        val SaltN = 8
+        val fact = Tables.lineitem(s, d)
+          .withColumn("_fsalt",
+            pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(SaltN)))
+        val dimRep = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            explode(sequence(lit(0), lit(SaltN - 1))).as("_dsalt"))
+        fact.join(dimRep,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("_fsalt") === col("_dsalt"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_items,
+              round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // ---- null-safe join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    // each other — the semantics dirty real-world keys need (a plain
+    // equi-join silently drops every NULL row).
+    Q("q29b_nullsafe_join",
+      (s, d) => {
+        val a = Tables.orders(s, d)
+          .groupBy(expr("nullif(o_orderstatus, 'P')").as("k"))
+          .agg(count(lit(1)).as("n_a"))
+        val b = Tables.orders(s, d)
+          .groupBy(expr("nullif(o_orderstatus, 'F')").as("k2"))
+          .agg(count(lit(1)).as("n_b"))
+        a.join(b, col("k") <=> col("k2"))
+          .select(coalesce(col("k"), lit("(null)")).as("k_str"),
+            col("n_a"), col("n_b"))
+          .orderBy(col("k_str"))
+      },
+      Some("""WITH a AS (SELECT nullif(o_orderstatus, 'P') AS k,
+                count(*) AS n_a FROM orders GROUP BY 1),
+              b AS (SELECT nullif(o_orderstatus, 'F') AS k2,
+                count(*) AS n_b FROM orders GROUP BY 1)
+              SELECT coalesce(k, '(null)') AS k_str, n_a, n_b
+              FROM a JOIN b ON k IS NOT DISTINCT FROM k2
+              ORDER BY k_str""")),
+
     // ---- salted aggregation: the 100 TB skew pattern. Stage 1 aggregates
     // on (key, salt) — a hot key's rows spread over 16 reducers — stage 2
     // merges the partials. Result provably equals the direct groupBy, which
