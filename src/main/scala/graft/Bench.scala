@@ -47,7 +47,7 @@ object Bench {
       import org.apache.spark.sql.functions._
       import graft.expr.Crypto
       spark.range(1).select(
-        Crypto.hashPassword(lit("w"), "p", 10).as("h"),
+        Crypto.hashPassword(lit("w"), "p", 1, 8).as("h"),
         Crypto.encrypt(lit("w"), "0123456789abcdef").as("e"),
         Crypto.blindIndex(lit("w"), "k").as("b")).collect()
       spark.read.schema("v INT").json(
@@ -76,13 +76,34 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The stdout line must survive the driver's ~2 KB tail-capture window:
+    // round 2's line (76 full query names × full-precision doubles, ~2.6 KB)
+    // overflowed it and BENCH_r02.json recorded "parsed": null. So the line
+    // uses the contract's own short-key style ("q1":sec) — the unique qNN
+    // prefix of each query name — and centisecond precision. The full-name,
+    // full-precision per-query report goes to BENCH_DETAIL.json for the
+    // round-over-round comparison.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "short query keys must stay unique")
+    val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.reverse
-      .map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
+      .map { case (k, m) => s"\"" + shortKey(k) + "\":\"" + m.take(60) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",\n ", "}")
+    try {
+      val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(out,
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,\n"queries":$detail,\n"errors":$errJson}\n""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // detail file is best-effort
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

@@ -79,7 +79,8 @@ object IngestionJob {
     * Timestamps parsed to TIMESTAMP (UTC) instead of carried as strings.
     */
   def secureTransform(users: DataFrame, pepper: String, aesKey: String,
-      bidxKey: String, kdfIterations: Int = 25000): DataFrame = {
+      bidxKey: String, kdfTimeCost: Int = 3, kdfMemoryKib: Int = 4096)
+      : DataFrame = {
     val flat = Flatten.flatten(users)
     val passthrough =
       if (flat.columns.contains("_fetch_pos")) Seq(col("_fetch_pos")) else Nil
@@ -94,8 +95,12 @@ object IngestionJob {
         col("location_country"),
         // derived secure columns (transformations.py:59-63); nondeterministic
         // ones are materialized before any dedup boundary (SURVEY.md §4.3)
-        Crypto.hashPassword(col("login_password"), pepper, kdfIterations)
-          .as("password_hash"),
+        // real Argon2id (RFC 9106) at the reference's time_cost=3; memory
+        // knob defaults to 4 MiB here so the 6-row-fixture e2e demo (two
+        // full job runs in q23) stays in bench budget — the reference's
+        // full 64 MiB profile is exercised in Argon2Spec
+        Crypto.hashPassword(col("login_password"), pepper, kdfTimeCost,
+          kdfMemoryKib).as("password_hash"),
         Crypto.encrypt(col("email"), aesKey).as("email_enc"),
         Crypto.encrypt(col("phone"), aesKey).as("phone_enc"),
         Crypto.encrypt(col("location_street_name"), aesKey).as("street_name_enc"),

@@ -84,11 +84,11 @@ object Ingest {
     // ---- F1-F5 secure transform, invariant-checked: normalize is
     // value-exact; blind index / password hash / encryption are checked by
     // length, format, and decrypt-round-trip (random salt/IV make the raw
-    // values nondeterministic by design). KDF cost knob: 50 iterations —
-    // this query hashes EVERY customer row (150k at sf0.1), so the
-    // per-row cost must be sized to the row count; the reference's
-    // 25000-class cost at the reference's 6-row batch size lives in q23,
-    // and CryptoSpec exercises high-cost hashing.
+    // values nondeterministic by design). The hash is real Argon2id
+    // (RFC 9106, from scratch — the reference's KDF) with the cost knob
+    // sized to the row count: this query hashes EVERY customer row (150k at
+    // sf0.1), so m=16 KiB / t=1; the reference's 64 MiB × 3 cost at the
+    // reference's ~10-row batch size lives in q23/Argon2Spec.
     Q("q22_secure_transform",
       // repartition before the KDF projection: the single-file scan is one
       // task and per-row crypto is the cost — the same reason a real
@@ -101,8 +101,8 @@ object Ingest {
           length(Crypto.blindIndex(col("c_name"), BidxKey)).as("bidx_len"),
           (Crypto.decrypt(Crypto.encrypt(col("c_name"), AesKey), AesKey)
             === col("c_name")).as("roundtrip"),
-          Crypto.hashPassword(col("c_name"), "pepper", iterations = 50)
-            .rlike("^pbkdf2-sha512\\$50\\$[A-Za-z0-9+/=]+\\$[A-Za-z0-9+/=]+$")
+          Crypto.hashPassword(col("c_name"), "pepper", timeCost = 1, memoryKib = 16)
+            .rlike("^\\$argon2id\\$v=19\\$m=16,t=1,p=1\\$[A-Za-z0-9+/]+\\$[A-Za-z0-9+/]+$")
             .as("hash_format_ok"))
         .orderBy(col("c_custkey")),
       Some("""SELECT c_custkey, lower(trim(c_name)) AS name_norm,
@@ -174,9 +174,9 @@ object Ingest {
         s.read.format("graft-users")
           .option("numUsers", 10000).option("numPartitions", 16).load(),
         // low KDF cost: 10k hashes in the bench path would otherwise
-        // measure nothing but PBKDF2 (the reference's designed bottleneck,
+        // measure nothing but Argon2id (the reference's designed bottleneck,
         // BASELINE.md — cost is a config knob, not a fixed price)
-        "pepper", AesKey, BidxKey, kdfIterations = 1000)
+        "pepper", AesKey, BidxKey, kdfTimeCost = 1, kdfMemoryKib = 16)
         .groupBy(col("location_country"))
         .agg(count(lit(1)).as("n_users"),
           countDistinct(col("login_uuid")).as("n_unique"))

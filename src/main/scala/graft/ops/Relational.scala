@@ -492,6 +492,39 @@ object Relational {
               FROM a JOIN b ON k IS NOT DISTINCT FROM k2
               ORDER BY k_str""")),
 
+    // ---- explicit bloom-filter semi-join (q75): build a bounded-size
+    // bloom over the selective side's keys (aggregate — partial per
+    // partition, merged once, NO row shuffle), broadcast the one blob,
+    // pre-filter the big side with a codegen'd hash+test, THEN exact
+    // semi-join the survivors. False positives only add candidates, so the
+    // result provably equals the plain semi-join — which is what the
+    // oracle states. At 100 TB this is the difference between shuffling
+    // the full fact table into the join and shuffling ~selectivity of it;
+    // Spark's InjectRuntimeFilter plans the same shape per-query behind
+    // heuristics, this operator makes it an explicit reusable artifact
+    // (expr/BloomExprs; pruning factor asserted in BloomSpec).
+    Q("q75_bloom_join",
+      (s, d) => {
+        val sel = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 450000)
+        // the bloom blob enters the probe as a SCALAR SUBQUERY (computed
+        // once, broadcast as a literal into codegen — BloomFilterMightContain
+        // requires a constant-foldable filter side)
+        val bf = sel.agg(
+          graft.expr.BloomExprs.bloomAgg(col("o_orderkey"), 20000L).as("bf"))
+          .scalar()
+        val pre = Tables.lineitem(s, d)
+          .filter(graft.expr.BloomExprs.mightContain(bf, col("l_orderkey")))
+        pre.join(sel.select(col("o_orderkey")),
+            pre("l_orderkey") === col("o_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("total_price"))
+      },
+      Some("""SELECT count(*) AS n_items,
+              round(sum(l_extendedprice), 2) AS total_price
+              FROM lineitem WHERE l_orderkey IN
+                (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)""")),
+
     // ---- salted aggregation: the 100 TB skew pattern. Stage 1 aggregates
     // on (key, salt) — a hot key's rows spread over 16 reducers — stage 2
     // merges the partials. Result provably equals the direct groupBy, which

@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.Q
+import graft.schema.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval + statistical quality scoring over `documents` — the
+  * search/weighting layer a training-data pipeline needs next to the dedup
+  * family (TextOps) and vector search (VectorOps): TF-IDF scoring, BM25
+  * (Robertson/Okapi) ranking, and unigram-LM log-probability quality scores
+  * (the classic "perplexity filter" for pretraining corpora).
+  *
+  * Scale posture: one tokenize+explode pass feeds everything; per-term
+  * statistics (document frequency, corpus totals) are vocabulary-sized
+  * aggregates that broadcast; the only corpus-sized shuffle is the
+  * (doc_id, term) term-frequency groupBy. No UDFs, no driver-side loops —
+  * corpus-level constants (N, avgdl, total tokens) are computed IN-PLAN and
+  * cross-joined as broadcast single-row frames, so the same plan runs
+  * unchanged on 500 docs or 5 billion.
+  */
+object RetrievalOps {
+
+  /** Fixed query-term set for the scoring demos (mid-frequency corpus
+    * terms; literal on purpose — a real caller parameterizes them). */
+  private val QueryTerms = Seq("spark", "vector", "stream", "hash", "merge")
+
+  /** (doc_id, term, tf) for every document term — THE shared scan shape. */
+  private def termFreqs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document lengths in tokens (dl) — one scan, no explode. */
+  private def docLengths(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(TextOps.toks(col("text"))).as("dl"))
+
+  val catalog: Seq[Q] = Seq(
+
+    // ---- TF-IDF scoring of documents against a query-term set:
+    // score(d) = Σ_t tf(t,d) · ln(N / df(t)). Integer tf/df/N feed exact
+    // IEEE ln/mul on both engines; the per-doc sum is ≤ |QueryTerms| values,
+    // rounded to 6 dp. df and N are vocabulary/corpus-level aggregates
+    // cross-joined as broadcast single-row/short frames — no collect.
+    Q("q57_tfidf",
+      (s, d) => {
+        val tf = termFreqs(s, d).filter(col("t").isin(QueryTerms: _*))
+        val dfT = tf.groupBy(col("t"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = Tables.documents(s, d)
+          .agg(count(lit(1)).as("n_docs"))
+        tf.join(broadcast(dfT), Seq("t"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("t"),
+            (col("tf") * log(col("n_docs").cast("double") / col("df")))
+              .as("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("int").as("n_terms"),
+            round(sum(col("w")), 6).as("tfidf"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                  '[a-z0-9]+')) AS t
+                FROM documents),
+              tf AS (
+                SELECT doc_id, t, count(*) AS tf FROM tok
+                WHERE t IN ('spark','vector','stream','hash','merge')
+                GROUP BY doc_id, t),
+              df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+              n AS (SELECT count(*) AS n_docs FROM documents)
+              SELECT tf.doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+                round(sum(tf.tf * ln(n.n_docs::DOUBLE / df.df)), 6) AS tfidf
+              FROM tf JOIN df USING (t) CROSS JOIN n
+              GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
+
+    // ---- BM25 (k1=1.2, b=0.75) ranking against the same query-term set:
+    // adds document-length normalization — idf(t) · tf·(k1+1) /
+    // (tf + k1·(1 - b + b·dl/avgdl)), idf = ln((N - df + ½)/(df + ½) + 1).
+    // avgdl is an exact integer-sum average, identical in both engines.
+    // Top-20 by score with doc_id tiebreak = deterministic output.
+    Q("q58_bm25",
+      (s, d) => {
+        val k1 = 1.2; val b = 0.75
+        val tf = termFreqs(s, d).filter(col("t").isin(QueryTerms: _*))
+        val dfT = tf.groupBy(col("t"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val stats = docLengths(s, d)
+          .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        val idf = log(
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+        val norm = col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl"))
+        tf.join(broadcast(dfT), Seq("t"))
+          .join(docLengths(s, d), Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (idf * (col("tf") * (k1 + 1)) / norm).as("w"))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("w")), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                  '[a-z0-9]+')) AS t
+                FROM documents),
+              dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+              tf AS (
+                SELECT doc_id, t, count(*) AS tf FROM tok
+                WHERE t IN ('spark','vector','stream','hash','merge')
+                GROUP BY doc_id, t),
+              df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)
+              SELECT tf.doc_id,
+                round(sum(
+                  ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                  (tf.tf * 2.2) /
+                  (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE / stats.avgdl))
+                ), 6) AS bm25
+              FROM tf JOIN df USING (t) JOIN dl USING (doc_id)
+              CROSS JOIN stats
+              GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 20""")),
+
+    // ---- unigram-LM quality score (the pretraining "perplexity filter"
+    // in its simplest closed form): p(t) = corpus freq / total tokens;
+    // doc score = mean over doc tokens of -ln p(t). High = rare-token-heavy
+    // (gibberish candidates), low = stopword-heavy. One explode feeds both
+    // the model (term → freq, vocabulary-sized, broadcast) and the scoring
+    // pass; the model "trains" and scores in a single plan, no collect.
+    Q("q59_unigram_quality",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("t"))
+        val model = tok.groupBy(col("t")).agg(count(lit(1)).as("freq"))
+        val total = tok.agg(count(lit(1)).as("total"))
+        tok.join(broadcast(model), Seq("t"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            (-log(col("freq").cast("double") / col("total"))).as("nll"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("int").as("n_tok"),
+            round(avg(col("nll")), 6).as("avg_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                  '[a-z0-9]+')) AS t
+                FROM documents),
+              model AS (SELECT t, count(*) AS freq FROM tok GROUP BY t),
+              total AS (SELECT count(*) AS total FROM tok)
+              SELECT tok.doc_id, CAST(count(*) AS INTEGER) AS n_tok,
+                round(avg(-ln(model.freq::DOUBLE / total.total)), 6) AS avg_nll
+              FROM tok JOIN model USING (t) CROSS JOIN total
+              GROUP BY tok.doc_id ORDER BY tok.doc_id"""))
+  )
+}

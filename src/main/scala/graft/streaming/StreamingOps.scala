@@ -197,6 +197,80 @@ object StreamingOps {
               round(sum(value), 2) AS sum_value
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- stream-stream inner join: views ⋈ clicks per user within a
+    // 30-minute event-time window. BOTH sides carry watermarks and the join
+    // condition bounds event time, so each side's buffered state is evicted
+    // once the watermark passes (the unbounded-state hazard of
+    // stream-stream joins, bounded exactly as SURVEY §7.4.6 prescribes for
+    // dedup). AvailableNow processes all input within the watermark, so the
+    // emitted pairs equal the batch time-range join — the oracle.
+    Q("q64_stream_stream_join",
+      (s, d) => {
+        val joined = runToMemory(s, d, "append") { df =>
+          val views = df.filter(col("event_type") === "view")
+            .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+            .withWatermark("v_ts", "2 hours")
+          val clicks = df.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+            .withWatermark("c_ts", "2 hours")
+          views.join(clicks,
+            col("v_user") === col("c_user") &&
+              col("c_ts") >= col("v_ts") &&
+              col("c_ts") <= col("v_ts") + expr("interval 30 minutes"))
+        }
+        joined.groupBy((col("v_user") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT a.user_id % 10 AS bucket, count(*) AS n_pairs
+              FROM events a JOIN events b ON a.user_id = b.user_id
+              WHERE a.event_type = 'view' AND b.event_type = 'click'
+                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+              GROUP BY 1 ORDER BY bucket""")),
+
+    // ---- transformWithState (Spark 4's arbitrary-state API, the successor
+    // to mapGroupsWithState used by q62): per-user running (count, sum) in
+    // an explicit ValueState, RocksDB state store (the API requires it —
+    // and it is also the 100 TB answer to state > executor memory: state
+    // lives off-heap/on-disk with changelog checkpointing). AvailableNow ⇒
+    // final emitted state ≡ batch aggregate, the same oracle as q62.
+    Q("q65_stream_tws",
+      (s, d) => {
+        import s.implicits._
+        val prevProvider =
+          s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val out = runToMemory(s, d, "update") { df =>
+            df.select(col("user_id").as[Long], col("value").as[Double])
+              .as[(Long, Double)]
+              .groupByKey(_._1)
+              .transformWithState(new CountSumProcessor(),
+                org.apache.spark.sql.streaming.TimeMode.None(),
+                org.apache.spark.sql.streaming.OutputMode.Update())
+              .toDF("user_id", "n_events", "sum_value")
+          }
+          // update mode emits one row per user per batch; keep the last
+          // (n_events is monotone) — same shape as q62
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+          out.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1)
+            .select(col("user_id"), col("n_events"),
+              round(col("sum_value"), 2).as("sum_value"))
+            .orderBy(col("user_id"))
+        } finally prevProvider match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+              round(sum(value), 2) AS sum_value
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // ---- streaming upsert into a PARTITIONED parquet store via
     // foreachBatch + Upsert.partitionedUpsert (VERDICT r1 #8): each
     // micro-batch dedups itself, then keep-first-merges into ONLY the
@@ -246,3 +320,25 @@ object StreamingOps {
 
 /** Explicit per-user state carried across micro-batches. */
 final case class UserState(n: Long, sum: Double)
+
+/** transformWithState processor: per-user running (count, sum) in a
+  * ValueState — the Spark 4 arbitrary-state primitive (q65). */
+final class CountSumProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+  @transient private var state: ValueState[UserState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserState]("countSum",
+      org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val prev = if (state.exists()) state.get() else UserState(0L, 0.0)
+    var n = prev.n; var sum = prev.sum
+    rows.foreach { r => n += 1; sum += r._2 }
+    state.update(UserState(n, sum))
+    Iterator.single((key, n, sum))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.expr.BloomExprs
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join pre-filtering (expr/BloomExprs, q75): no false
+  * negatives, real pruning, and exactness of the bloom+exact-join
+  * composition.
+  */
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def buildAndProbe(buildKeys: Seq[Long], probeKeys: Seq[Long]) = {
+    val build = buildKeys.toDF("k")
+    val bf = build.agg(BloomExprs.bloomAgg(col("k"), 1000L).as("bf")).scalar()
+    probeKeys.toDF("p")
+      .withColumn("hit", BloomExprs.mightContain(bf, col("p")))
+  }
+
+  test("no false negatives: every build key passes the probe") {
+    val keys = (1L to 500L).map(_ * 7)
+    val hits = buildAndProbe(keys, keys).filter(col("hit")).count()
+    assert(hits == 500)
+  }
+
+  test("prunes non-members (fpp-bounded false positives)") {
+    val build = (1L to 500L)
+    val probe = (100001L to 110000L) // disjoint from build
+    val fp = buildAndProbe(build, probe).filter(col("hit")).count()
+    // sized for fpp ~3%; allow 3x headroom against hash unluckiness
+    assert(fp < 10000 * 0.09, s"false positives: $fp / 10000")
+  }
+
+  test("bloom pre-filter + exact semi-join equals plain semi-join") {
+    val orders = (1L to 2000L).map(k => (k, k % 7 == 0)).toDF("key", "sel")
+    val items = (1L to 6000L).map(i => (i, i % 2000 + 1)).toDF("id", "fk")
+    val selected = orders.filter(col("sel"))
+    val bf = selected.agg(BloomExprs.bloomAgg(col("key"), 300L).as("bf"))
+      .scalar()
+    val pre = items.filter(BloomExprs.mightContain(bf, col("fk")))
+    val viaBloom = pre.join(selected.select("key"),
+        pre("fk") === col("key"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    val exact = items.join(selected.select("key"),
+        items("fk") === col("key"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(viaBloom == exact)
+    // and the pre-filter really pruned: candidates well under the full scan
+    val candidates = pre.count()
+    assert(candidates < 6000, s"no pruning: $candidates")
+    assert(candidates >= exact.size) // superset property
+  }
+}

@@ -45,24 +45,28 @@ class CryptoSpec extends SparkSpec {
   }
 
   test("password hash verifies and is salted (distinct per call)") {
+    // PBKDF2 alternative format still verifies
     val h1 = Crypto.pbkdf2Hash("hunter2", "pepper", 1000,
       Array.fill[Byte](16)(1))
     assert(Crypto.verifyPassword("hunter2", "pepper", h1))
     assert(!Crypto.verifyPassword("hunter3", "pepper", h1))
     assert(!Crypto.verifyPassword("hunter2", "wrong-pepper", h1))
 
+    // primary format: Argon2id (RFC 9106) PHC records
     val hashes = Seq("pw", "pw").toDF("p")
-      .select(Crypto.hashPassword(col("p"), "pepper", 1000).as("h"))
+      .select(Crypto.hashPassword(col("p"), "pepper", 1, 64).as("h"))
       .collect().map(_.getString(0))
+    assert(hashes.forall(_.startsWith("$argon2id$v=19$m=64,t=1,p=1$")))
     assert(hashes(0) != hashes(1)) // random salt
     assert(hashes.forall(h => Crypto.verifyPassword("pw", "pepper", h)))
+    assert(!Crypto.verifyPassword("pw2", "pepper", hashes(0)))
   }
 
   test("null in, null out") {
     val row = Seq((Option.empty[String], "x")).toDF("a", "b")
       .select(
         Crypto.hmacSha256Hex(col("a"), lit("k")).as("h"),
-        Crypto.hashPassword(col("a"), "p", 1000).as("ph"))
+        Crypto.hashPassword(col("a"), "p", 1, 64).as("ph"))
       .head()
     assert(row.isNullAt(0) && row.isNullAt(1))
   }

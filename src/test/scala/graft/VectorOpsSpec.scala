@@ -76,6 +76,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("PQ (shortlist + rerank) recall >= 0.9 on clustered data") {
+    val rng = new scala.util.Random(7)
+    val rows = for { c <- 0 until 20; m <- 0 until 10 } yield {
+      val theta = c * (2 * math.Pi / 20) + (rng.nextDouble() - 0.5) * 0.035
+      ((c * 10 + m).toLong,
+        Array.tabulate(8)(i => (math.cos(theta * (i + 1)) / 2.0).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    val corpus = df.filter(col("vec_id") % 10 =!= 0)
+    val exact = VectorOps.cosineTopK(queries, corpus, 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val idx = VectorOps.pqTrain(corpus, dim = 8, m = 4, k = 16)
+    val pq = VectorOps.pqTopKReranked(idx, queries, corpus, k = 3,
+      shortlist = 15)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("PQ codes compress to M small ints and training is deterministic") {
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i % 4) + j * 0.1).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val idx1 = VectorOps.pqTrain(df, dim = 8, m = 4, k = 8)
+    val idx2 = VectorOps.pqTrain(df, dim = 8, m = 4, k = 8)
+    val codes = idx1.index.select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.size == 4 && c.forall(x => x >= 0 && x < 8)))
+    assert(idx1.codebooks == idx2.codebooks)
+  }
+
   test("hyperplane buckets are deterministic") {
     val df = Seq((1L, Array.tabulate(8)(i => (i + 1).toFloat)))
       .toDF("vec_id", "embedding")
