@@ -85,6 +85,78 @@ object PipelineOps {
 
   val catalog: Seq[Q] = Seq(
 
+    // ---- CDC changelog application (q76): MERGE INTO semantics without a
+    // table format — Upsert.applyChangelog compacts the changelog to the
+    // latest op per key (one window shuffle), deletes drop, upserts
+    // replace, untouched snapshot rows pass an anti-join against the
+    // BROADCAST compacted keys (the snapshot never shuffles). The
+    // changelog here is synthesized deterministically from orders itself —
+    // deletes for key%10=0, two conflicting updates for key%10=1 (latest
+    // seq wins — exercised on purpose), an update for key%10=2, inserts of
+    // fresh keys for key%10=3 — so the oracle can state the identical CTE.
+    Q("q76_cdc_merge",
+      (s, d) => {
+        val snap = Tables.orders(s, d)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+        def part(m: Int) = snap.filter(col("key") % 10 === m)
+        val changes = part(0)
+          .select(col("key"), col("price"), lit("D").as("op"), lit(1L).as("seq"))
+          .unionByName(part(1).select(col("key"),
+            (col("price") + 500).as("price"), lit("U").as("op"), lit(1L).as("seq")))
+          .unionByName(snap.filter(col("key") % 10 === 1 || col("key") % 10 === 2)
+            .select(col("key"), (col("price") + 1000).as("price"),
+              lit("U").as("op"), lit(2L).as("seq")))
+          .unionByName(part(3).select((col("key") + 100000000L).as("key"),
+            lit(42.0).as("price"), lit("I").as("op"), lit(1L).as("seq")))
+        Upsert.applyChangelog(snap, changes, Seq("key"), "op", "seq")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("price")), 2).as("total"))
+      },
+      Some("""WITH snap AS (SELECT o_orderkey AS key, o_totalprice AS price
+                FROM orders),
+              changes AS (
+                SELECT key, price, 'D' AS op, 1 AS seq FROM snap
+                  WHERE key % 10 = 0
+                UNION ALL SELECT key, price + 500, 'U', 1 FROM snap
+                  WHERE key % 10 = 1
+                UNION ALL SELECT key, price + 1000, 'U', 2 FROM snap
+                  WHERE key % 10 IN (1, 2)
+                UNION ALL SELECT key + 100000000, 42.0, 'I', 1 FROM snap
+                  WHERE key % 10 = 3),
+              latest AS (SELECT key, price, op FROM (
+                  SELECT *, row_number() OVER
+                    (PARTITION BY key ORDER BY seq DESC) AS rn FROM changes)
+                WHERE rn = 1),
+              merged AS (
+                SELECT s.key, s.price FROM snap s
+                  WHERE s.key NOT IN (SELECT key FROM latest)
+                UNION ALL SELECT key, price FROM latest WHERE op <> 'D')
+              SELECT count(*) AS n_rows, round(sum(price), 2) AS total
+              FROM merged""")),
+
+    // ---- key-skew profile (q77): the diagnostic run BEFORE choosing a
+    // skew mitigation (salting q18/q29, AQE skew-join) — per-key count
+    // distribution of the fact table's join key: two-level aggregate
+    // (per-key counts shuffle once on the key; the profile is a single-row
+    // reduce of the count column).
+    Q("q77_key_skew_profile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"),
+          round(avg(col("cnt")), 6).as("avg_cnt"),
+          expr("percentile(cnt, 0.5)").as("p50"),
+          expr("percentile(cnt, 0.99)").as("p99"),
+          round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio")),
+      Some("""WITH c AS (SELECT l_orderkey, count(*) AS cnt
+                FROM lineitem GROUP BY l_orderkey)
+              SELECT count(*) AS n_keys, max(cnt) AS max_cnt,
+                round(avg(cnt), 6) AS avg_cnt,
+                quantile_cont(cnt, 0.5) AS p50,
+                quantile_cont(cnt, 0.99) AS p99,
+                round(max(cnt) / avg(cnt), 4) AS skew_ratio
+              FROM c""")),
+
     // ---- near-dup CLUSTER RESOLUTION: pair detection alone doesn't dedup
     // a corpus — pairs must be closed into clusters so exactly one doc per
     // cluster survives. Edges here are the exact-Jaccard ≥ 0.5 pairs (the

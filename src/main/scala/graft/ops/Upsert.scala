@@ -95,4 +95,32 @@ object Upsert {
       incoming.join(existing, cond, "left_anti"),
       allowMissingColumns = false)
   }
+
+  /** Apply a CDC changelog to a snapshot — MERGE INTO semantics without a
+    * table format: `changes` carries per-key operations (`opCol` ∈
+    * {"I","U","D"}) ordered by `seqCol`; the LATEST operation per key wins
+    * (row_number window, one shuffle on the key). Deletes drop the key,
+    * inserts/updates replace the row, untouched snapshot rows pass through
+    * an anti-join. Shape at 100 TB: the changelog is normally ≪ snapshot,
+    * so the anti-join broadcasts the compacted changelog keys and the
+    * snapshot never shuffles; with a key-partitioned/bucketed snapshot the
+    * rewrite prunes to touched partitions (same posture as
+    * [[partitionedUpsert]]).
+    *
+    * @param changes snapshot-schema columns + `opCol` + `seqCol`
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String], opCol: String, seqCol: String): DataFrame = {
+    val rn = "_graft_rn"
+    val latest = changes
+      .withColumn(rn, row_number().over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(seqCol).desc)))
+      .filter(col(rn) === 1)
+      .drop(rn)
+    val touchedKeys = latest.select(keys.map(col): _*)
+    val untouched = snapshot.join(broadcast(touchedKeys), keys, "left_anti")
+    val replaced = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    untouched.unionByName(replaced, allowMissingColumns = false)
+  }
 }

@@ -84,4 +84,28 @@ class UpsertSpec extends SparkSpec {
         once.orderBy("k", "v").collect().toSeq)
     }
   }
+
+  test("applyChangelog: latest-op-per-key wins; I/U/D golden case") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "U", 1L),   // superseded by the seq-2 delete below
+      (2L, "b2", "D", 2L),   // delete key 2
+      (3L, "c1", "U", 1L),
+      (3L, "c2", "U", 2L),   // latest update wins
+      (4L, "d", "I", 1L))    // fresh insert
+      .toDF("k", "v", "op", "seq")
+    val out = Upsert.applyChangelog(snap, changes, Seq("k"), "op", "seq")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (3L, "c2"), (4L, "d")))
+  }
+
+  test("applyChangelog is idempotent under changelog replay") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((1L, "a9", "U", 5L), (2L, "x", "D", 9L))
+      .toDF("k", "v", "op", "seq")
+    val once = Upsert.applyChangelog(snap, changes, Seq("k"), "op", "seq")
+    val twice = Upsert.applyChangelog(once, changes, Seq("k"), "op", "seq")
+    assert(once.orderBy("k").collect().toSeq ==
+      twice.orderBy("k").collect().toSeq)
+  }
 }
