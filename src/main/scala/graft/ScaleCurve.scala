@@ -38,7 +38,9 @@ object ScaleCurve {
       "q22_secure_transform", "q29_salted_join", "q31_exact_dedup",
       "q34_minhash_lsh", "q36_simhash", "q37_winnow_fingerprint",
       "q40_cosine_topk", "q44_ann_ivf", "q45_dup_clusters",
-      "q54_asof_join", "q49_vocabulary")
+      "q54_asof_join", "q49_vocabulary",
+      "q58_bm25", "q74_ann_pq", "q75_bloom_join", "q76_cdc_merge",
+      "q78_contamination")
 
     println(f"${"query"}%-18s ${"sf"}%-8s ${"sec"}%8s ${"shuffleMB"}%10s")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); name <- queries) {

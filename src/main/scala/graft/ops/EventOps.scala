@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.schema.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +19,38 @@ import org.apache.spark.sql.functions._
   * sub-micro handling).
   */
 object EventOps {
+
+  /** Banded range join: pairs (l, r) with the same `keys` and
+    * r[rightTs] ∈ [l[leftTs] + loSec, l[leftTs] + hiSec].
+    *
+    * The right side is bucketed once by floor(epoch/W) (W = hiSec − loSec);
+    * each left row's admissible range spans strictly less than two buckets,
+    * so it explodes its two candidate bucket ids and the pair generation is
+    * a plain shuffle equi-join on (keys, bucket) — candidate count follows
+    * band occupancy, not the per-key cross product a naive sort-merge range
+    * join evaluates. The exact range predicate filters after the join.
+    * EventOpsSpec proves equality with the naive formulation.
+    */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame, leftTs: String,
+      rightTs: String, loSec: Long, hiSec: Long,
+      keys: Seq[String]): DataFrame = {
+    require(hiSec > loSec, "empty range band")
+    val w = hiSec - loSec
+    val l = left.withColumn("_lepoch", unix_timestamp(col(leftTs)))
+      .withColumn("_bucket", explode(array_distinct(array(
+        floor((col("_lepoch") + loSec) / w),
+        floor((col("_lepoch") + hiSec) / w)))))
+    val r = right.withColumn("_repoch", unix_timestamp(col(rightTs)))
+      .withColumn("_bucket", floor(col("_repoch") / w))
+    // candidate buckets use SECOND-truncated epochs (safe: for integer
+    // lo/hi the truncated right epoch still lands in one of the two
+    // candidate buckets); the exact predicate compares the original
+    // full-precision timestamps
+    l.join(r, keys :+ "_bucket")
+      .filter(col(rightTs) >= col(leftTs) + expr(s"INTERVAL $loSec SECOND") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $hiSec SECOND"))
+      .drop("_lepoch", "_repoch", "_bucket")
+  }
 
   val catalog: Seq[Q] = Seq(
 
@@ -203,6 +236,36 @@ object EventOps {
               SELECT doc_id,
                 CAST(levenshtein(head, next_head) AS INTEGER) AS lev
               FROM h WHERE next_head IS NOT NULL ORDER BY doc_id""")),
+
+    // ---- banded range join (q80): event pairs within a bounded time
+    // range, WITHOUT the per-key cross product a naive range join plans
+    // (sort-merge on the equi key, then every left row × every right row
+    // of that key filtered — O(n·m) per key). Banding: the right side is
+    // bucketed by floor(ts/W) where W = the band width; each left row can
+    // only match rows in TWO adjacent buckets (its range spans < 2W), so
+    // it explodes exactly those two bucket keys and the join is a plain
+    // equi-join on (user, bucket) — candidates ∝ band occupancy, the exact
+    // range predicate applied after. Same semantics as q64's
+    // stream-stream join (deliberately: two independent engines' paths —
+    // banded batch here, watermarked streaming there — against ONE oracle).
+    Q("q80_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("v_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"))
+        bandedRangeJoin(views, clicks, "v_ts", "c_ts",
+            loSec = 0L, hiSec = 1800L, keys = Seq("user_id"))
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT a.user_id % 10 AS bucket, count(*) AS n_pairs
+              FROM events a JOIN events b ON a.user_id = b.user_id
+              WHERE a.event_type = 'view' AND b.event_type = 'click'
+                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+              GROUP BY 1 ORDER BY bucket""")),
 
     // ---- as-of join: for each purchase, the latest click of the same user
     // at or before it — one window pass over the union (no range-join

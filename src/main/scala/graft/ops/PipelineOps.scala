@@ -3,6 +3,7 @@ package graft.ops
 import graft.Q
 import graft.schema.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -133,6 +134,98 @@ object PipelineOps {
                 UNION ALL SELECT key, price FROM latest WHERE op <> 'D')
               SELECT count(*) AS n_rows, round(sum(price), 2) AS total
               FROM merged""")),
+
+    // ---- train/eval contamination check (q78): the decontamination step
+    // of an LLM training pipeline — flag eval-split documents sharing any
+    // exact 5-gram with the train split. One tokenize pass; the shuffle
+    // carries (gram, doc_id) pairs; train grams are DISTINCT'd before the
+    // semi-join so cost follows vocabulary, not corpus. At 100 TB the
+    // train gram set is written once as a bucketed table (or a bloom
+    // filter via q75's BloomExprs for a first pass) and every new eval
+    // candidate probes it. Splits are doc_id parity — deterministic, so
+    // the oracle states the identical SQL.
+    Q("q78_contamination",
+      (s, d) => {
+        val k = 5
+        val tk = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+        val grams = tk.select(col("doc_id"),
+          explode(when(size(col("tk")) >= k,
+            transform(sequence(lit(1), size(col("tk")) - (k - 1)), i =>
+              concat_ws(" ", (0 until k).map(j =>
+                element_at(col("tk"), i + j)): _*)))
+            .otherwise(array())).as("gram"))
+        val trainGrams = grams.filter(col("doc_id") % 2 === 0)
+          .select(col("gram")).distinct()
+        val shared = grams.filter(col("doc_id") % 2 === 1)
+          .join(trainGrams, Seq("gram"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gram")).as("n_shared"))
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"))
+          .join(shared, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents),
+              grams AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4])) AS gram
+                FROM tk WHERE len(t) >= 5),
+              train AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 2 = 0),
+              shared AS (
+                SELECT doc_id, count(DISTINCT gram) AS n_shared
+                FROM grams WHERE doc_id % 2 = 1
+                  AND gram IN (SELECT gram FROM train)
+                GROUP BY doc_id)
+              SELECT d.doc_id, coalesce(s.n_shared, 0) AS n_shared,
+                coalesce(s.n_shared, 0) > 0 AS contaminated
+              FROM documents d LEFT JOIN shared s USING (doc_id)
+              WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""")),
+
+    // ---- sequence packing (q79): concat-and-chunk packing of tokenized
+    // documents into fixed token-budget bins (context windows) — the
+    // standard pretraining batch-prep step. Sharded: the running token
+    // total is a window cumsum WITHIN a shard (doc_id % 8), never a global
+    // window — exactly how a distributed packer works (each worker packs
+    // its shard independently); output is the per-shard packing summary.
+    Q("q79_sequence_packing",
+      (s, d) => {
+        val budget = 2048
+        val byShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            size(TextOps.toks(col("text"))).as("n_tok"))
+          .withColumn("end_tok", sum(col("n_tok")).over(byShard))
+          .withColumn("bin",
+            floor((col("end_tok") - col("n_tok")) / budget))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tok"),
+            (max(col("bin")) + 1).as("n_bins"),
+            round(sum(col("n_tok")) / ((max(col("bin")) + 1) * lit(budget.toDouble)), 6)
+              .as("fill_ratio"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH dl AS (
+                SELECT doc_id, doc_id % 8 AS shard,
+                  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+                FROM documents),
+              packed AS (
+                SELECT shard, n_tok,
+                  CAST(floor((sum(n_tok) OVER (PARTITION BY shard
+                    ORDER BY doc_id) - n_tok) / 2048) AS BIGINT) AS bin
+                FROM dl)
+              SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS total_tok,
+                max(bin) + 1 AS n_bins,
+                round(sum(n_tok) / ((max(bin) + 1) * 2048.0), 6) AS fill_ratio
+              FROM packed GROUP BY shard ORDER BY shard""")),
 
     // ---- key-skew profile (q77): the diagnostic run BEFORE choosing a
     // skew mitigation (salting q18/q29, AQE skew-join) — per-key count

@@ -66,4 +66,30 @@ class EventOpsSpec extends SparkSpec {
     // two must agree everywhere
     assert(manual == builtin)
   }
+
+  test("banded range join equals the naive range join, incl. boundaries") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(11)
+    val base = 1700000000L
+    // deliberately include exact-boundary gaps (0s, 1800s) and jittered ones
+    val left = (0 until 200).map(i =>
+      (i.toLong % 7, base + rng.nextInt(36000).toLong))
+      .toDF("user_id", "e").select(col("user_id"),
+        timestamp_seconds(col("e")).as("v_ts"))
+    val right = (0 until 300).map { i =>
+      val off = Seq(0L, 900L, 1800L, 1801L, 5000L)(rng.nextInt(5))
+      (i.toLong % 7, base + rng.nextInt(36000).toLong + off)
+    }.toDF("user_id", "e").select(col("user_id"),
+      timestamp_seconds(col("e")).as("c_ts"))
+    val banded = graft.ops.EventOps.bandedRangeJoin(left, right,
+        "v_ts", "c_ts", 0L, 1800L, Seq("user_id"))
+      .select("user_id", "v_ts", "c_ts").collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    val naive = left.join(right, Seq("user_id"))
+      .filter(col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 1800 SECOND"))
+      .select("user_id", "v_ts", "c_ts").collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(banded.nonEmpty && banded == naive)
+  }
 }
