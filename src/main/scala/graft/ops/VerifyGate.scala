@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Gate for in-plan verification cost (VERDICT r3 #1).
+  *
+  * Several catalog queries carry their own correctness verification inside
+  * the plan: an exact brute-force top-k to measure ANN recall (q41/q44/q74),
+  * an all-pairs signature scan to check pigeonhole completeness (q36). That
+  * verification is the POINT at oracle scale — the driver's DuckDB compare
+  * runs at sf0.01 and the invariants must be computed, not assumed — but it
+  * is quadratic, i.e. exactly the cost the production operator exists to
+  * avoid. Charging it to the benched plan at sf0.1+ means the bench measures
+  * the oracle, not the operator, and the n² term eventually IS the bench.
+  *
+  * So: verification stays in-plan only while the verified input is at most
+  * [[MaxRows]] rows (covers every oracle SF; the driver verifies at sf0.01 =
+  * 500 docs/vectors). Above the gate the query runs the production path
+  * alone and the verification columns report the un-checked sentinel —
+  * honestly documented at each use site — while the same properties are
+  * asserted for all sizes in the spec tier (VectorOpsSpec recall ≥ 0.9 on
+  * clustered data, TextOpsSpec pigeonhole-vs-brute equality), where the
+  * quadratic oracle runs on purpose-built small corpora.
+  */
+object VerifyGate {
+
+  /** Largest verified-input size that keeps quadratic verification in the
+    * benched plan. Sits between the driver's oracle SF (500 rows at sf0.01)
+    * and the bench SF (2000-5000 rows at sf0.1). */
+  val MaxRows = 1000L
+
+  /** True when `df` is small enough to verify in-plan. The probe reads at
+    * most MaxRows+1 rows (limit pushes into the scan) — one cheap job, paid
+    * by the benched query itself so the gate never hides cost. */
+  def small(df: DataFrame): Boolean =
+    df.limit(MaxRows.toInt + 1).count() <= MaxRows
+}
