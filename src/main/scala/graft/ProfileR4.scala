@@ -102,16 +102,12 @@ object ProfileR4 {
       noop(TextOps.exactJaccardPairs(sh, sh, 0.5)
         .select(col("id_a").as("a"), col("id_b").as("b")))
     }
-    locally {
-      spark.catalog.clearCache()
+    time("q45.full") {
       val sh = TextOps.docsWithShingles(spark, sf)
       val pairs = TextOps.exactJaccardPairs(sh, sh, 0.5)
         .select(col("id_a").as("a"), col("id_b").as("b"))
-      val t0 = System.nanoTime()
       val cc = PipelineOps.connectedComponents(pairs)
       noop(cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs")))
-      println(f"PROF q45.full                  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      println("q45 edges=" + pairs.count() + " nodes=" + cc.count())
     }
     spark.stop()
   }

@@ -5,7 +5,6 @@ import graft.schema.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Training-data pipeline composition operators — the steps that sit
   * BETWEEN the primitives the rest of the catalog provides: near-dup pair
@@ -31,6 +30,16 @@ object PipelineOps {
     * @return (node, cluster_id) — cluster_id = min node id in the component
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Materialize the edge pipeline FIRST, at the session's full
+    // parallelism: `edges` is typically the expensive part (e.g. q45 feeds
+    // the exact-Jaccard inverted-index join through here), and it executes
+    // lazily inside the loop's first action — running it under the
+    // loop-sized partition count silently serialized the corpus-sized
+    // join onto 4 partitions (the round-3 q45 regression, 5.0 → 8.0 s).
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
     // The label table is O(nodes-with-duplicates), tiny relative to the
     // corpus — run the iterative shuffles at a partition count sized to IT
     // (same principle as the streaming state stores), restoring the
@@ -39,16 +48,12 @@ object PipelineOps {
     val spark = edges.sparkSession
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try connectedComponentsImpl(edges, maxIter)
+    try connectedComponentsImpl(sym, maxIter)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
-  private def connectedComponentsImpl(edges: DataFrame,
+  private def connectedComponentsImpl(sym: DataFrame,
       maxIter: Int): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // Each round references the previous labels TWICE (neighbor pull +
     // self), so a bare persist would double the LOGICAL plan per round —
     // exponential tree growth even though the data is cached.
@@ -80,7 +85,6 @@ object PipelineOps {
       labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
-    sym.unpersist()
     labels.withColumnRenamed("lbl", "cluster_id")
   }
 
