@@ -264,7 +264,7 @@ object PipelineOps {
     Q("q45_dup_clusters",
       (s, d) => {
         val sh = TextOps.docsWithShingles(s, d)
-        val pairs = TextOps.exactJaccardPairs(sh, sh, 0.5)
+        val pairs = TextOps.exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
           .select(col("id_a").as("a"), col("id_b").as("b"))
         connectedComponents(pairs)
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))

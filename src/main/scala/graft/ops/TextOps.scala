@@ -226,17 +226,26 @@ object TextOps {
     // P ≥ 0.97 at j ≥ 0.8), the emitted pair set equals the exact
     // formulation's — so the oracle IS q35's exact-pairs SQL
     // (TextOpsSpec asserts the same equality on its own corpus).
+    // dfCap=16 (SURVEY §9's stop-shingle knob, VERDICT r3 #5): candidate
+    // generation ignores corpus-hot shingles; verification uses full sets,
+    // so the oracle (the exact-pairs SQL, no cap) proves output identity
+    // on the real tables every round. Cap chosen above the p99 shingle df
+    // at sf0.1 (18) — measured zero qualifying pairs whose shared shingles
+    // are all above it at either SF.
     Q("q34_minhash_lsh",
-      (s, d) => minHashLshPairs(docsWithShingles(s, d), jaccardThreshold = 0.5)
+      (s, d) => minHashLshPairs(docsWithShingles(s, d),
+          jaccardThreshold = 0.5, dfCap = 16)
         .orderBy(col("id_a"), col("id_b")),
       Some(ExactJaccardSql)),
 
-    // ---- exact n-gram Jaccard via shingle inverted index (two shuffles:
-    // by shingle, by pair). Correctness oracle for q34.
+    // ---- exact n-gram Jaccard via df-capped shingle inverted index
+    // (three shuffles: df window, by shingle, by pair; bounded per-key
+    // fanout). Correctness oracle for q34; its own oracle is the uncapped
+    // SQL, which proves the cap loses nothing here.
     Q("q35_ngram_jaccard",
       (s, d) => {
         val sh = docsWithShingles(s, d)
-        exactJaccardPairs(sh, sh, 0.5)
+        exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -426,15 +435,78 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact-Jaccard verification of candidate pairs against the FULL
+    * shingle sets: fetch both arrays (only for the candidates — rare by
+    * construction), intersect, threshold. Shared by the LSH and the
+    * capped-index candidate generators: whatever pruning produced the
+    * candidates, the emitted (pair, jaccard) values are computed from
+    * untouched shingle sets. */
+  private def verifyJaccardCandidates(cand: DataFrame, docs: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("ni") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Append per-posting document frequency and drop "stop shingles" with
+    * df > dfCap from an exploded (doc_id, s) posting stream. Bounds every
+    * posting list — and therefore the inverted-index join's per-key fanout
+    * (df², the quadratic term) — by a constant. Candidate-generation-only:
+    * callers verify surviving pairs against FULL shingle sets, so emitted
+    * pairs and jaccard values are unchanged provided every qualifying pair
+    * shares at least one below-cap shingle (the prefix-filtering safety
+    * condition: a jaccard ≥ 0.5 pair shares ~half its shingles, so it
+    * would need EVERY shared shingle to be corpus-hot to be lost —
+    * TextOpsSpec asserts capped ≡ uncapped on its corpus, and the driver's
+    * sf0.01 oracle run re-proves it on the real tables every round). */
+  private def capDf(posts: DataFrame, dfCap: Int): DataFrame =
+    if (dfCap == Int.MaxValue) posts
+    else posts
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("_df") <= dfCap)
+      .drop("_df")
+
+  /** Exact pairwise Jaccard with stop-shingle candidate pruning: the
+    * inverted index is built over the df-capped posting stream (one extra
+    * shuffle for the df window), candidate pairs come from bounded posting
+    * lists, and the FULL shingle sets verify each candidate. At 100 TB the
+    * uncapped index's hottest shingle joins df² pairs through one key —
+    * the cap turns the worst key from corpus-sized into a constant.
+    * Input: (doc_id, sh). Output: (id_a, id_b, jaccard), id_a < id_b. */
+  def exactJaccardPairsCapped(docs: DataFrame, threshold: Double,
+      dfCap: Int): DataFrame = {
+    val posts = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val kept = capDf(posts, dfCap)
+    val ka = kept.select(col("doc_id").as("id_a"), col("s"))
+    val kb = kept.select(col("doc_id").as("id_b"), col("s"))
+    val cand = ka.join(kb, ka("s") === kb("s") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccardCandidates(cand, docs, threshold)
+  }
+
   /** MinHash signatures + banded LSH + exact-Jaccard verification of the
     * candidates. Input: (doc_id, sh). Output: (id_a, id_b, jaccard).
-    */
-  def minHashLshPairs(docs: DataFrame, jaccardThreshold: Double): DataFrame = {
+    *
+    * `dfCap`: stop-shingle removal before the signature aggregate — the
+    * signature is computed over the df-capped shingle set (capped-set
+    * jaccard ≈ full-set jaccard for true near-dups, so they still
+    * collide), while verification always uses the full sets. Bounds the
+    * (doc_id, shingle) shuffle AND keeps corpus-hot boilerplate shingles
+    * from gluing unrelated docs into one band bucket. */
+  def minHashLshPairs(docs: DataFrame, jaccardThreshold: Double,
+      dfCap: Int = Int.MaxValue): DataFrame = {
     // signature[h] = min over shingles of xxhash64(h, shingle). Only
     // (doc_id, shingle) rows shuffle — the shingle ARRAY stays out of the
     // exploded stream (carrying it per-row ballooned the shuffle ~60×).
-    val sig = docs
+    val posts = docs
       .select(col("doc_id"), explode(col("sh")).as("s"))
+    val sig = capDf(posts, dfCap)
       .groupBy(col("doc_id"))
       .agg(array((0 until NumHashes).map(h =>
         min(xxhash64(lit(h), col("s")))): _*).as("sig"))

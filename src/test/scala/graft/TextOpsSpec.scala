@@ -45,6 +45,34 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh == exact, s"lsh=$lsh exact=$exact")
   }
 
+  test("stop-shingle df-cap: identical pairs, cap actually exercised") {
+    // every doc gets the same boilerplate tail → its shingles have
+    // df = 300 and MUST be dropped by the cap; true near-dup pairs share
+    // plenty of low-df shingles, and unrelated docs sharing ONLY the
+    // boilerplate stay far below the 0.5 threshold in full-set
+    // verification — so the pair set is provably unchanged while the cap
+    // does real work (non-vacuous, unlike the raw sf0.001 corpus whose
+    // max shingle df is below the cap)
+    val boiler = " this document is provided as is without any warranty"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(300)
+      .select(col("doc_id"), concat(col("text"), lit(boiler)).as("text"))
+    val sh = shingled(docs.as[(Long, String)].collect().toSeq)
+    val uncapped = TextOps.exactJaccardPairs(sh, sh, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.nonEmpty)
+    val capped = TextOps.exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped, s"capped=$capped uncapped=$uncapped")
+    val cappedLsh = TextOps.minHashLshPairs(sh, 0.5, dfCap = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedLsh == uncapped, s"cappedLsh=$cappedLsh uncapped=$uncapped")
+    // the cap is non-vacuous here: boilerplate shingles exceed it
+    val maxDf = sh.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).as[Long].head()
+    assert(maxDf > 16, s"expected hot shingles, max df = $maxDf")
+  }
+
   test("simhash: near-identical docs collide, unrelated docs do not") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

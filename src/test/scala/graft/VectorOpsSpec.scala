@@ -96,6 +96,39 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("IVF-PQ recall >= 0.9 on clustered data; candidates = probed-cell occupancy") {
+    val rng = new scala.util.Random(7)
+    val rows = for { c <- 0 until 20; m <- 0 until 10 } yield {
+      val theta = c * (2 * math.Pi / 20) + (rng.nextDouble() - 0.5) * 0.035
+      ((c * 10 + m).toLong,
+        Array.tabulate(8)(i => (math.cos(theta * (i + 1)) / 2.0).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    val corpus = df.filter(col("vec_id") % 10 =!= 0)
+    val exact = VectorOps.cosineTopK(queries, corpus, 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val idx = VectorOps.ivfPqBuild(corpus, dim = 8, nCells = 20, m = 4, k = 16)
+    val ivfpq = VectorOps.ivfPqTopK(idx, queries, corpus, k = 3,
+      nProbe = 4, shortlist = 15)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // the ADC scan touches exactly the probed cells: per-query candidate
+    // count equals the summed occupancy of its probed cells (queries are
+    // not in the corpus, so the self-id filter removes nothing)
+    val occupancy = idx.index.groupBy(col("cell"))
+      .agg(count(lit(1)).as("occ"))
+    val expected = VectorOps.ivfPqProbedCells(idx, queries, nProbe = 4)
+      .join(occupancy, Seq("cell"))
+      .groupBy(col("q_id")).agg(sum(col("occ")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val actual = VectorOps.ivfPqCandidates(idx, queries, nProbe = 4)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(actual == expected, s"actual=$actual expected=$expected")
+  }
+
   test("PQ codes compress to M small ints and training is deterministic") {
     val rows = (0 until 40).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i % 4) + j * 0.1).toFloat)))
