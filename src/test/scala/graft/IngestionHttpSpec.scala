@@ -67,6 +67,54 @@ class IngestionHttpSpec extends SparkSpec {
       _.matches("rows_fetched=6 rows_after_dedup=5 output=.+")))
   }
 
+  // ---- ApiServer: the reference's service shell (api_server.py:13-41)
+
+  private def httpGet(url: String): (Int, String) = httpSend(url, "GET")
+  private def httpPost(url: String): (Int, String) = httpSend(url, "POST")
+  private def httpSend(url: String, method: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+    val req = (if (method == "POST")
+      b.POST(java.net.http.HttpRequest.BodyPublishers.noBody()) else b.GET())
+      .build()
+    val r = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("api server: /health, /hello, sync and async job triggers") {
+    val store = Files.createTempDirectory("graft_api_store").toString + "/st"
+    val srv = new graft.jobs.ApiServer(
+      () => IngestionJob.run(spark, fixture, store)).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      assert(httpGet(s"$base/health") === (200, """{"status": "ok"}"""))
+      assert(httpGet(s"$base/hello") === (200,
+        """{"message": "RandomUser ingestion service is running"}"""))
+
+      // sync: runs inline, metrics in the response
+      val (sc, sb) = httpPost(s"$base/jobs/ingestion/sync")
+      assert(sc === 200)
+      assert(sb.contains(""""status": "completed""""))
+      assert(sb.contains(""""rows_fetched": 6"""))
+      assert(sb.contains(""""rows_after_dedup": 5"""))
+      assert(sb.contains(""""http_status": null""")) // fixture: observed-absent
+
+      // async: immediate queued response, job completes in background
+      val before = srv.backgroundCompleted.get()
+      val (ac, ab) = httpPost(s"$base/jobs/ingestion")
+      assert((ac, ab) === (200, """{"status": "queued"}"""))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (srv.backgroundCompleted.get() == before &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(srv.backgroundCompleted.get() === before + 1)
+
+      // method/path contracts
+      assert(httpGet(s"$base/jobs/ingestion")._1 === 405)
+      assert(httpGet(s"$base/nope")._1 === 404)
+    } finally srv.stop()
+  }
+
   test("fixture path reports transport metrics as absent, not invented") {
     val store = Files.createTempDirectory("graft_fx_store").toString + "/st"
     val metrics = IngestionJob.run(spark, fixture, store)
