@@ -14,11 +14,12 @@ import org.apache.spark.sql.SparkSession
   *    "errors" object in the JSON (value -1 in "queries") so a breakage can
   *    never read as a fast run;
   *  - each query runs TWICE and the MINIMUM is recorded (standard
-  *    steady-state practice): one-shot wall times of checkpoint/iterative
-  *    queries vary ±40% run-to-run from fs/scheduler noise, which is
-  *    exactly the noise a recorded baseline must exclude to make the
-  *    round-over-round 2× comparison meaningful. BASELINE.md is recorded
-  *    with the same policy;
+  *    steady-state practice); the four checkpoint-backed queries (q45's
+  *    driver loop, q63/q64/q65's streaming state dirs) run THREE times —
+  *    their one-shot wall times vary ±40% run-to-run from fs/scheduler
+  *    noise, which is exactly the noise a recorded baseline must exclude
+  *    to make the round-over-round 2× comparison meaningful (VERDICT r3
+  *    #8). BASELINE.md is recorded with the same policy;
   *  - the measured action is a `noop`-format write, NOT `count()`: under a
   *    count, Catalyst prunes every column the count doesn't need — a
   *    window whose output no filter consumes (q54's as-of column, q09's
@@ -57,8 +58,15 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     var errors = List.empty[(String, String)]
+    // Checkpoint-backed queries (driver-loop localCheckpoint or streaming
+    // RocksDB/HDFS state dirs) see ±40% one-shot variance from fs/scheduler
+    // noise (BASELINE.md) — min-of-3 for JUST those, min-of-2 elsewhere, so
+    // the recorded number reflects the plan, not the filesystem's mood.
+    val checkpointBacked = Set("q45_dup_clusters", "q63_stream_upsert",
+      "q64_stream_stream_join", "q65_stream_tws")
     val results = names.map { name =>
-      val times = (1 to 2).flatMap { _ =>
+      val runs = if (checkpointBacked(name)) 3 else 2
+      val times = (1 to runs).flatMap { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =

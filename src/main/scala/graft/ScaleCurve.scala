@@ -36,11 +36,14 @@ object ScaleCurve {
     val queries = Seq(
       "q01_agg", "q04_join_large", "q08_window_topk", "q28_topk_agg",
       "q22_secure_transform", "q29_salted_join", "q31_exact_dedup",
-      "q34_minhash_lsh", "q36_simhash", "q37_winnow_fingerprint",
-      "q40_cosine_topk", "q44_ann_ivf", "q45_dup_clusters",
+      "q34_minhash_lsh", "q35_ngram_jaccard", "q36_simhash",
+      "q37_winnow_fingerprint",
+      "q40_cosine_topk", "q41_ann_lsh", "q44_ann_ivf", "q45_dup_clusters",
       "q54_asof_join", "q49_vocabulary",
-      "q58_bm25", "q74_ann_pq", "q75_bloom_join", "q76_cdc_merge",
-      "q78_contamination")
+      "q57_tfidf", "q58_bm25", "q59_unigram_quality",
+      "q74_ann_pq", "q75_bloom_join", "q76_cdc_merge",
+      "q77_key_skew_profile", "q78_contamination", "q79_sequence_packing",
+      "q80_range_join", "q81_ann_ivfpq")
 
     println(f"${"query"}%-18s ${"sf"}%-8s ${"sec"}%8s ${"shuffleMB"}%10s")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); name <- queries) {

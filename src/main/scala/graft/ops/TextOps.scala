@@ -452,30 +452,46 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Append per-posting document frequency and drop "stop shingles" with
-    * df > dfCap from an exploded (doc_id, s) posting stream. Bounds every
-    * posting list — and therefore the inverted-index join's per-key fanout
-    * (df², the quadratic term) — by a constant. Candidate-generation-only:
-    * callers verify surviving pairs against FULL shingle sets, so emitted
-    * pairs and jaccard values are unchanged provided every qualifying pair
-    * shares at least one below-cap shingle (the prefix-filtering safety
-    * condition: a jaccard ≥ 0.5 pair shares ~half its shingles, so it
-    * would need EVERY shared shingle to be corpus-hot to be lost —
-    * TextOpsSpec asserts capped ≡ uncapped on its corpus, and the driver's
-    * sf0.01 oracle run re-proves it on the real tables every round). */
+  /** Drop "stop shingles" with df > dfCap from an exploded (doc_id, s)
+    * posting stream. Bounds every posting list — and therefore the
+    * inverted-index join's per-key fanout (df², the quadratic term) — by a
+    * constant. Candidate-generation-only: callers verify surviving pairs
+    * against FULL shingle sets, so emitted pairs and jaccard values are
+    * unchanged provided every qualifying pair shares at least one
+    * below-cap shingle (the prefix-filtering safety condition: a jaccard
+    * ≥ 0.5 pair shares ~half its shingles, so it would need EVERY shared
+    * shingle to be corpus-hot to be lost — TextOpsSpec asserts capped ≡
+    * uncapped on its corpus, and the driver's sf0.01 oracle run re-proves
+    * it on the real tables every round).
+    *
+    * Mechanism: df is a groupBy aggregate (map-side partials — the shuffle
+    * carries distinct shingles, not postings; a df WINDOW here shuffled
+    * the whole posting stream by shingle and 8×'d q34's exchange), and the
+    * hot list — at most postings/dfCap entries BY CONSTRUCTION, i.e. tiny
+    * — broadcasts into an anti-join, so the posting stream itself never
+    * moves for the cap. */
   private def capDf(posts: DataFrame, dfCap: Int): DataFrame =
     if (dfCap == Int.MaxValue) posts
-    else posts
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("_df") <= dfCap)
-      .drop("_df")
+    else {
+      val hot = posts.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > dfCap)
+        .select(col("s"))
+      posts.join(broadcast(hot), Seq("s"), "left_anti")
+    }
 
-  /** Exact pairwise Jaccard with stop-shingle candidate pruning: the
-    * inverted index is built over the df-capped posting stream (one extra
-    * shuffle for the df window), candidate pairs come from bounded posting
-    * lists, and the FULL shingle sets verify each candidate. At 100 TB the
-    * uncapped index's hottest shingle joins df² pairs through one key —
-    * the cap turns the worst key from corpus-sized into a constant.
+  /** Exact pairwise Jaccard with stop-shingle candidate pruning.
+    *
+    * The capped inverted index yields candidate pairs and their LOW-DF
+    * intersection count in one aggregate (exactly the uncapped
+    * formulation's shape, just over bounded posting lists). The true
+    * intersection additionally contains at most min(hot_a, hot_b) capped
+    * shingles, giving a cheap per-pair UPPER BOUND on jaccard — only
+    * pairs whose bound clears the threshold fetch full shingle arrays for
+    * exact verification (emitted pairs are ~threshold-survivors, so the
+    * array join touches a negligible row count; everything else is
+    * decided from counts alone). At 100 TB the uncapped index's hottest
+    * shingle joins df² pairs through one key — the cap turns the worst
+    * key from corpus-sized into a constant.
     * Input: (doc_id, sh). Output: (id_a, id_b, jaccard), id_a < id_b. */
   def exactJaccardPairsCapped(docs: DataFrame, threshold: Double,
       dfCap: Int): DataFrame = {
@@ -484,10 +500,26 @@ object TextOps {
     val kept = capDf(posts, dfCap)
     val ka = kept.select(col("doc_id").as("id_a"), col("s"))
     val kb = kept.select(col("doc_id").as("id_b"), col("s"))
-    val cand = ka.join(kb, ka("s") === kb("s") && col("id_a") < col("id_b"))
+    val interLow = ka.join(kb, ka("s") === kb("s") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni_low"))
+    // per-doc shingle count + how many of them are capped-out ("hot"):
+    // sz from the array, low count from the kept stream
+    val stats = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+      .join(kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_low")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("sz"),
+        (col("sz") - coalesce(col("n_low"), lit(0L))).as("n_hot"))
+    val bounded = interLow
+      .join(stats.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
+        col("n_hot").as("hot_a")), "id_a")
+      .join(stats.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
+        col("n_hot").as("hot_b")), "id_b")
+      .withColumn("ni_max", col("ni_low") + least(col("hot_a"), col("hot_b")))
+      // jaccard is increasing in ni, so ni ≤ ni_max bounds it above
+      .filter(col("ni_max") / (col("sz_a") + col("sz_b") - col("ni_max"))
+        >= threshold)
       .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    verifyJaccardCandidates(cand, docs, threshold)
+    verifyJaccardCandidates(bounded, docs, threshold)
   }
 
   /** MinHash signatures + banded LSH + exact-Jaccard verification of the

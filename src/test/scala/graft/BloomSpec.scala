@@ -50,4 +50,21 @@ class BloomSpec extends SparkSpec {
     assert(candidates < 6000, s"no pruning: $candidates")
     assert(candidates >= exact.size) // superset property
   }
+
+  test("q78's plan carries the bloom probe below the exact semi-join") {
+    val df = SparkEntry.queries("q78_contamination")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan.toString
+    val probeAt = plan.indexOf("might_contain")
+    val joinAt = plan.indexOf("Join LeftSemi")
+    assert(probeAt >= 0, "bloom probe missing from the plan")
+    assert(joinAt >= 0, "exact semi-join missing from the plan")
+    // textual order: children print BELOW their parents, so the probe
+    // filter (inside the semi-join's left child) must appear after it
+    assert(probeAt > joinAt, "bloom probe is not below the exact semi-join")
+    // and the composition changes nothing: 250 eval docs, hash-identical
+    // output is the driver oracle's job — here assert rows + schema
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "n_shared", "contaminated"))
+  }
 }
