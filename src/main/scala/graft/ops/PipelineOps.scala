@@ -312,6 +312,51 @@ object PipelineOps {
               SELECT cluster_id, count(*) AS n_docs
               FROM lbl GROUP BY cluster_id ORDER BY cluster_id""")),
 
+    // ---- the PRODUCTION dedup composition (SCALING.md's q45 caveat made
+    // real): cluster resolution fed by the LSH candidate path instead of
+    // the exact inverted-index join — detection cost ∝ band collisions,
+    // not df² posting fanout. The oracle is q45's recursive transitive
+    // closure over EXACT pairs, which this must equal because q34 proves
+    // LSH pairs ≡ exact pairs on these tables every round (banding
+    // P ≥ 0.97 at j ≥ 0.8 + full-set verification of candidates).
+    Q("q45b_dup_clusters_lsh",
+      (s, d) => {
+        val sh = TextOps.docsWithShingles(s, d)
+        val pairs = TextOps.minHashLshPairs(sh, 0.5, dfCap = 16)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        connectedComponents(pairs)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+                i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+              FROM documents),
+              e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+              sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
+              inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5),
+              edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              tc(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT tc.a, e2.b FROM tc JOIN edges e2 ON tc.b = e2.a),
+              lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+                      FROM tc GROUP BY a)
+              SELECT cluster_id, count(*) AS n_docs
+              FROM lbl GROUP BY cluster_id ORDER BY cluster_id""")),
+
     // ---- deterministic stratified train/valid/test split (80/10/10): the
     // split key is a multiplicative hash of doc_id, NOT a random() — so
     // the split is reproducible run-to-run, stable under corpus growth

@@ -32,6 +32,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(components(Seq((2L, 7L))) === Map(2L -> 2L, 7L -> 2L))
   }
 
+  test("LSH-fed cluster resolution equals the exact-pair formulation") {
+    // the production composition (q45b) must resolve the same clusters as
+    // the exact inverted-index path (q45) — same docs, same labels
+    val d = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q45_dup_clusters")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val lsh = SparkEntry.queries("q45b_dup_clusters_lsh")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(lsh === exact)
+    assert(lsh.nonEmpty)
+  }
+
   test("stratified split is deterministic and moves no doc across runs") {
     val d = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q46_train_test_split")
