@@ -67,6 +67,12 @@ object ProfileR4 {
       val idx = VectorOps.pqTrain(c, dim = 64, m = 8, k = 16)
       noop(idx.index)
     }
+    time("q74.probe_only") {
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.filter(col("vec_id") >= 10)
+      noop(VectorOps.pqTopK(
+        VectorOps.pqTrain(c, dim = 64, m = 8, k = 16), q, k = 30))
+    }
     time("q74.train_probe_rerank") {
       val q = e.filter(col("vec_id") < 10)
       val c = e.filter(col("vec_id") >= 10)

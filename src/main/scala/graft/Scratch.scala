@@ -2,20 +2,28 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway dev harness — run one query by name: runMain graft.Scratch <q> <sfDir>. */
+/** Dev scratch main: time named catalog queries with the Bench policy
+  * (min-of-2, cache-cleared, noop write). Usage:
+  * `runMain graft.Scratch <sfDir> q44_ann_ivf q74_ann_pq ...` */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val sf = args.head
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val name = args(0)
-    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val df = SparkEntry.queries(name)(spark, sf)
-    df.show(10, truncate = false)
-    println("ROWS=" + df.count())
-    if (args.length > 2 && args(2) == "explain") df.explain("formatted")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    args.tail.foreach { name =>
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sf)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIME $name%-24s ${times.min}%8.2f s  (${times.map(t => f"$t%.2f").mkString(", ")})")
+    }
     spark.stop()
   }
 }

@@ -1,13 +1,13 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Vector math as native codegen'd Catalyst expressions.
   *
@@ -82,6 +82,119 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encoder: one embedding → `m` codebook-entry ids in
+  * a single tight loop. Per subspace `mm`, code = argmin_j |x_mm − c_mmj|²
+  * = argmax_j (2·x_mm·c_mmj − |c_mmj|²); ties break to the LARGER j (the
+  * contract of the struct-max formulation this replaces).
+  *
+  * Why an expression and not composed column math: the m·k per-entry
+  * scores as flat projection columns get re-collapsed by CollapseProject
+  * into one giant projection that overflows the codegen thresholds and
+  * falls back interpreted (measured 2× slower than even interpreted
+  * zip_with lambdas). Here the codebooks ride along as a reference object
+  * and the whole encode is one generated loop nest — no intermediate
+  * arrays, no lambda dispatch, never leaves whole-stage codegen.
+  */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  private val m = codebooks.size
+  private val k = codebooks.head.size
+  private val subDim = codebooks.head.head.size
+  // [mm][j][i] flattened at (mm·k + j)·subDim + i
+  private lazy val flat: Array[Double] =
+    codebooks.flatten.flatten.toArray
+  private lazy val norms2: Array[Double] =
+    codebooks.flatMap(_.map(_.map(x => x * x).sum)).toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (codebooks.nonEmpty && codebooks.forall(cb =>
+        cb.size == k && cb.forall(_.size == subDim)))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName: ragged codebooks")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val codes = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        var s = 0.0
+        val base = (mm * k + j) * subDim
+        var i = 0
+        while (i < subDim) {
+          val xv = if (isF) x.getFloat(mm * subDim + i).toDouble
+                   else x.getDouble(mm * subDim + i)
+          s += xv * flat(base + i)
+          i += 1
+        }
+        val score = 2.0 * s - norms2(mm * k + j)
+        if (score >= bestS) { bestS = score; best = j }
+        j += 1
+      }
+      codes(mm) = best
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val normRef = ctx.addReferenceObj("pqNorms", norms2, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val codes = ctx.freshName("codes")
+      val mm = ctx.freshName("mm")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bestS = ctx.freshName("bestS")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val score = ctx.freshName("score")
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $mm = 0; $mm < $m; $mm++) {
+         |  int $best = 0;
+         |  double $bestS = Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    double $s = 0.0;
+         |    int $base = ($mm * $k + $j) * $subDim;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      $s += (double) $x.$get($mm * $subDim + $i) * $flatRef[$base + $i];
+         |    }
+         |    double $score = 2.0 * $s - $normRef[$mm * $k + $j];
+         |    if ($score >= $bestS) { $bestS = $score; $best = $j; }
+         |  }
+         |  $codes[$mm] = $best;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** dot(a, b) over array<float|double>, computed in double. */
   def dotFast(a: Column, b: Column): Column =
@@ -89,4 +202,8 @@ object VectorExprs {
       ArrayDotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   def l2Norm(a: Column): Column = sqrt(dotFast(a, a))
+
+  /** PQ-encode an embedding into its m codebook-entry ids. */
+  def pqEncode(emb: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnShim.column(PqEncode(ColumnShim.expression(emb), codebooks))
 }
