@@ -38,8 +38,8 @@ object ScaleCurve {
       "q22_secure_transform", "q29_salted_join", "q31_exact_dedup",
       "q34_minhash_lsh", "q35_ngram_jaccard", "q36_simhash",
       "q37_winnow_fingerprint",
-      "q40_cosine_topk", "q41_ann_lsh", "q44_ann_ivf", "q45_dup_clusters",
-      "q45b_dup_clusters_lsh",
+      "q40_cosine_topk", "q41_ann_lsh", "q42b_embed_neardup_lsh",
+      "q44_ann_ivf", "q45_dup_clusters", "q45b_dup_clusters_lsh",
       "q54_asof_join", "q49_vocabulary",
       "q57_tfidf", "q58_bm25", "q59_unigram_quality",
       "q74_ann_pq", "q75_bloom_join", "q76_cdc_merge",

@@ -129,6 +129,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(actual == expected, s"actual=$actual expected=$expected")
   }
 
+  test("LSH near-dup equals the exact all-pairs scan on a dup-seeded corpus") {
+    // 60 random-ish vectors + a scaled copy of each: true pairs = the 60
+    // (i, i+1000) duplicates (organic cross-pairs sit far below 0.99)
+    val rng = new scala.util.Random(11)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)((rng.nextDouble() - 0.5).toFloat)))
+    val rows = base ++ base.map { case (id, v) =>
+      (id + 1000L, v.map(x => x * 2.0f)) }
+    val df = rows.toDF("vec_id", "embedding")
+    val lsh = VectorOps.embedNearDupLsh(df, dim = 8, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact all-pairs reference (q42's formulation)
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(VectorOps.cosine(col("ea"), col("eb")) >= 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+    assert(lsh.size === 60)
+  }
+
   test("PQ codes compress to M small ints and training is deterministic") {
     val rows = (0 until 40).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i % 4) + j * 0.1).toFloat)))
