@@ -44,7 +44,8 @@ object ScaleCurve {
       "q57_tfidf", "q58_bm25", "q59_unigram_quality",
       "q74_ann_pq", "q75_bloom_join", "q76_cdc_merge",
       "q77_key_skew_profile", "q78_contamination", "q79_sequence_packing",
-      "q80_range_join", "q81_ann_ivfpq")
+      "q80_range_join", "q81_ann_ivfpq", "q82_boilerplate_score",
+      "q84_bpe_merge_rank")
 
     println(f"${"query"}%-18s ${"sf"}%-8s ${"sec"}%8s ${"shuffleMB"}%10s")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); name <- queries) {

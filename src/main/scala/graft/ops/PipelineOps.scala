@@ -396,6 +396,120 @@ object PipelineOps {
                 '[a-z0-9]+')) AS t FROM documents)
               GROUP BY t ORDER BY freq DESC, token ASC LIMIT 100""")),
 
+    // ---- boilerplate-contamination score (q82): the RefinedWeb-style
+    // corpus-level heuristic — a doc whose distinct trigrams are mostly
+    // CORPUS-HOT (df > 10% of docs) is boilerplate/template matter, not
+    // content. Hot-gram detection is a partial-agg over the posting stream
+    // (shuffle carries distinct grams, not text — the q34 df-cap shape);
+    // the hot set is corpus-bounded-small and broadcasts into the per-doc
+    // count join; corpus size enters as a scalar subquery, so the 10%
+    // threshold is scale-relative, not a magic absolute.
+    Q("q82_boilerplate_score",
+      (s, d) => {
+        val sh = TextOps.docsWithShingles(s, d)
+        val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val nDocs = sh.agg(count(lit(1)).as("n")).scalar()
+        val hot = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > lit(0.1) * nDocs)
+          .select(col("g"))
+        val hotPerDoc = posts.join(broadcast(hot), Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+        sh.select(col("doc_id"), size(col("sh")).as("n_grams"))
+          .join(hotPerDoc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+          .withColumn("hot_ratio", round(col("n_hot") /
+            greatest(col("n_grams"), lit(1)).cast("double"), 6))
+          .withColumn("keep", col("n_hot") /
+            greatest(col("n_grams"), lit(1)).cast("double") < 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+                i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+              FROM documents),
+              e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+              hot AS (SELECT g FROM e GROUP BY g
+                      HAVING count(*) > 0.1 * (SELECT count(*) FROM t)),
+              h AS (SELECT doc_id, count(*) AS n_hot FROM e
+                    WHERE g IN (SELECT g FROM hot) GROUP BY doc_id)
+              SELECT t.doc_id, CAST(len(sh) AS INTEGER) AS n_grams,
+                CAST(coalesce(n_hot, 0) AS BIGINT) AS n_hot,
+                round(coalesce(n_hot, 0) /
+                  greatest(len(sh), 1)::DOUBLE, 6) AS hot_ratio,
+                coalesce(n_hot, 0) /
+                  greatest(len(sh), 1)::DOUBLE < 0.5 AS keep
+              FROM t LEFT JOIN h ON t.doc_id = h.doc_id
+              ORDER BY t.doc_id""")),
+
+    // ---- domain-mixture sampling weights (q83): the data-mixing step of
+    // pretraining — per-domain (lang) token counts → multinomial sampling
+    // weights with α = 0.5 smoothing (XLM-R's exponent: upweights
+    // low-resource domains relative to their raw share). Two tiny
+    // aggregates enter as broadcast scalars; everything is one pass over
+    // the corpus. At 100 TB this IS the job that decides the sampler's
+    // per-shard draw probabilities.
+    Q("q83_domain_mixture",
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .select(col("lang"), size(TextOps.toks(col("text"))).as("n"))
+          .groupBy(col("lang")).agg(sum(col("n")).as("tok"))
+        val tot = per.agg(sum(col("tok")).as("tot"))
+        val withP = per.crossJoin(broadcast(tot))
+          .withColumn("p", col("tok") / col("tot"))
+          .withColumn("w_raw", sqrt(col("p")))
+        val z = withP.agg(sum(col("w_raw")).as("z"))
+        withP.crossJoin(broadcast(z))
+          .select(col("lang"), col("tok"),
+            round(col("p"), 6).as("p"),
+            round(col("w_raw") / col("z"), 6).as("weight"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH per AS (
+                SELECT lang, CAST(sum(len(regexp_extract_all(lower(text),
+                  '[a-z0-9]+'))) AS BIGINT) AS tok
+                FROM documents GROUP BY lang),
+              t AS (SELECT CAST(sum(tok) AS BIGINT) AS tot FROM per),
+              w AS (SELECT lang, tok, tok / (tot * 1.0) AS p,
+                      sqrt(tok / (tot * 1.0)) AS w_raw FROM per, t),
+              z AS (SELECT sum(w_raw) AS z FROM w)
+              SELECT lang, tok, round(p, 6) AS p,
+                round(w_raw / z, 6) AS weight
+              FROM w, z ORDER BY lang""")),
+
+    // ---- BPE-style merge ranking (q84): tokenizer training's inner-loop
+    // decision — count adjacent token pairs corpus-wide, rank merge
+    // candidates by frequency. One posexplode + per-doc lead() window
+    // (partitioned by doc — parallel), then partial+final count agg where
+    // the shuffle carries (pair, partial) rows; global top-20 via
+    // TakeOrderedAndProject. The real BPE loop re-runs this after each
+    // merge; each iteration is this exact query shape.
+    Q("q84_bpe_merge_rank",
+      (s, d) => {
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(TextOps.toks(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+          .filter(col("nxt").isNotNull)
+          .select(concat_ws(" ", col("tok"), col("nxt")).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("pair").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+              pairs AS (
+                SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i+1])) AS pair
+                FROM t WHERE len(tk) >= 2)
+              SELECT pair, count(*) AS freq FROM pairs
+              GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 20""")),
+
     // ---- composed quality filter (Gopher-style heuristic rules: token
     // count bounds, mean word length, stopword presence, symbol ratio) —
     // per-doc rule verdicts plus the composed keep decision, all built-in

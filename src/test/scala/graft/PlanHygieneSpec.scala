@@ -59,5 +59,49 @@ class PlanHygieneSpec extends SparkSpec {
       .select(graft.expr.VectorExprs.dotFast(col("v"), col("v")))
       .queryExecution.executedPlan.toString
     assert(pDot.contains("*(1) Project"), pDot)
+    val cb = Seq.fill(2)(Seq.fill(4)(Seq(0.1, 0.2)))
+    val pPq = spark.range(4)
+      .selectExpr("array(cast(id as double), cast(id as double), " +
+        "cast(id as double), cast(id as double)) as v")
+      .select(graft.expr.VectorExprs.pqEncode(col("v"), cb))
+      .queryExecution.executedPlan.toString
+    assert(pPq.contains("*(1) Project"), pPq)
+  }
+
+  test("q34/q35: the df-cap's hot-shingle side broadcasts (no posting re-shuffle)") {
+    // the stop-shingle anti-join must enter as a BroadcastExchange of the
+    // tiny hot set — a df WINDOW here would instead shuffle the whole
+    // posting stream by shingle (the round-4 redesign this guards)
+    for (q <- Seq("q34_minhash_lsh", "q35_ngram_jaccard")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") &&
+        p.contains("LeftAnti, BuildRight"), s"$q:\n$p")
+    }
+  }
+
+  test("q42b: the LSH bucket join shuffles ids, never embeddings") {
+    // candidate generation exchanges carry (band, bucket, vec_id) — the
+    // embedding column must only appear in exchanges AFTER the candidate
+    // pair join (the verification fetch)
+    val df = SparkEntry.queries("q42b_embed_neardup_lsh")(spark, sf)
+    // the candidate-generation join (keyed on band+bucket) is what moves
+    // between executors — neither of its inputs may carry an embedding
+    // column; full vectors enter only in the post-candidate fetch joins
+    val bucketJoins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.exists(_.toString.contains("bucket")) => j
+    }
+    assert(bucketJoins.nonEmpty, "bucket-keyed join not found")
+    assert(bucketJoins.forall(j =>
+      !(j.left.output ++ j.right.output).exists(_.name.contains("embedding"))),
+      bucketJoins.map(j => (j.left.output ++ j.right.output)
+        .map(_.name).mkString(",")).mkString("\n"))
+  }
+
+  test("q81: the ADC probe join broadcasts queries and never exchanges codes") {
+    // the index side of the probed-cell join must stream (cell-pruned scan
+    // at scale); only the query side (tables + probed cells) broadcasts
+    val p = plan("q81_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 }
