@@ -357,6 +357,138 @@ object PipelineOps {
               SELECT cluster_id, count(*) AS n_docs
               FROM lbl GROUP BY cluster_id ORDER BY cluster_id""")),
 
+    // ---- canonical-doc selection (q85): dedup's LAST step — pair
+    // detection (q34/q35) and cluster closure (q45) decide WHICH docs are
+    // duplicates; this decides which ONE survives. Representative =
+    // argmax token count per cluster (content-richest copy), doc_id
+    // tie-break — a per-cluster window over the (tiny) clustered-docs
+    // set, not the corpus. The oracle recomputes clusters with q45's
+    // recursive CTE and the same argmax.
+    Q("q85_canonical_docs",
+      (s, d) => {
+        val sh = TextOps.docsWithShingles(s, d)
+        val pairs = TextOps.exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val labels = connectedComponents(pairs)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), size(TextOps.toks(col("text"))).as("n_tok"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_tok").desc, col("doc_id").asc)
+        labels.withColumnRenamed("node", "doc_id")
+          .join(toks, Seq("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+            col("n_tok").as("kept_tok"))
+          .orderBy(col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+                i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+              FROM documents),
+              e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+              sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
+              inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              prs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5),
+              edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                        UNION SELECT id_b, id_a FROM prs),
+              tc(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT tc.a, e2.b FROM tc JOIN edges e2 ON tc.b = e2.a),
+              lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                      FROM tc GROUP BY a),
+              scored AS (
+                SELECT cluster_id, l.doc_id,
+                  len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS n_tok
+                FROM lbl l JOIN documents d ON l.doc_id = d.doc_id),
+              ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY n_tok DESC, doc_id ASC) AS rn
+                FROM scored)
+              SELECT cluster_id, doc_id AS kept_doc,
+                CAST(n_tok AS INTEGER) AS kept_tok
+              FROM ranked WHERE rn = 1 ORDER BY cluster_id""")),
+
+    // ---- leakage-safe train/valid/test split (q86): q46 splits by doc
+    // hash, which can put two NEAR-DUPLICATES on opposite sides of the
+    // train/eval boundary — exactly the contamination q78 exists to catch.
+    // Splitting by the hash of the doc's dup-CLUSTER label (own id for
+    // singletons) pins every duplicate class to one split BY CONSTRUCTION.
+    // Same multiplicative hash as q46 (deterministic, growth-stable,
+    // oracle-mirrorable); the label join is clustered-docs-sized and
+    // broadcast-friendly.
+    Q("q86_leakage_safe_split",
+      (s, d) => {
+        val sh = TextOps.docsWithShingles(s, d)
+        val pairs = TextOps.exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val labels = connectedComponents(pairs)
+          .withColumnRenamed("node", "doc_id")
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(broadcast(labels), Seq("doc_id"), "left_outer")
+          .withColumn("label", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("bucket",
+            col("label") * lit(2654435761L) % 1000000007L % 100)
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "valid").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("label")).as("n_groups"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH RECURSIVE t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+                i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+              FROM documents),
+              e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+              sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
+              inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              prs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5),
+              edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                        UNION SELECT id_b, id_a FROM prs),
+              tc(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT tc.a, e2.b FROM tc JOIN edges e2 ON tc.b = e2.a),
+              lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                      FROM tc GROUP BY a),
+              lab AS (
+                SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS label
+                FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+              sp AS (
+                SELECT doc_id, label, CASE
+                  WHEN (label * 2654435761) % 1000000007 % 100 < 80
+                    THEN 'train'
+                  WHEN (label * 2654435761) % 1000000007 % 100 < 90
+                    THEN 'valid'
+                  ELSE 'test' END AS split
+                FROM lab)
+              SELECT split, count(*) AS n_docs,
+                count(DISTINCT label) AS n_groups
+              FROM sp GROUP BY split ORDER BY split""")),
+
     // ---- deterministic stratified train/valid/test split (80/10/10): the
     // split key is a multiplicative hash of doc_id, NOT a random() — so
     // the split is reproducible run-to-run, stable under corpus growth

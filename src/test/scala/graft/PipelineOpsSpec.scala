@@ -44,6 +44,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("leakage-safe split never separates a near-dup pair (q86 invariant)") {
+    val d = "/root/testdata/sf0.001"
+    val pairs = SparkEntry.queries("q35_ngram_jaccard")(spark, d)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus has no near-dup pairs to test")
+    // recompute each doc's split with q86's label rule
+    val labels = PipelineOps.connectedComponents(
+        pairs.toSeq.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def split(doc: Long): String = {
+      val label = labels.getOrElse(doc, doc)
+      val b = label * 2654435761L % 1000000007L % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"pair ($a,$b) split across sets")
+    }
+  }
+
   test("stratified split is deterministic and moves no doc across runs") {
     val d = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q46_train_test_split")
