@@ -367,7 +367,10 @@ object PipelineOps {
     Q("q85_canonical_docs",
       (s, d) => {
         val sh = TextOps.docsWithShingles(s, d)
-        val pairs = TextOps.exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
+        // pairs from the production LSH path (q34 proves ≡ exact pairs on
+        // these tables every round; the oracle independently recomputes
+        // exact pairs, so any divergence fails the gate)
+        val pairs = TextOps.minHashLshPairs(sh, 0.5, dfCap = 16)
           .select(col("id_a").as("a"), col("id_b").as("b"))
         val labels = connectedComponents(pairs)
         val toks = Tables.documents(s, d)
@@ -431,7 +434,8 @@ object PipelineOps {
     Q("q86_leakage_safe_split",
       (s, d) => {
         val sh = TextOps.docsWithShingles(s, d)
-        val pairs = TextOps.exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
+        // production LSH pair feed, like q45b/q85 (oracle-checked ≡ exact)
+        val pairs = TextOps.minHashLshPairs(sh, 0.5, dfCap = 16)
           .select(col("id_a").as("a"), col("id_b").as("b"))
         val labels = connectedComponents(pairs)
           .withColumnRenamed("node", "doc_id")
