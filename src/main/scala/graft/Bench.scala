@@ -112,7 +112,21 @@ object Bench {
     } catch { case _: Throwable => () } // detail file is best-effort
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
+    // The driver parses the LAST stdout JSON line; BENCH_r2-r4 all recorded
+    // "parsed": null because Spark's shutdown logging and sbt's success
+    // banner landed after (or interleaved with) the metric line. Defense in
+    // depth (VERDICT r4 #3): (a) stop Spark FIRST so no executor/shutdown
+    // chatter can follow the line, (b) also persist the identical line as
+    // bench_out.json for file-based pickup, (c) print to the raw FileDescriptor
+    // stdout stream, flushed, as the process's final output.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    val out = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    out.println(line)
+    out.flush()
   }
 }

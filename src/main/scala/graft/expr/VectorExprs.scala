@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Vector math as native codegen'd Catalyst expressions.
   *
@@ -98,9 +98,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     extends UnaryExpression {
 
+  // lazy so an empty/ragged codebooks seq surfaces as a TypeCheckFailure
+  // from checkInputDataTypes instead of a constructor NoSuchElementException
+  // (ADVICE r4: the nonEmpty guard there was unreachable otherwise)
   private val m = codebooks.size
-  private val k = codebooks.head.size
-  private val subDim = codebooks.head.head.size
+  private lazy val k = codebooks.head.size
+  private lazy val subDim = codebooks.head.head.size
   // [mm][j][i] flattened at (mm·k + j)·subDim + i
   private lazy val flat: Array[Double] =
     codebooks.flatten.flatten.toArray
@@ -195,6 +198,322 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     copy(child = newChild)
 }
 
+/** Hyperplane-LSH band keys in ONE expression: bit i of band b is the sign
+  * of dot(x, plane[b·bitsPerBand+i]); key = Σ bit·2^(bitsPerBand−1−i).
+  * Output: array<long> of `bands` keys.
+  *
+  * Replaces nBits separate ArrayDotProduct columns each dragging its own
+  * boxed plane Literal through the plan (VERDICT r4 #4: "Broadcasting
+  * large task binary" — every stage re-ships the whole expression tree).
+  * Here the plane matrix rides along ONCE as a primitive double[]
+  * (compact Java serialization, one codegen reference object) and the
+  * generated code is one loop nest instead of nBits unrolled dot loops —
+  * smaller task binaries, far less codegen to compile per query.
+  */
+case class HyperplaneBands(child: Expression, flatPlanes: Array[Double],
+    nBits: Int, bands: Int) extends UnaryExpression {
+
+  private val bitsPerBand = nBits / bands
+  private val dim = if (nBits == 0) 0 else flatPlanes.length / nBits
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hyperplane_bands"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (nBits > 0 && bands > 0 && nBits % bands == 0 &&
+        flatPlanes.length == nBits * dim)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: nBits must be a positive multiple of bands and " +
+          s"planes must be nBits x dim")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val n = math.min(dim, x.numElements())
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var i = 0
+      while (i < bitsPerBand) {
+        val p = (b * bitsPerBand + i) * dim
+        var s = 0.0
+        var jj = 0
+        while (jj < n) {
+          val xv = if (isF) x.getFloat(jj).toDouble else x.getDouble(jj)
+          s += xv * flatPlanes(p + jj)
+          jj += 1
+        }
+        if (s >= 0.0) key += (1L << (bitsPerBand - 1 - i))
+        i += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val planesRef = ctx.addReferenceObj("hplanes", flatPlanes, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val keys = ctx.freshName("keys")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val jj = ctx.freshName("jj")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val key = ctx.freshName("key")
+      s"""
+         |long[] $keys = new long[$bands];
+         |int $n = java.lang.Math.min($dim, $x.numElements());
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $key = 0L;
+         |  for (int $i = 0; $i < $bitsPerBand; $i++) {
+         |    int $p = ($b * $bitsPerBand + $i) * $dim;
+         |    double $s = 0.0;
+         |    for (int $jj = 0; $jj < $n; $jj++) {
+         |      $s += (double) $x.$get($jj) * $planesRef[$p + $jj];
+         |    }
+         |    if ($s >= 0.0) $key += (1L << ($bitsPerBand - 1 - $i));
+         |  }
+         |  $keys[$b] = $key;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBands = copy(child = newChild)
+}
+
+/** Top-`nProbe` centroid ids by dot score (desc; ties to the LARGER cell id
+  * — the ordering contract of the struct-sort formulation this replaces).
+  * Output: array<int>, length min(nProbe, nCells).
+  *
+  * Replaces the withCellScores/cellRank pattern (nCells flat dot columns +
+  * an array_sort over literal structs): one primitive centroid matrix, one
+  * generated loop, no lambdas — which also retires the
+  * DeduplicateRelations HOF-capture hazard those flat columns existed to
+  * dodge. Selection is O(nCells·nProbe) — both are small by construction.
+  */
+case class TopCells(child: Expression, flatCentroids: Array[Double],
+    nCells: Int, nProbe: Int) extends UnaryExpression {
+
+  private val dim = if (nCells == 0) 0 else flatCentroids.length / nCells
+  private val nOut = math.min(nProbe, nCells)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_top_cells"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (nCells > 0 && nProbe > 0 && flatCentroids.length == nCells * dim)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: nCells/nProbe must be positive and centroids " +
+          s"must be nCells x dim")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val n = math.min(dim, x.numElements())
+    val scores = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+        s += xv * flatCentroids(c * dim + i)
+        i += 1
+      }
+      scores(c) = s
+      c += 1
+    }
+    val out = new Array[Int](nOut)
+    val taken = new Array[Boolean](nCells)
+    var r = 0
+    while (r < nOut) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var j = 0
+      while (j < nCells) {
+        // ties break to the larger cell id: strict > while scanning
+        // ascending keeps the LAST maximal j … so scan with >=
+        if (!taken(j) && (best < 0 || scores(j) >= bestS)) {
+          bestS = scores(j); best = j
+        }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val centRef = ctx.addReferenceObj("topCellsCents", flatCentroids, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val scores = ctx.freshName("scores")
+      val taken = ctx.freshName("taken")
+      val out = ctx.freshName("cells")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val r = ctx.freshName("r")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val bestS = ctx.freshName("bestS")
+      s"""
+         |double[] $scores = new double[$nCells];
+         |int $n = java.lang.Math.min($dim, $x.numElements());
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $x.$get($i) * $centRef[$c * $dim + $i];
+         |  }
+         |  $scores[$c] = $s;
+         |}
+         |boolean[] $taken = new boolean[$nCells];
+         |int[] $out = new int[$nOut];
+         |for (int $r = 0; $r < $nOut; $r++) {
+         |  int $best = -1;
+         |  double $bestS = Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $nCells; $j++) {
+         |    if (!$taken[$j] && ($best < 0 || $scores[$j] >= $bestS)) {
+         |      $bestS = $scores[$j]; $best = $j;
+         |    }
+         |  }
+         |  $taken[$best] = true;
+         |  $out[$r] = $best;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCells =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup tables as ONE flat array<double> of length m·k:
+  * tab[mm·k + j] = dot(x[mm·subDim … (mm+1)·subDim), codebook[mm][j]).
+  * Replaces m interpreted `transform(typedlit(codebook), …)` lambdas (one
+  * boxed literal tree per subspace) with a single generated loop nest over
+  * a primitive codebook array — same layout PqEncode uses.
+  */
+case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  private val m = codebooks.size
+  private lazy val k = codebooks.head.size
+  private lazy val subDim = codebooks.head.head.size
+  private lazy val flat: Array[Double] = codebooks.flatten.flatten.toArray
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_adc_table"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (codebooks.nonEmpty && codebooks.forall(cb =>
+        cb.size == k && cb.forall(_.size == subDim)))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName: ragged codebooks")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val tab = new Array[Double](m * k)
+    var mm = 0
+    while (mm < m) {
+      var j = 0
+      while (j < k) {
+        var s = 0.0
+        val base = (mm * k + j) * subDim
+        var i = 0
+        while (i < subDim) {
+          val xv = if (isF) x.getFloat(mm * subDim + i).toDouble
+                   else x.getDouble(mm * subDim + i)
+          s += xv * flat(base + i)
+          i += 1
+        }
+        tab(mm * k + j) = s
+        j += 1
+      }
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(tab)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val flatRef = ctx.addReferenceObj("adcFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val tab = ctx.freshName("tab")
+      val mm = ctx.freshName("mm")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      s"""
+         |double[] $tab = new double[${m * k}];
+         |for (int $mm = 0; $mm < $m; $mm++) {
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    double $s = 0.0;
+         |    int $base = ($mm * $k + $j) * $subDim;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      $s += (double) $x.$get($mm * $subDim + $i) * $flatRef[$base + $i];
+         |    }
+         |    $tab[$mm * $k + $j] = $s;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($tab);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** dot(a, b) over array<float|double>, computed in double. */
   def dotFast(a: Column, b: Column): Column =
@@ -206,4 +525,21 @@ object VectorExprs {
   /** PQ-encode an embedding into its m codebook-entry ids. */
   def pqEncode(emb: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnShim.column(PqEncode(ColumnShim.expression(emb), codebooks))
+
+  /** Hyperplane-LSH band keys (array<long>, one per band). */
+  def hyperplaneBands(emb: Column, planes: Seq[Seq[Double]],
+      bands: Int): Column =
+    ColumnShim.column(HyperplaneBands(ColumnShim.expression(emb),
+      planes.flatten.toArray, planes.size, bands))
+
+  /** Top-nProbe centroid ids by dot score (array<int>, best first, ties to
+    * the larger cell id). */
+  def topCells(emb: Column, centroids: Seq[Seq[Double]],
+      nProbe: Int): Column =
+    ColumnShim.column(TopCells(ColumnShim.expression(emb),
+      centroids.flatten.toArray, centroids.size, nProbe))
+
+  /** Flat m·k ADC lookup table for a query embedding (array<double>). */
+  def pqAdcTable(emb: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnShim.column(PqAdcTable(ColumnShim.expression(emb), codebooks))
 }

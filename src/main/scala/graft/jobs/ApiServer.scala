@@ -47,13 +47,19 @@ final class ApiServer(runJob: () => IngestMetrics, port: Int = 0) {
     ex.close()
   }
 
+  /** Minimal JSON string escaping — a store path containing `"` or `\`
+    * (Windows paths, quoted dirs) must not produce malformed JSON on the
+    * sync endpoint (ADVICE r4: the error path sanitized, this one didn't). */
+  private def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   private def metricsJson(m: IngestMetrics): String = {
     def opt(v: Option[Int]): String = v.map(_.toString).getOrElse("null")
     s"""{"http_status": ${opt(m.httpStatus)},""" +
       s""" "retries_used": ${opt(m.retriesUsed)},""" +
       s""" "rows_fetched": ${m.rowsFetched},""" +
       s""" "rows_after_dedup": ${m.rowsAfterDedup},""" +
-      s""" "output": "${m.storePath}"}"""
+      s""" "output": "${jsonEscape(m.storePath)}"}"""
   }
 
   private def handle(ex: HttpExchange): Unit = {

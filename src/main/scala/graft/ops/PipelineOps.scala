@@ -442,8 +442,14 @@ object PipelineOps {
         Tables.documents(s, d).select(col("doc_id"))
           .join(broadcast(labels), Seq("doc_id"), "left_outer")
           .withColumn("label", coalesce(col("cluster_id"), col("doc_id")))
+          // width-safe multiplicative hash (ADVICE r4): reduce mod p BEFORE
+          // multiplying — (label % p) · 2654435761 peaks at ~2.6e18 < 2^63,
+          // so Spark and DuckDB compute the identical value for any Long
+          // label, where the unreduced product silently wrapped in Spark
+          // but raised a BIGINT-overflow error in DuckDB beyond ~3.4e9.
+          // (x·c) mod p ≡ ((x mod p)·c) mod p, so buckets are unchanged.
           .withColumn("bucket",
-            col("label") * lit(2654435761L) % 1000000007L % 100)
+            col("label") % 1000000007L * lit(2654435761L) % 1000000007L % 100)
           .withColumn("split",
             when(col("bucket") < 80, "train")
               .when(col("bucket") < 90, "valid").otherwise("test"))
@@ -483,9 +489,9 @@ object PipelineOps {
                 FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
               sp AS (
                 SELECT doc_id, label, CASE
-                  WHEN (label * 2654435761) % 1000000007 % 100 < 80
+                  WHEN (label % 1000000007 * 2654435761) % 1000000007 % 100 < 80
                     THEN 'train'
-                  WHEN (label * 2654435761) % 1000000007 % 100 < 90
+                  WHEN (label % 1000000007 * 2654435761) % 1000000007 % 100 < 90
                     THEN 'valid'
                   ELSE 'test' END AS split
                 FROM lab)
@@ -501,8 +507,9 @@ object PipelineOps {
     // stratification.
     Q("q46_train_test_split",
       (s, d) => Tables.documents(s, d)
+        // width-safe form, same rationale as q86's bucket hash
         .withColumn("bucket",
-          col("doc_id") * lit(2654435761L) % 1000000007L % 100)
+          col("doc_id") % 1000000007L * lit(2654435761L) % 1000000007L % 100)
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "valid").otherwise("test"))
@@ -510,8 +517,10 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("split")),
       Some("""SELECT lang, CASE
-                WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
-                WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'valid'
+                WHEN (doc_id % 1000000007 * 2654435761) % 1000000007 % 100 < 80
+                  THEN 'train'
+                WHEN (doc_id % 1000000007 * 2654435761) % 1000000007 % 100 < 90
+                  THEN 'valid'
                 ELSE 'test' END AS split,
               count(*) AS n_docs
               FROM documents GROUP BY 1, 2 ORDER BY lang, split""")),

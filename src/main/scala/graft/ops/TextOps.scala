@@ -284,14 +284,20 @@ object TextOps {
           base.crossJoin(brute.agg(count(lit(1)).as("n_brute")))
             .select((col("n_pairs") === col("n_brute")).as("complete"),
               (col("max_h") <= 3).as("hamming_bounded"),
-              (col("n_pairs") >= 1).as("nonempty"))
+              (col("n_pairs") >= 1).as("nonempty"),
+              lit(true).as("verified"))
         } else
+          // `complete` above the gate restates the pigeonhole THEOREM, not
+          // a computed check — `verified = false` marks it as such in the
+          // output itself (ADVICE r4: sentinel and checked results must be
+          // distinguishable by a downstream consumer, not just in scaladoc)
           base.select(lit(true).as("complete"),
             (col("max_h") <= 3).as("hamming_bounded"),
-            (col("n_pairs") >= 1).as("nonempty"))
+            (col("n_pairs") >= 1).as("nonempty"),
+            lit(false).as("verified"))
       },
       Some("""SELECT true AS complete, true AS hamming_bounded,
-              true AS nonempty""")),
+              true AS nonempty, true AS verified""")),
 
     // ---- winnowing fingerprints (MOSS-style): k-gram hashes, sliding
     // window of 4, keep each window's min → position-robust fingerprint
@@ -304,10 +310,32 @@ object TextOps {
     // this runs in under a second: every stage after the one cheap
     // tokenize explode is codegen'd and shuffle-parallel).
     // Oracle checks the SQL-computable invariants (gram count, fp bounds).
+    //
+    // Plan discipline (VERDICT r4 #1): ONE exchange, TWO sorts, TWO Window
+    // ops. The r4 formulation stacked four window passes over three window
+    // specs (lead×2, dedup row_number over (doc_id, h), pos/n_g/wmin) —
+    // the largest codegen/sort pipeline in the catalog, and the source of
+    // its catalog-context first-touch cost. Fused here:
+    //  - the per-gram dedup (first occurrence per distinct hash) is a HASH
+    //    AGGREGATE `groupBy(doc_id, h).agg(min(tpos))`, not a sort+window —
+    //    hash(doc_id) from the one explicit repartition already satisfies
+    //    its clustering, so it adds neither an exchange nor a sort;
+    //  - `wmin`+`wcnt` share one frame (one Window op), `rn` rides the same
+    //    (doc_id, tpos) sort as a second Window op with zero extra sorts;
+    //  - "position has a full w-window" is decided by counting the frame
+    //    (`wcnt === w` ⇔ pos ≤ n_g − w + 1) instead of materializing
+    //    pos/n_g first, with `rn === 1` covering the short-doc case
+    //    (n_g < w ⇒ only position 1 holds the truncated window);
+    //  - n_grams = the post-dedup row count, free in the final aggregate.
+    // The repartition(doc_id) stays: the single-file scan would otherwise
+    // run tokenize+posexplode single-task, and hash(doc_id) is exactly the
+    // distribution every downstream op needs, so it REPLACES the window
+    // exchange rather than adding one.
     Q("q37_winnow_fingerprint",
       (s, d) => {
         val w = 4
         val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
+        val wFrame = byDoc.rowsBetween(Window.currentRow, w - 1)
         val tokens = Tables.documents(s, d)
           .repartition(col("doc_id"))
           .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("tpos", "tok")))
@@ -317,22 +345,18 @@ object TextOps {
           .filter(col("t2").isNotNull) // full trigrams only
           .select(col("doc_id"), col("tpos"),
             xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h"))
-        // first occurrence per distinct gram (shingles() dedups), then
-        // rank and slide a w-gram min window over the deduped sequence
-        val deduped = grams
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_id"), col("h")).orderBy(col("tpos"))))
-          .filter(col("rn") === 1)
-          .withColumn("pos", row_number().over(byDoc))
-          .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-          .withColumn("wmin", min(col("h")).over(
-            byDoc.rowsBetween(Window.currentRow, w - 1)))
-        val fps = deduped
+        // first occurrence per distinct gram (shingles() dedups) — hash agg
+        val deduped = grams.groupBy(col("doc_id"), col("h"))
+          .agg(min(col("tpos")).as("tpos"))
+        val windowed = deduped
+          .withColumn("wmin", min(col("h")).over(wFrame))
+          .withColumn("wcnt", count(lit(1)).over(wFrame))
+          .withColumn("rn", row_number().over(byDoc))
+        val fps = windowed
           .groupBy(col("doc_id"))
-          .agg(max(col("n_g")).cast("int").as("n_grams"),
-            countDistinct(when(
-              col("pos") <= greatest(col("n_g") - w + 1, lit(1)), col("wmin")))
-              .as("n_fps"))
+          .agg(count(lit(1)).cast("int").as("n_grams"),
+            countDistinct(when(col("wcnt") === w || col("rn") === 1,
+              col("wmin"))).as("n_fps"))
         // docs with no full trigram still appear (n_grams 0, vacuous ok)
         Tables.documents(s, d).select(col("doc_id"))
           .join(fps, Seq("doc_id"), "left_outer")
@@ -462,7 +486,11 @@ object TextOps {
     * ≥ 0.5 pair shares ~half its shingles, so it would need EVERY shared
     * shingle to be corpus-hot to be lost — TextOpsSpec asserts capped ≡
     * uncapped on its corpus, and the driver's sf0.01 oracle run re-proves
-    * it on the real tables every round).
+    * it on the real tables every round). For the one family that DOES
+    * violate that condition — (dfCap+1)-plus-way duplicate classes, whose
+    * every shared shingle is hot by definition — the [[DfFloor]] rescue
+    * below guarantees each doc keeps its DfFloor rarest postings
+    * regardless of df, so identical-content classes still collide.
     *
     * Mechanism: df is a groupBy aggregate (map-side partials — the shuffle
     * carries distinct shingles, not postings; a df WINDOW here shuffled
@@ -470,13 +498,48 @@ object TextOps {
     * hot list — at most postings/dfCap entries BY CONSTRUCTION, i.e. tiny
     * — broadcasts into an anti-join, so the posting stream itself never
     * moves for the cap. */
+  /** Per-doc posting floor for [[capDf]] (ADVICE r4): without it, a doc
+    * whose shingles are ALL corpus-hot — exactly the members of a
+    * (dfCap+1)-way-or-larger duplicate class, since each shared shingle
+    * then has df > dfCap — lost its entire posting list, so the LSH
+    * signature and the inverted index both went blind to precisely the
+    * mass-duplicated boilerplate dedup most needs to catch. */
+  private val DfFloor = 8
+
   private def capDf(posts: DataFrame, dfCap: Int): DataFrame =
     if (dfCap == Int.MaxValue) posts
     else {
       val hot = posts.groupBy(col("s")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") > dfCap)
-        .select(col("s"))
-      posts.join(broadcast(hot), Seq("s"), "left_anti")
+      val kept = posts
+        .join(broadcast(hot.select(col("s"))), Seq("s"), "left_anti")
+      // Floor guarantee (prefix-filtering style): every doc keeps at least
+      // its DfFloor RAREST postings regardless of df. Docs with ≥ DfFloor
+      // below-cap postings already satisfy this (their rarest postings ARE
+      // the kept ones); for the rest — the needy set, corpus-small by
+      // construction (docs dominated by hot shingles) — rank their HOT
+      // postings by (df asc, s asc) and top up to the floor. Determinism
+      // makes the rescue effective: all members of an identical-content
+      // class rank the same shingles in the same order, so they keep the
+      // SAME rescued shingles and still collide in signature/index space.
+      // Cost posture: `hot` and `need` are both bounded-small broadcasts;
+      // the only new shuffle is the row_number window over needy docs'
+      // postings — needy-sized, not corpus-sized.
+      val nLow = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("_n_low"))
+      val need = posts.select(col("doc_id")).distinct()
+        .join(nLow, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          (lit(DfFloor.toLong) - coalesce(col("_n_low"), lit(0L))).as("_need"))
+        .filter(col("_need") > 0)
+      val byRarity = Window.partitionBy(col("doc_id"))
+        .orderBy(col("_df").asc, col("s").asc)
+      val rescued = posts
+        .join(broadcast(hot), Seq("s")) // hot postings only, df attached
+        .join(broadcast(need), Seq("doc_id"))
+        .withColumn("_rk", row_number().over(byRarity))
+        .filter(col("_rk") <= col("_need"))
+        .select(col("doc_id"), col("s"))
+      kept.select(col("doc_id"), col("s")).unionByName(rescued)
     }
 
   /** Exact pairwise Jaccard with stop-shingle candidate pruning.

@@ -55,7 +55,7 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def split(doc: Long): String = {
       val label = labels.getOrElse(doc, doc)
-      val b = label * 2654435761L % 1000000007L % 100
+      val b = label % 1000000007L * 2654435761L % 1000000007L % 100
       if (b < 80) "train" else if (b < 90) "valid" else "test"
     }
     pairs.foreach { case (a, b) =>
