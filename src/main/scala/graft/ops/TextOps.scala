@@ -48,11 +48,30 @@ object TextOps {
     * not recomputed per consumer. CacheManager dedups by logical plan, so
     * q34/q35 share one copy.
     */
-  private[ops] def docsWithShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private[ops] def docsWithShingles(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    // Tokenization parallelism is capped by the SOURCE's split count: a
+    // single-file corpus (the local test SFs) scans as ONE partition, so
+    // without this the whole tokenize+shingle chain — and every cached
+    // partition downstream of it — runs serially (measured: a 1-task
+    // ~1 s materialization stage dominating q34/q35). At 100 TB parquet
+    // supplies thousands of splits and this is a no-op; the guard keys the
+    // repartition off actual vs available parallelism, not a constant.
+    // Fan out to a FRACTION of the cores, not all of them: the dedup
+    // plans are ~30 short stages, and giving each one 32 tasks costs more
+    // in scheduling than the extra parallelism buys on a cached corpus
+    // this size (measured +0.4-0.6 s per query at 32; the serial chain
+    // only needs enough splits to stop dominating).
+    val minSplits = math.max(2, s.sparkContext.defaultParallelism / 4)
+    val split =
+      if (base.rdd.getNumPartitions < minSplits)
+        base.repartition(minSplits, col("doc_id"))
+      else base
+    split
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), shingles(col("tk")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   // MinHash parameters: 32 hash functions, 8 bands × 4 rows. Collision
   // probability 1-(1-j^4)^8: j=0.5 → 0.40, j=0.8 → 0.97, j=0.9 → 0.996 —
@@ -506,13 +525,20 @@ object TextOps {
     * mass-duplicated boilerplate dedup most needs to catch. */
   private val DfFloor = 8
 
-  private def capDf(posts: DataFrame, dfCap: Int): DataFrame =
+  /** @param posts exploded (doc_id, s) posting stream derived from `docs`
+    * @param docs   the caller's (doc_id, sh) relation — one row per doc
+    *               with the DISTINCT shingle array; supplies the doc
+    *               universe and per-doc posting counts WITHOUT another
+    *               corpus-wide pass over the posting stream */
+  private def capDf(posts: DataFrame, docs: DataFrame, dfCap: Int): DataFrame =
     if (dfCap == Int.MaxValue) posts
     else {
       val hot = posts.groupBy(col("s")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") > dfCap)
-      val kept = posts
-        .join(broadcast(hot.select(col("s"))), Seq("s"), "left_anti")
+      // The SAME broadcast(hot) shape feeds all three consumers (anti-join,
+      // n_hot join, rescue join): identical canonicalized BroadcastExchange
+      // → ReuseExchange computes the df aggregate once, not three times.
+      val kept = posts.join(broadcast(hot), Seq("s"), "left_anti")
       // Floor guarantee (prefix-filtering style): every doc keeps at least
       // its DfFloor RAREST postings regardless of df. Docs with ≥ DfFloor
       // below-cap postings already satisfy this (their rarest postings ARE
@@ -522,24 +548,42 @@ object TextOps {
       // makes the rescue effective: all members of an identical-content
       // class rank the same shingles in the same order, so they keep the
       // SAME rescued shingles and still collide in signature/index space.
-      // Cost posture: `hot` and `need` are both bounded-small broadcasts;
-      // the only new shuffle is the row_number window over needy docs'
-      // postings — needy-sized, not corpus-sized.
-      val nLow = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("_n_low"))
-      val need = posts.select(col("doc_id")).distinct()
-        .join(nLow, Seq("doc_id"), "left_outer")
+      //
+      // Cost posture (r5 lesson — the first cut of this rescue cost 1.4-3×
+      // across the dedup family): n_low is derived as size(sh) - n_hot from
+      // the caller's one-row-per-doc relation, NOT from a corpus-wide
+      // posts.distinct() or a second aggregate over `kept`; docs with zero
+      // hot postings can't be rescued (nothing to rescue FROM) and are
+      // dropped by the inner join, so `need` stays needy-sized; and the
+      // rescue filters posts to needy docs (broadcast) BEFORE attaching df,
+      // so the row_number window — the only posting-stream shuffle in this
+      // function — sees needy docs' postings only, not every hot posting
+      // in the corpus.
+      val nHot = posts.join(broadcast(hot), Seq("s"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("_n_hot"))
+      val need = docs.select(col("doc_id"), size(col("sh")).as("_sz"))
+        .join(nHot, Seq("doc_id"))
         .select(col("doc_id"),
-          (lit(DfFloor.toLong) - coalesce(col("_n_low"), lit(0L))).as("_need"))
+          (lit(DfFloor.toLong) - (col("_sz") - col("_n_hot"))).as("_need"))
         .filter(col("_need") > 0)
       val byRarity = Window.partitionBy(col("doc_id"))
         .orderBy(col("_df").asc, col("s").asc)
       val rescued = posts
-        .join(broadcast(hot), Seq("s")) // hot postings only, df attached
-        .join(broadcast(need), Seq("doc_id"))
+        .join(broadcast(need), Seq("doc_id")) // needy docs' postings ONLY
+        .join(broadcast(hot), Seq("s"))       // their hot ones, df attached
         .withColumn("_rk", row_number().over(byRarity))
         .filter(col("_rk") <= col("_need"))
         .select(col("doc_id"), col("s"))
+      // PERSISTED, same rationale as [[docsWithShingles]]: the capped
+      // stream feeds a self-join (ka/kb) plus per-doc stats in q35 and the
+      // signature aggregate in q34 — without a materialization barrier the
+      // whole cap+rescue tree (hot aggregate, anti-join, rarity window) is
+      // cloned into EVERY consumer branch (measured: 104-exchange plan,
+      // ~15× wall with caching disabled). Building the capped index once
+      // and reusing it is also the honest 100 TB posture. CacheManager
+      // dedups by canonicalized plan, so repeated calls share one copy.
       kept.select(col("doc_id"), col("s")).unionByName(rescued)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Exact pairwise Jaccard with stop-shingle candidate pruning.
@@ -560,10 +604,26 @@ object TextOps {
       dfCap: Int): DataFrame = {
     val posts = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-    val kept = capDf(posts, dfCap)
-    val ka = kept.select(col("doc_id").as("id_a"), col("s"))
-    val kb = kept.select(col("doc_id").as("id_b"), col("s"))
-    val interLow = ka.join(kb, ka("s") === kb("s") && col("id_a") < col("id_b"))
+    val kept = capDf(posts, docs, dfCap)
+    // Posting-list pair expansion as ONE aggregation instead of a self-join:
+    // collect each shingle's (df-capped, so ≤ dfCap + DfFloor-rescued) doc
+    // list, then explode the a<b pairs in place. The self-join formulation
+    // shuffled the posting stream TWICE and cloned the capped-index subtree
+    // into both sides of the SMJ; this shape shuffles it once and reads the
+    // cached index once. Per-key fanout is the same bounded ≤ C(dfCap, 2)
+    // either way — that bound, not the operator shape, is what keeps the
+    // hottest key constant-sized at 100 TB.
+    val interLow = kept.groupBy(col("s")).agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      // AQE sizes the next stage by the collect_set output's BYTES, which
+      // under-provisions a generator stage whose work is the ~C(|ids|,2)
+      // EXPANSION of those bytes (measured: the pair stage coalesced to 3
+      // tasks and became the query's largest). The cheap re-spread of the
+      // (tiny) multi-doc posting lists keeps the quadratic part wide.
+      .repartition(col("s"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"),
+        explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni_low"))
     // per-doc shingle count + how many of them are capped-out ("hot"):
     // sz from the array, low count from the kept stream
@@ -601,7 +661,7 @@ object TextOps {
     // exploded stream (carrying it per-row ballooned the shuffle ~60×).
     val posts = docs
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    val sig = capDf(posts, dfCap)
+    val sig = capDf(posts, docs, dfCap)
       .groupBy(col("doc_id"))
       .agg(array((0 until NumHashes).map(h =>
         min(xxhash64(lit(h), col("s")))): _*).as("sig"))
@@ -614,11 +674,18 @@ object TextOps {
             x => x.cast("string")), "_"))))
         .as(Seq("band", "bucket")))
 
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Bucket-pair expansion as ONE aggregation instead of a self-join: the
+    // join formulation computed the signature aggregate once PER SIDE (the
+    // banded subtree is cloned into both SMJ inputs — measured as the two
+    // dominant stages of q34) and shuffled the banded stream twice; this
+    // shape computes signatures once and shuffles bucket ids once. Bucket
+    // fanout is LSH-bounded identically under both shapes.
+    val cand = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"),
+        explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     // fetch the two shingle sets only for surviving candidates (rare by

@@ -73,6 +73,38 @@ class TextOpsSpec extends SparkSpec {
     assert(maxDf > 16, s"expected hot shingles, max df = $maxDf")
   }
 
+  test("df-floor rescue: an 18-way identical duplicate class survives the cap") {
+    // The one family that violates the prefix-filtering safety condition:
+    // every shared shingle of a (dfCap+1)-plus-way duplicate class is hot
+    // by definition (df = 18 > dfCap = 16 here), so WITHOUT the DfFloor
+    // rescue all 18 docs lose every posting and the class silently vanishes
+    // from both candidate generators. Nonsense tokens keep the class's
+    // shingles out of the background corpus, so df is exactly 18.
+    val dupText = "zorple quandric flumina vexatron brillig slithy toves " +
+      "gyre gimble wabe mimsy borogoves outgrabe raths"
+    val background = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => (id + 10000L, t) }.toSeq
+    val rows = (1L to 18L).map(i => (i, dupText)) ++ background
+    val sh = shingled(rows)
+    val classPairs =
+      (for { a <- 1L to 18L; b <- (a + 1) to 18L } yield (a, b)).toSet
+    val uncapped = TextOps.exactJaccardPairs(sh, sh, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(classPairs.subsetOf(uncapped))
+    // capped index: the class's kept stream is empty, so only the rescued
+    // postings can produce these candidates — pair-set equality proves the
+    // rescue fires AND that no member ended with zero postings
+    val capped = TextOps.exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped,
+      s"missing=${(uncapped -- capped).take(5)} extra=${(capped -- uncapped).take(5)}")
+    val cappedLsh = TextOps.minHashLshPairs(sh, 0.5, dfCap = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedLsh == uncapped,
+      s"missing=${(uncapped -- cappedLsh).take(5)} extra=${(cappedLsh -- uncapped).take(5)}")
+  }
+
   test("simhash: near-identical docs collide, unrelated docs do not") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
