@@ -104,10 +104,11 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   private val m = codebooks.size
   private lazy val k = codebooks.head.size
   private lazy val subDim = codebooks.head.head.size
-  // [mm][j][i] flattened at (mm·k + j)·subDim + i
-  private lazy val flat: Array[Double] =
+  // [mm][j][i] flattened at (mm·k + j)·subDim + i; @transient so the
+  // serialized expression carries the Seq once, not Seq + flattened copies
+  @transient private lazy val flat: Array[Double] =
     codebooks.flatten.flatten.toArray
-  private lazy val norms2: Array[Double] =
+  @transient private lazy val norms2: Array[Double] =
     codebooks.flatMap(_.map(_.map(x => x * x).sum)).toArray
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -132,9 +133,13 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val isF = elemIsFloat
+    val nElems = x.numElements()
     val codes = new Array[Int](m)
     var mm = 0
     while (mm < m) {
+      // clamp to the input's actual length: a short vector contributes 0 for
+      // missing elements instead of AIOOBE/garbage reads (ADVICE r5)
+      val lim = math.min(subDim, math.max(0, nElems - mm * subDim))
       var best = 0
       var bestS = Double.NegativeInfinity
       var j = 0
@@ -142,7 +147,7 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
         var s = 0.0
         val base = (mm * k + j) * subDim
         var i = 0
-        while (i < subDim) {
+        while (i < lim) {
           val xv = if (isF) x.getFloat(mm * subDim + i).toDouble
                    else x.getDouble(mm * subDim + i)
           s += xv * flat(base + i)
@@ -172,15 +177,18 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
       val s = ctx.freshName("s")
       val base = ctx.freshName("base")
       val score = ctx.freshName("score")
+      val lim = ctx.freshName("lim")
       s"""
          |int[] $codes = new int[$m];
          |for (int $mm = 0; $mm < $m; $mm++) {
+         |  int $lim = java.lang.Math.min($subDim,
+         |    java.lang.Math.max(0, $x.numElements() - $mm * $subDim));
          |  int $best = 0;
          |  double $bestS = Double.NEGATIVE_INFINITY;
          |  for (int $j = 0; $j < $k; $j++) {
          |    double $s = 0.0;
          |    int $base = ($mm * $k + $j) * $subDim;
-         |    for (int $i = 0; $i < $subDim; $i++) {
+         |    for (int $i = 0; $i < $lim; $i++) {
          |      $s += (double) $x.$get($mm * $subDim + $i) * $flatRef[$base + $i];
          |    }
          |    double $score = 2.0 * $s - $normRef[$mm * $k + $j];
@@ -210,11 +218,21 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   * generated code is one loop nest instead of nBits unrolled dot loops —
   * smaller task binaries, far less codegen to compile per query.
   */
-case class HyperplaneBands(child: Expression, flatPlanes: Array[Double],
-    nBits: Int, bands: Int) extends UnaryExpression {
+case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]],
+    bands: Int) extends UnaryExpression {
 
-  private val bitsPerBand = nBits / bands
-  private val dim = if (nBits == 0) 0 else flatPlanes.length / nBits
+  // Seq field (not Array) so equals/hashCode are structural — Catalyst
+  // canonicalization/semanticEquals and subexpr elimination can match two
+  // identical instances, and argString truncates it sanely in explain
+  // (ADVICE r5: Array fields compare by reference and print identity).
+  private val nBits = planes.size
+  // lazy so invalid shapes (bands == 0, empty planes) surface as the
+  // TypeCheckFailure below, not a constructor ArithmeticException/NoSuchElement
+  private lazy val bitsPerBand = nBits / bands
+  private lazy val dim = planes.head.size
+  // @transient: recomputed per-JVM after deserialization — the closure ships
+  // only the Seq once, not Seq + flattened copy
+  @transient private lazy val flatPlanes: Array[Double] = planes.flatten.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -228,7 +246,7 @@ case class HyperplaneBands(child: Expression, flatPlanes: Array[Double],
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
       if (nBits > 0 && bands > 0 && nBits % bands == 0 &&
-        flatPlanes.length == nBits * dim)
+        planes.forall(_.size == dim))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         s"$prettyName: nBits must be a positive multiple of bands and " +
@@ -311,11 +329,16 @@ case class HyperplaneBands(child: Expression, flatPlanes: Array[Double],
   * DeduplicateRelations HOF-capture hazard those flat columns existed to
   * dodge. Selection is O(nCells·nProbe) — both are small by construction.
   */
-case class TopCells(child: Expression, flatCentroids: Array[Double],
-    nCells: Int, nProbe: Int) extends UnaryExpression {
+case class TopCells(child: Expression, centroids: Seq[Seq[Double]],
+    nProbe: Int) extends UnaryExpression {
 
-  private val dim = if (nCells == 0) 0 else flatCentroids.length / nCells
+  // Seq field for structural equality + sane explain output; lazy derived
+  // shape so bad inputs fail through checkInputDataTypes (see HyperplaneBands)
+  private val nCells = centroids.size
+  private lazy val dim = centroids.head.size
   private val nOut = math.min(nProbe, nCells)
+  @transient private lazy val flatCentroids: Array[Double] =
+    centroids.flatten.toArray
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -328,7 +351,7 @@ case class TopCells(child: Expression, flatCentroids: Array[Double],
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-      if (nCells > 0 && nProbe > 0 && flatCentroids.length == nCells * dim)
+      if (nCells > 0 && nProbe > 0 && centroids.forall(_.size == dim))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         s"$prettyName: nCells/nProbe must be positive and centroids " +
@@ -436,7 +459,8 @@ case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   private val m = codebooks.size
   private lazy val k = codebooks.head.size
   private lazy val subDim = codebooks.head.head.size
-  private lazy val flat: Array[Double] = codebooks.flatten.flatten.toArray
+  @transient private lazy val flat: Array[Double] =
+    codebooks.flatten.flatten.toArray
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -460,15 +484,19 @@ case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val isF = elemIsFloat
+    val nElems = x.numElements()
     val tab = new Array[Double](m * k)
     var mm = 0
     while (mm < m) {
+      // clamp like PqEncode/HyperplaneBands: short inputs read 0, not AIOOBE
+      // (interpreted) or out-of-bounds garbage (codegen) — ADVICE r5
+      val lim = math.min(subDim, math.max(0, nElems - mm * subDim))
       var j = 0
       while (j < k) {
         var s = 0.0
         val base = (mm * k + j) * subDim
         var i = 0
-        while (i < subDim) {
+        while (i < lim) {
           val xv = if (isF) x.getFloat(mm * subDim + i).toDouble
                    else x.getDouble(mm * subDim + i)
           s += xv * flat(base + i)
@@ -492,13 +520,16 @@ case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val base = ctx.freshName("base")
+      val lim = ctx.freshName("lim")
       s"""
          |double[] $tab = new double[${m * k}];
          |for (int $mm = 0; $mm < $m; $mm++) {
+         |  int $lim = java.lang.Math.min($subDim,
+         |    java.lang.Math.max(0, $x.numElements() - $mm * $subDim));
          |  for (int $j = 0; $j < $k; $j++) {
          |    double $s = 0.0;
          |    int $base = ($mm * $k + $j) * $subDim;
-         |    for (int $i = 0; $i < $subDim; $i++) {
+         |    for (int $i = 0; $i < $lim; $i++) {
          |      $s += (double) $x.$get($mm * $subDim + $i) * $flatRef[$base + $i];
          |    }
          |    $tab[$mm * $k + $j] = $s;
@@ -530,14 +561,14 @@ object VectorExprs {
   def hyperplaneBands(emb: Column, planes: Seq[Seq[Double]],
       bands: Int): Column =
     ColumnShim.column(HyperplaneBands(ColumnShim.expression(emb),
-      planes.flatten.toArray, planes.size, bands))
+      planes, bands))
 
   /** Top-nProbe centroid ids by dot score (array<int>, best first, ties to
     * the larger cell id). */
   def topCells(emb: Column, centroids: Seq[Seq[Double]],
       nProbe: Int): Column =
     ColumnShim.column(TopCells(ColumnShim.expression(emb),
-      centroids.flatten.toArray, centroids.size, nProbe))
+      centroids, nProbe))
 
   /** Flat m·k ADC lookup table for a query embedding (array<double>). */
   def pqAdcTable(emb: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
