@@ -77,9 +77,29 @@ object IngestionJob {
   /** Flatten + project + secure — mirrors `transformations.py:20-78`:
     * 11-column projection, 5 derived secure columns, 4 plaintext drops.
     * Timestamps parsed to TIMESTAMP (UTC) instead of carried as strings.
+    * PII encryption uses AES-GCM (capability parity; see [[Crypto.encrypt]]).
     */
   def secureTransform(users: DataFrame, pepper: String, aesKey: String,
       bidxKey: String, kdfTimeCost: Int = 3, kdfMemoryKib: Int = 4096)
+      : DataFrame =
+    secureTransformWith(users, Crypto.encrypt(_, aesKey), pepper, bidxKey,
+      kdfTimeCost, kdfMemoryKib)
+
+  /** Production-key variant: PII columns become real Fernet tokens
+    * (byte-format parity with the reference's `encrypt_str`,
+    * `crypto_utils.py:87-88`) under env-loaded [[SecretKeys]]. The blind
+    * index is keyed on the `BLIND_INDEX_KEY` string as provided (the
+    * reference HMACs with its base64-DECODED bytes, `crypto_utils.py:44` —
+    * pass the decoded form if cross-stack digest equality is required).
+    */
+  def secureTransform(users: DataFrame, keys: SecretKeys,
+      kdfTimeCost: Int, kdfMemoryKib: Int): DataFrame =
+    secureTransformWith(users, Crypto.fernetEncrypt(_, keys.fernetKey),
+      keys.pepper, keys.blindIndexKey, kdfTimeCost, kdfMemoryKib)
+
+  private def secureTransformWith(users: DataFrame,
+      encryptCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      pepper: String, bidxKey: String, kdfTimeCost: Int, kdfMemoryKib: Int)
       : DataFrame = {
     val flat = Flatten.flatten(users)
     val passthrough =
@@ -101,21 +121,29 @@ object IngestionJob {
         // full 64 MiB profile is exercised in Argon2Spec
         Crypto.hashPassword(col("login_password"), pepper, kdfTimeCost,
           kdfMemoryKib).as("password_hash"),
-        Crypto.encrypt(col("email"), aesKey).as("email_enc"),
-        Crypto.encrypt(col("phone"), aesKey).as("phone_enc"),
-        Crypto.encrypt(col("location_street_name"), aesKey).as("street_name_enc"),
+        encryptCol(col("email")).as("email_enc"),
+        encryptCol(col("phone")).as("phone_enc"),
+        encryptCol(col("location_street_name")).as("street_name_enc"),
         Crypto.blindIndex(col("email"), bidxKey).as("email_bidx")): _*)
       // plaintext PII never persisted (transformations.py:72-75): the
       // projection above simply omits login_password/email/phone/street_name
   }
 
-  /** One ingestion run from the canned fixture (zero-egress default). */
+  /** One ingestion run from the canned fixture. Keys are explicit — there
+    * are no baked-in defaults anywhere in main sources; production loads
+    * them via [[Secrets.fromEnv]] (fail-fast, `crypto_utils.py:25-49`) and
+    * tests pass fixture literals.
+    */
   def run(spark: SparkSession, fixturePath: String, storePath: String,
-      pepper: String = "test-pepper",
-      aesKey: String = "0123456789abcdef",
-      bidxKey: String = "test-blind-index-key"): IngestMetrics =
+      pepper: String, aesKey: String, bidxKey: String): IngestMetrics =
     run(spark, new FixtureFetcher(fixturePath), storePath, pepper, aesKey,
       bidxKey)
+
+  /** One ingestion run under env-loaded production keys (Fernet PII path). */
+  def run(spark: SparkSession, fetcher: UserFetcher, storePath: String,
+      keys: SecretKeys): IngestMetrics =
+    runWith(spark, fetcher, storePath,
+      secureTransform(_, keys, kdfTimeCost = 3, kdfMemoryKib = 65536))
 
   /** One ingestion run through a pluggable acquisition path: fetch (HTTP or
     * fixture) → parse → secure-transform → keep-first upsert → metrics,
@@ -123,11 +151,16 @@ object IngestionJob {
     * reference's stdout metric lines printed (`job.py:85-95`).
     */
   def run(spark: SparkSession, fetcher: UserFetcher, storePath: String,
-      pepper: String, aesKey: String, bidxKey: String): IngestMetrics = {
+      pepper: String, aesKey: String, bidxKey: String): IngestMetrics =
+    runWith(spark, fetcher, storePath,
+      secureTransform(_, pepper, aesKey, bidxKey))
+
+  private def runWith(spark: SparkSession, fetcher: UserFetcher,
+      storePath: String, secure: DataFrame => DataFrame): IngestMetrics = {
 
     val fetchResult = fetcher.fetch()
     val fetched = readUsersJson(spark, fetchResult.body)
-    val secured = secureTransform(fetched, pepper, aesKey, bidxKey)
+    val secured = secure(fetched)
     val rowsFetched = fetched.count()
 
     val fs = new Path(storePath)

@@ -88,10 +88,18 @@ object OpsRunner {
 }
 
 /** CLI entry: `OpsMain <baseDir> <fixturePath> <storePath>` — the cron
-  * target; exit code propagates like the shell's `$rc`. */
+  * target; exit code propagates like the shell's `$rc`.
+  *
+  * Secrets load BEFORE the Spark session: `baseDir/.env` first, real
+  * environment winning — the reference's `load_dotenv(BASE_DIR / ".env")`
+  * + `os.environ[...]` fail-fast at import (`crypto_utils.py:25-49`). A
+  * missing key aborts the run with the variable's name and touches no data.
+  */
 object OpsMain {
   def main(args: Array[String]): Unit = {
     val Array(baseDir, fixturePath, storePath) = args
+    val keys = Secrets.fromEnv(
+      dotenv = Some(Paths.get(baseDir).resolve(".env")))
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -99,7 +107,8 @@ object OpsMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     val rc = OpsRunner.withRun(Paths.get(baseDir), "ingestion.job") { () =>
-      val m = IngestionJob.run(spark, fixturePath, storePath)
+      val m = IngestionJob.run(spark, new FixtureFetcher(fixturePath),
+        storePath, keys)
       // job output lands in the daily log in the shell version; here the
       // job already printed its metric lines — record the summary too
       if (m.rowsAfterDedup >= 0) 0 else 1

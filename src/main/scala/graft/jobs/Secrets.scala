@@ -1,0 +1,112 @@
+package graft.jobs
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+/** The three secrets the securing pipeline runs on — the engine twin of the
+  * reference's module-level key loading
+  * (`/root/reference/ingestion/crypto_utils.py:34-49`).
+  *
+  * `toString` is redacted so accidental logging (Spark event log, exception
+  * messages, `println` of a config case class) never leaks key material —
+  * the keys are only ever consumed by [[graft.expr.Crypto]] column builders.
+  */
+final case class SecretKeys(
+    pepper: String, fernetKey: String, blindIndexKey: String) {
+  override def toString: String =
+    "SecretKeys(pepper=<redacted>, fernetKey=<redacted>, blindIndexKey=<redacted>)"
+}
+
+/** Environment-based secret loading with fail-fast — the reference loads
+  * `PEPPER` / `FERNET_KEY` / `BLIND_INDEX_KEY` from a `.env` file one
+  * directory above the module and raises `KeyError` at import when one is
+  * missing (`crypto_utils.py:25-49`, fail-fast at `:34,38,44`). Same
+  * contract here, driver-side:
+  *
+  *   - a `.env` file (if present) is read first, the real process
+  *     environment WINS over it — python-dotenv's no-override default;
+  *   - a missing variable fails fast with an error naming the variable,
+  *     before any Spark work starts;
+  *   - malformed key material fails at load, not first use: `FERNET_KEY`
+  *     must be urlsafe-base64 of 32 bytes (the reference's
+  *     `Fernet(FERNET_KEY)` constructor enforces the same,
+  *     `crypto_utils.py:84`), `BLIND_INDEX_KEY` must be valid base64
+  *     (the reference's `base64.b64decode` at `:44`).
+  *
+  * Key values never appear in messages — errors name the VARIABLE only.
+  * Production mints keys per README "Security measures" (same recipes as
+  * reference `README.md:19-23`); test fixtures pass [[SecretKeys]]
+  * literals and never read the environment.
+  */
+object Secrets {
+
+  val PepperVar = "PEPPER"
+  val FernetKeyVar = "FERNET_KEY"
+  val BlindIndexKeyVar = "BLIND_INDEX_KEY"
+
+  /** Parse `.env` lines: `KEY=VALUE`, blank lines and `#` comments
+    * skipped, optional `export ` prefix, optional single/double quotes
+    * around the value (quotes stripped, content kept verbatim).
+    */
+  private[jobs] def parseDotenv(lines: Seq[String]): Map[String, String] =
+    lines.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains('='))
+      .map { l =>
+        val stripped = if (l.startsWith("export ")) l.drop(7).trim else l
+        val (k, v) = stripped.span(_ != '=')
+        val raw = v.drop(1).trim
+        val value =
+          if (raw.length >= 2 &&
+            ((raw.head == '"' && raw.last == '"') ||
+              (raw.head == '\'' && raw.last == '\'')))
+            raw.substring(1, raw.length - 1)
+          else raw
+        k.trim -> value
+      }
+      .toMap
+
+  /** Read a `.env` file; a missing file is an empty map (python-dotenv's
+    * `load_dotenv` is a silent no-op on a missing file). */
+  private[jobs] def loadDotenv(path: Path): Map[String, String] =
+    if (Files.isRegularFile(path))
+      parseDotenv(Files.readAllLines(path, StandardCharsets.UTF_8).asScala.toSeq)
+    else Map.empty
+
+  private def required(merged: Map[String, String], name: String): String =
+    merged.getOrElse(name, throw new IllegalStateException(
+      s"missing required secret: $name is not set in the environment or .env " +
+        "(see README 'Security measures' for how to generate it)"))
+
+  /** Load and validate the three secrets. `env` defaults to the real
+    * process environment; `dotenv`, when given, is read first and
+    * overridden by `env` entries.
+    */
+  def fromEnv(env: Map[String, String] = sys.env,
+      dotenv: Option[Path] = None): SecretKeys = {
+    val merged = dotenv.map(loadDotenv).getOrElse(Map.empty) ++ env
+    val pepper = required(merged, PepperVar)
+    val fernetKey = required(merged, FernetKeyVar)
+    val bidxKey = required(merged, BlindIndexKeyVar)
+
+    val fernetRaw =
+      try Base64.getUrlDecoder.decode(fernetKey)
+      catch {
+        case _: IllegalArgumentException => throw new IllegalStateException(
+          s"$FernetKeyVar is not valid urlsafe base64")
+      }
+    if (fernetRaw.length != 32) throw new IllegalStateException(
+      s"$FernetKeyVar must decode to 32 bytes (got ${fernetRaw.length})")
+
+    try Base64.getDecoder.decode(bidxKey)
+    catch {
+      case _: IllegalArgumentException => throw new IllegalStateException(
+        s"$BlindIndexKeyVar is not valid base64")
+    }
+
+    SecretKeys(pepper, fernetKey, bidxKey)
+  }
+}

@@ -85,7 +85,8 @@ class IngestionHttpSpec extends SparkSpec {
   test("api server: /health, /hello, sync and async job triggers") {
     val store = Files.createTempDirectory("graft_api_store").toString + "/st"
     val srv = new graft.jobs.ApiServer(
-      () => IngestionJob.run(spark, fixture, store)).start()
+      () => IngestionJob.run(spark, fixture, store,
+        "pepper", "0123456789abcdef", "bidx-key")).start()
     val base = s"http://127.0.0.1:${srv.boundPort}"
     try {
       assert(httpGet(s"$base/health") === (200, """{"status": "ok"}"""))
@@ -117,7 +118,8 @@ class IngestionHttpSpec extends SparkSpec {
 
   test("fixture path reports transport metrics as absent, not invented") {
     val store = Files.createTempDirectory("graft_fx_store").toString + "/st"
-    val metrics = IngestionJob.run(spark, fixture, store)
+    val metrics = IngestionJob.run(spark, fixture, store,
+      "pepper", "0123456789abcdef", "bidx-key")
     assert(metrics.httpStatus === None)
     assert(metrics.retriesUsed === None)
     assert(metrics.logLines("fixture://x")
