@@ -163,18 +163,22 @@ object PipelineOps {
           .select(col("gram")).distinct()
         // bloom first-pass (SURVEY §9 / VERDICT r3 #6, q75's machinery
         // composed in): the train-gram set aggregates into one bounded
-        // blob (partial per partition, merged once — no row shuffle),
-        // entering the probe as a scalar subquery; eval grams that can't
-        // be in the train set die in a codegen'd hash+test BEFORE the
-        // exact semi-join shuffles anything. No false negatives, and
-        // false positives are removed by the semi-join — output provably
-        // unchanged, which the unchanged oracle asserts. At 100 TB the
+        // blob (partial per partition, merged once — no row shuffle);
+        // eval grams that can't be in the train set die in a codegen'd
+        // hash+test BEFORE the exact semi-join shuffles anything. No
+        // false negatives, and false positives are removed by the
+        // semi-join — output provably unchanged, which the unchanged
+        // oracle asserts. The blob ships as a BROADCAST VARIABLE, not a
+        // scalar subquery: a subquery result is inlined as a Literal into
+        // every downstream task binary (the r5 audit's 1.9-2.7 MiB
+        // "large task binary" warnings, all from this query), while a
+        // broadcast reaches each executor once via torrent. At 100 TB the
         // blob is the reusable decontamination artifact: build once from
         // the train corpus, probe every new eval candidate against it.
-        val bf = trainGrams.agg(graft.expr.BloomExprs
-          .bloomAgg(col("gram"), 1000000L).as("bf")).scalar()
+        val bf = s.sparkContext.broadcast(
+          graft.expr.BloomExprs.buildBloom(trainGrams, col("gram"), 1000000L))
         val shared = grams.filter(col("doc_id") % 2 === 1)
-          .filter(graft.expr.BloomExprs.mightContain(bf, col("gram")))
+          .filter(graft.expr.BloomExprs.mightContainBroadcast(bf, col("gram")))
           .join(trainGrams, Seq("gram"), "left_semi")
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("gram")).as("n_shared"))

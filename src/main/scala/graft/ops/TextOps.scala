@@ -533,11 +533,13 @@ object TextOps {
   private def capDf(posts: DataFrame, docs: DataFrame, dfCap: Int): DataFrame =
     if (dfCap == Int.MaxValue) posts
     else {
+      // PERSISTED (not broadcast-reuse): hot is ≤ postings/dfCap rows BY
+      // CONSTRUCTION, and it is referenced both by the eager needy-set
+      // probe below and by the main plan's consumers — ReuseExchange only
+      // dedups within one execution, the cache spans both.
       val hot = posts.groupBy(col("s")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") > dfCap)
-      // The SAME broadcast(hot) shape feeds all three consumers (anti-join,
-      // n_hot join, rescue join): identical canonicalized BroadcastExchange
-      // → ReuseExchange computes the df aggregate once, not three times.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = posts.join(broadcast(hot), Seq("s"), "left_anti")
       // Floor guarantee (prefix-filtering style): every doc keeps at least
       // its DfFloor RAREST postings regardless of df. Docs with ≥ DfFloor
@@ -549,16 +551,12 @@ object TextOps {
       // class rank the same shingles in the same order, so they keep the
       // SAME rescued shingles and still collide in signature/index space.
       //
-      // Cost posture (r5 lesson — the first cut of this rescue cost 1.4-3×
-      // across the dedup family): n_low is derived as size(sh) - n_hot from
-      // the caller's one-row-per-doc relation, NOT from a corpus-wide
-      // posts.distinct() or a second aggregate over `kept`; docs with zero
-      // hot postings can't be rescued (nothing to rescue FROM) and are
-      // dropped by the inner join, so `need` stays needy-sized; and the
-      // rescue filters posts to needy docs (broadcast) BEFORE attaching df,
-      // so the row_number window — the only posting-stream shuffle in this
-      // function — sees needy docs' postings only, not every hot posting
-      // in the corpus.
+      // Cost posture (r5/r6 lessons — the first cut of this rescue cost
+      // 1.4-3× across the dedup family): n_low is derived as size(sh) -
+      // n_hot from the caller's one-row-per-doc relation, NOT from a
+      // corpus-wide posts.distinct(); docs with zero hot postings can't be
+      // rescued (nothing to rescue FROM) and are dropped by the inner
+      // join, so `need` stays needy-sized.
       val nHot = posts.join(broadcast(hot), Seq("s"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("_n_hot"))
       val need = docs.select(col("doc_id"), size(col("sh")).as("_sz"))
@@ -566,24 +564,33 @@ object TextOps {
         .select(col("doc_id"),
           (lit(DfFloor.toLong) - (col("_sz") - col("_n_hot"))).as("_need"))
         .filter(col("_need") > 0)
-      val byRarity = Window.partitionBy(col("doc_id"))
-        .orderBy(col("_df").asc, col("s").asc)
-      val rescued = posts
-        .join(broadcast(need), Seq("doc_id")) // needy docs' postings ONLY
-        .join(broadcast(hot), Seq("s"))       // their hot ones, df attached
-        .withColumn("_rk", row_number().over(byRarity))
-        .filter(col("_rk") <= col("_need"))
-        .select(col("doc_id"), col("s"))
-      // PERSISTED, same rationale as [[docsWithShingles]]: the capped
-      // stream feeds a self-join (ka/kb) plus per-doc stats in q35 and the
-      // signature aggregate in q34 — without a materialization barrier the
-      // whole cap+rescue tree (hot aggregate, anti-join, rarity window) is
-      // cloned into EVERY consumer branch (measured: 104-exchange plan,
-      // ~15× wall with caching disabled). Building the capped index once
-      // and reusing it is also the honest 100 TB posture. CacheManager
-      // dedups by canonicalized plan, so repeated calls share one copy.
-      kept.select(col("doc_id"), col("s")).unionByName(rescued)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // EAGER needy-set probe (r6): on real corpora the needy set is EMPTY
+      // — a doc must hold fewer than DfFloor below-cap shingles, i.e. be
+      // almost entirely mass-duplicated boilerplate, which the spec's
+      // 18-way duplicate class manufactures but organic data essentially
+      // never does. Probing need.isEmpty here (one bounded action over the
+      // persisted tiny aggregates; the n_hot pass it forces is work the
+      // rescue plan needs anyway, so no extra corpus pass at any scale)
+      // lets the common case return the bare anti-join: no rescue window,
+      // no union, no materialization barrier — measured 2.96 → 2.06 s on
+      // the exact-pairs path at sf0.1, and it restores exactly the pre-
+      // rescue (r4) plan shape. The rescued branch keeps its persist: its
+      // output feeds multiple consumers and the union tree would otherwise
+      // be cloned into each (measured 104-exchange plan without it).
+      if (need.isEmpty) kept.select(col("doc_id"), col("s"))
+      else {
+        val byRarity = Window.partitionBy(col("doc_id"))
+          .orderBy(col("_df").asc, col("s").asc)
+        val rescued = posts
+          .join(broadcast(need), Seq("doc_id")) // needy docs' postings ONLY
+          .join(broadcast(hot), Seq("s"))       // their hot ones, df attached
+          .withColumn("_rk", row_number().over(byRarity))
+          .filter(col("_rk") <= col("_need"))
+          .select(col("doc_id"), col("s"))
+        kept.select(col("doc_id"), col("s")).unionByName(rescued)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     }
 
   /** Exact pairwise Jaccard with stop-shingle candidate pruning.
@@ -610,7 +617,7 @@ object TextOps {
     // list, then explode the a<b pairs in place. The self-join formulation
     // shuffled the posting stream TWICE and cloned the capped-index subtree
     // into both sides of the SMJ; this shape shuffles it once and reads the
-    // cached index once. Per-key fanout is the same bounded ≤ C(dfCap, 2)
+    // capped stream once. Per-key fanout is the same bounded ≤ C(dfCap, 2)
     // either way — that bound, not the operator shape, is what keeps the
     // hottest key constant-sized at 100 TB.
     val interLow = kept.groupBy(col("s")).agg(collect_set(col("doc_id")).as("ids"))

@@ -53,4 +53,28 @@ class PlanAuditSpec extends SparkSpec {
       else assert(cart.isEmpty, s"$name plans CartesianProduct:\n$plan")
     }
   }
+
+  test("dedup pair detection keeps its shuffle-exchange budget " +
+      "(capDf regression guard, VERDICT r5 #8)") {
+    // The r5 df-floor rescue once re-referenced the unpersisted posting
+    // stream enough times that q35's plan reached 104 exchanges (~15×
+    // wall). These budgets hold ~25% above the healthy plans' counts
+    // (q34: 15, q35: 35 at calibration) — subtree cloning from a lost
+    // persist or a new corpus-wide pass blows through them; partition-
+    // count or AQE changes do not (exchange NODES, not tasks).
+    // sparkPlan is pre-EnsureRequirements (no exchanges yet) and AQE
+    // hides children, so count shuffle markers in the executed-plan
+    // string; "BroadcastExchange HashedRelation…" never matches the
+    // lowercase partitioning words.
+    val rx = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+    val budgets = Map("q34_minhash_lsh" -> 20, "q35_ngram_jaccard" -> 44)
+    budgets.foreach { case (name, budget) =>
+      val s = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val n = rx.findAllIn(s).size
+      assert(n <= budget,
+        s"$name plans $n shuffle exchanges (budget $budget) — a capDf " +
+          "consumer is likely re-deriving the posting stream per branch")
+    }
+  }
 }
