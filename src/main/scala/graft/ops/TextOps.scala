@@ -565,20 +565,24 @@ object TextOps {
           (lit(DfFloor.toLong) - (col("_sz") - col("_n_hot"))).as("_need"))
         .filter(col("_need") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // EAGER needy-set probe (r6): on real corpora the needy set is EMPTY
-      // — a doc must hold fewer than DfFloor below-cap shingles, i.e. be
-      // almost entirely mass-duplicated boilerplate, which the spec's
-      // 18-way duplicate class manufactures but organic data essentially
-      // never does. Probing need.isEmpty here (one bounded action over the
-      // persisted tiny aggregates; the n_hot pass it forces is work the
-      // rescue plan needs anyway, so no extra corpus pass at any scale)
-      // lets the common case return the bare anti-join: no rescue window,
-      // no union, no materialization barrier — measured 2.96 → 2.06 s on
-      // the exact-pairs path at sf0.1, and it restores exactly the pre-
-      // rescue (r4) plan shape. The rescued branch keeps its persist: its
-      // output feeds multiple consumers and the union tree would otherwise
-      // be cloned into each (measured 104-exchange plan without it).
-      if (need.isEmpty) kept.select(col("doc_id"), col("s"))
+      // EAGER needy-set probe (r6): on clean corpora the needy set is
+      // EMPTY — a doc must hold fewer than DfFloor below-cap shingles,
+      // i.e. be almost entirely mass-duplicated boilerplate. Probing its
+      // emptiness here (one bounded action over the persisted tiny
+      // aggregates; the n_hot pass it forces is work the rescue plan
+      // needs anyway, so no extra corpus pass at any scale) lets that
+      // case return the bare anti-join: no rescue window, no union, no
+      // materialization barrier — measured 2.96 → 2.06 s on the exact-
+      // pairs path at sf0.1, restoring the pre-rescue (r4) plan shape.
+      // count(), NOT isEmpty: isEmpty is a take(1) that materializes only
+      // the first partition, leaving the persisted need/nHot caches
+      // PARTIAL — the main action then recomputed the whole subtree
+      // (ScaleCurve caught it: q35 sf0.1 shuffle 9.9 → 17.3 MB). count()
+      // populates every partition, so the main plan reads pure cache.
+      // The rescued branch keeps its persist: its output feeds multiple
+      // consumers and the union tree would otherwise be cloned into each
+      // (measured 104-exchange plan without it).
+      if (need.count() == 0L) kept.select(col("doc_id"), col("s"))
       else {
         val byRarity = Window.partitionBy(col("doc_id"))
           .orderBy(col("_df").asc, col("s").asc)

@@ -51,6 +51,47 @@ class BloomSpec extends SparkSpec {
     assert(candidates >= exact.size) // superset property
   }
 
+  test("broadcast probe: identical verdicts to the subquery probe, " +
+      "no false negatives") {
+    val buildKeys = (1L to 500L).map(_ * 7)
+    val probeKeys = (1L to 5000L).toDF("p")
+    val blob = BloomExprs.buildBloom(buildKeys.toDF("k"), col("k"), 1000L)
+    val bc = spark.sparkContext.broadcast(blob)
+    val viaBroadcast = probeKeys
+      .filter(BloomExprs.mightContainBroadcast(bc, col("p")))
+      .as[Long].collect().toSet
+    // same blob through the subquery/Literal path must agree bit-for-bit
+    val bfCol = buildKeys.toDF("k")
+      .agg(BloomExprs.bloomAgg(col("k"), 1000L).as("bf")).scalar()
+    val viaSubquery = probeKeys
+      .filter(BloomExprs.mightContain(bfCol, col("p")))
+      .as[Long].collect().toSet
+    assert(viaBroadcast == viaSubquery)
+    // no false negatives through the broadcast path
+    assert(buildKeys.filter(_ <= 5000).toSet.subsetOf(viaBroadcast))
+  }
+
+  test("broadcast probe evaluates identically interpreted and codegen'd") {
+    val blob = BloomExprs.buildBloom(
+      (1L to 100L).toDF("k"), col("k"), 100L)
+    val bc = spark.sparkContext.broadcast(blob)
+    val df = (1L to 300L).toDF("p")
+      .withColumn("hit", BloomExprs.mightContainBroadcast(bc, col("p")))
+    val viaCodegen = df.filter(col("hit")).select("p").as[Long]
+      .collect().toSet
+    // force the interpreted path by evaluating the expression directly
+    // (same xxhash64 pre-hash the Column constructor applies)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64}
+    val bound = graft.expr.BloomMightContainBroadcast(bc,
+      XxHash64(Seq(BoundReference(0, org.apache.spark.sql.types.LongType,
+        nullable = false)), 42L))
+    val viaEval = (1L to 300L).filter { k =>
+      bound.eval(InternalRow(k)) == true
+    }.toSet
+    assert(viaCodegen == viaEval)
+  }
+
   test("q78's plan carries the bloom probe below the exact semi-join") {
     val df = SparkEntry.queries("q78_contamination")(
       spark, "/root/testdata/sf0.001")
