@@ -68,7 +68,7 @@ object Bench {
     // noise (BASELINE.md) — min-of-3 for JUST those, min-of-2 elsewhere, so
     // the recorded number reflects the plan, not the filesystem's mood.
     val checkpointBacked = Set("q45_dup_clusters", "q45b_dup_clusters_lsh",
-      "q85_canonical_docs", "q86_leakage_safe_split",
+      "q85_canonical_docs", "q86_leakage_safe_split", "q87_semantic_dedup",
       "q63_stream_upsert", "q64_stream_stream_join", "q65_stream_tws")
     val results = names.map { name =>
       val runs = if (checkpointBacked(name)) 3 else 2

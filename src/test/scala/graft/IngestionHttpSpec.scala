@@ -116,6 +116,31 @@ class IngestionHttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("sync endpoint emits valid JSON for hostile store paths " +
+      "(quotes, backslashes, control chars)") {
+    // the ADVICE r4/r5 sequence: quote+backslash alone still let
+    // U+0000-U+001F through — drive the full hostile set end-to-end and
+    // assert the body PARSES, not just that substrings appear
+    val hostile = "/tmp/we\"ird\\dir\nwith\tctlchars"
+    val srv = new graft.jobs.ApiServer(
+      () => graft.jobs.IngestMetrics(Some(200), Some(0), 1L, 1L, hostile))
+      .start()
+    try {
+      val (sc, sb) = httpPost(
+        s"http://127.0.0.1:${srv.boundPort}/jobs/ingestion/sync")
+      assert(sc === 200)
+      // no raw control characters may survive into the one-line wire body
+      assert(!sb.exists(c => c < 0x20), sb)
+      // and the body round-trips through a real JSON parser
+      val parsed = spark.read.json(
+        spark.createDataset(Seq(sb))(
+          org.apache.spark.sql.Encoders.STRING))
+      assert(parsed.columns.contains("metrics"), sb)
+      val out = parsed.selectExpr("metrics.output").head.getString(0)
+      assert(out === hostile, s"escaped round-trip mismatch: $out")
+    } finally srv.stop()
+  }
+
   test("fixture path reports transport metrics as absent, not invented") {
     val store = Files.createTempDirectory("graft_fx_store").toString + "/st"
     val metrics = IngestionJob.run(spark, fixture, store,

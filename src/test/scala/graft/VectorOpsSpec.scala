@@ -170,4 +170,27 @@ class VectorOpsSpec extends SparkSpec {
       .select("band", "bucket").as[(Int, Long)].collect().toSeq
     assert(b1 == b2 && b1.size == 4)
   }
+
+  test("semantic dedup groups scaled copies, spares unrelated vectors") {
+    // two planted semantic groups (pure positive scalings — cosine
+    // exactly 1.0, and dot-based cell assignment is scale-invariant, so
+    // membership cannot be lost to a cell boundary) plus vectors whose
+    // pairwise cosine stays far below the 0.99 threshold
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1.5f, 0f, 0f, 0f)),
+      (3L, Array(2f, 0f, 0f, 0f)),                       // group {1,2,3}
+      (10L, Array(0f, 3f, 0f, 0f)), (11L, Array(0f, 1f, 0f, 0f)), // {10,11}
+      (20L, Array(0f, 0f, 1f, 0f)),                      // singleton
+      (21L, Array(0.7f, 0.7f, 0f, 0f)))                  // cos ≈ .71 to both
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val labels = VectorOps.semanticDedup(rows, dim = 4, threshold = 0.99,
+        nCells = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L), labels)
+    // singletons and sub-threshold vectors never enter any group
+    assert(!labels.contains(20L) && !labels.contains(21L))
+  }
 }
