@@ -568,12 +568,16 @@ object TextOps {
       // EAGER needy-set probe (r6): on clean corpora the needy set is
       // EMPTY — a doc must hold fewer than DfFloor below-cap shingles,
       // i.e. be almost entirely mass-duplicated boilerplate. Probing its
-      // emptiness here (one bounded action over the persisted tiny
-      // aggregates; the n_hot pass it forces is work the rescue plan
-      // needs anyway, so no extra corpus pass at any scale) lets that
-      // case return the bare anti-join: no rescue window, no union, no
-      // materialization barrier — measured 2.96 → 2.06 s on the exact-
-      // pairs path at sf0.1, restoring the pre-rescue (r4) plan shape.
+      // emptiness here lets that case return the bare anti-join: no
+      // rescue window, no union, no materialization barrier — measured
+      // 2.96 → 2.06 s on the exact-pairs path at sf0.1, restoring the
+      // pre-rescue (r4) plan shape. Probe cost: the hot/n_hot aggregates
+      // it forces (cached, tiny outputs). When the rescue fires they are
+      // reused from cache — zero extra passes; when it doesn't, the one
+      // n_hot postings pass is the price of dropping the whole rescue
+      // subtree from the plan — the right trade at every scale, since
+      // the aggregate is map-side-partial (shuffles per-doc counts, not
+      // postings).
       // count(), NOT isEmpty: isEmpty is a take(1) that materializes only
       // the first partition, leaving the persisted need/nHot caches
       // PARTIAL — the main action then recomputed the whole subtree
