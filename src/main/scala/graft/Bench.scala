@@ -115,8 +115,13 @@ object Bench {
       java.nio.file.Files.write(out,
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,\n"queries":$detail,\n"errors":$errJson}\n""".getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
+    // a SPARK_GRAFT_ONLY-filtered run must never read as a full-catalog
+    // total: mark the subset explicitly so a stray dev env var can't
+    // masquerade as a catalog-wide regression or improvement
+    val subset =
+      if (only.isDefined) s""","subset":${results.size}""" else ""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson$subset,"sf":"$sfDir"}"""
     // The driver parses the LAST stdout JSON line; BENCH_r2-r4 all recorded
     // "parsed": null because Spark's shutdown logging and sbt's success
     // banner landed after (or interleaved with) the metric line. Defense in

@@ -48,11 +48,22 @@ object BloomExprs {
     * partition, merged once) and return the serialized blob. The blob is
     * numBits/8 bytes BY CONSTRUCTION — bounded by the sizing parameters,
     * not by data — so holding it on the driver is safe at any corpus
-    * scale. */
+    * scale. An EMPTY (or all-null-key) build side yields a real empty
+    * filter, not null: BloomFilterAggregate evaluates to null when zero
+    * rows aggregate, and shipping that null would NPE the probe's lazy
+    * deserialization in executor tasks — where the subquery path just
+    * filtered every row. An empty filter gives the same every-row-false
+    * verdicts with no special cases downstream. */
   def buildBloom(keys: DataFrame, keyCol: Column, expectedItems: Long,
       fpp: Double = 0.03): Array[Byte] =
-    keys.agg(bloomAgg(keyCol, expectedItems, fpp).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    Option(keys.agg(bloomAgg(keyCol, expectedItems, fpp).as("bf"))
+        .head.getAs[Array[Byte]](0))
+      .getOrElse {
+        val empty = org.apache.spark.util.sketch.BloomFilter.create(1)
+        val out = new java.io.ByteArrayOutputStream()
+        empty.writeTo(out)
+        out.toByteArray
+      }
 
   /** Probe against a DRIVER-BROADCAST filter instead of an in-plan scalar
     * subquery. A subquery's result is inlined as a Literal into the

@@ -95,9 +95,10 @@ final class ApiServer(runJob: () => IngestMetrics, port: Int = 0) {
         try respond(ex, 200,
           s"""{"status": "completed", "metrics": ${metricsJson(runJob())}}""")
         catch { case e: Throwable =>
+          // same escaping as the success path: a Spark stack message with
+          // embedded newlines must not produce malformed JSON on the 500
           respond(ex, 500, s"""{"status": "failed", "detail": "${
-            Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\]", " ")}"}""")
+            jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""")
         }
       case (_, "/health" | "/hello" | "/jobs/ingestion"
             | "/jobs/ingestion/sync") =>

@@ -49,7 +49,11 @@ object Secrets {
 
   /** Parse `.env` lines: `KEY=VALUE`, blank lines and `#` comments
     * skipped, optional `export ` prefix, optional single/double quotes
-    * around the value (quotes stripped, content kept verbatim).
+    * around the value (quotes stripped, content kept verbatim). Unquoted
+    * values drop a trailing ` # inline comment` (whitespace before `#`),
+    * quoted values keep `#` verbatim — python-dotenv's semantics, which
+    * this loader claims parity with: `PEPPER=abc # prod` must yield
+    * "abc" on both stacks or hashes silently diverge.
     */
   private[jobs] def parseDotenv(lines: Seq[String]): Map[String, String] =
     lines.iterator
@@ -58,13 +62,22 @@ object Secrets {
       .map { l =>
         val stripped = if (l.startsWith("export ")) l.drop(7).trim else l
         val (k, v) = stripped.span(_ != '=')
-        val raw = v.drop(1).trim
+        val rawU = v.drop(1)
+        val raw = rawU.trim
         val value =
           if (raw.length >= 2 &&
             ((raw.head == '"' && raw.last == '"') ||
               (raw.head == '\'' && raw.last == '\'')))
             raw.substring(1, raw.length - 1)
-          else raw
+          else if (raw.startsWith("#") && rawU.takeWhile(_ != '#')
+              .exists(_.isWhitespace))
+            "" // `KEY= # all comment` — whitespace then comment, empty value
+          else {
+            val hash = raw.indexOf('#')
+            if (hash > 0 && raw.charAt(hash - 1).isWhitespace)
+              raw.substring(0, hash).trim
+            else raw
+          }
         k.trim -> value
       }
       .toMap

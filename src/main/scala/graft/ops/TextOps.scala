@@ -585,7 +585,12 @@ object TextOps {
       // populates every partition, so the main plan reads pure cache.
       // The rescued branch keeps its persist: its output feeds multiple
       // consumers and the union tree would otherwise be cloned into each
-      // (measured 104-exchange plan without it).
+      // (measured 104-exchange plan without it). Cache lifecycle: all
+      // three persists register in CacheManager, which dedups by
+      // canonicalized plan — repeated construction of the same query
+      // reuses one entry rather than accumulating; sessions processing
+      // many DISTINCT corpora should clearCache() between them, as
+      // Verify and Bench both do.
       if (need.count() == 0L) kept.select(col("doc_id"), col("s"))
       else {
         val byRarity = Window.partitionBy(col("doc_id"))
@@ -621,13 +626,18 @@ object TextOps {
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val kept = capDf(posts, docs, dfCap)
     // Posting-list pair expansion as ONE aggregation instead of a self-join:
-    // collect each shingle's (df-capped, so ≤ dfCap + DfFloor-rescued) doc
-    // list, then explode the a<b pairs in place. The self-join formulation
-    // shuffled the posting stream TWICE and cloned the capped-index subtree
-    // into both sides of the SMJ; this shape shuffles it once and reads the
-    // capped stream once. Per-key fanout is the same bounded ≤ C(dfCap, 2)
-    // either way — that bound, not the operator shape, is what keeps the
-    // hottest key constant-sized at 100 TB.
+    // collect each shingle's doc list, then explode the a<b pairs in
+    // place. The self-join formulation shuffled the posting stream TWICE
+    // and cloned the capped-index subtree into both sides of the SMJ;
+    // this shape shuffles it once and reads the capped stream once.
+    // Bound honesty: KEPT keys hold ≤ dfCap docs (≤ C(dfCap, 2) pairs);
+    // a RESCUED key of an N-way identical-duplicate class holds all N
+    // members — but emitting that class's C(N, 2) pairs is the operator's
+    // OUTPUT, not overhead, and the composed pipeline removes identical
+    // content with exact dedup (q31, an 8-byte-hash groupBy) BEFORE
+    // near-dup detection, so N-way rescued keys past that stage are
+    // near-identical-but-distinct classes, which organic corpora keep
+    // small. The same caveat applies to LSH band buckets below.
     val interLow = kept.groupBy(col("s")).agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       // AQE sizes the next stage by the collect_set output's BYTES, which

@@ -92,6 +92,17 @@ class BloomSpec extends SparkSpec {
     assert(viaCodegen == viaEval)
   }
 
+  test("empty build side yields a real empty filter: every probe false, " +
+      "no NPE") {
+    val blob = BloomExprs.buildBloom(
+      Seq.empty[Long].toDF("k"), col("k"), 100L)
+    assert(blob != null && blob.nonEmpty)
+    val bc = spark.sparkContext.broadcast(blob)
+    val hits = (1L to 100L).toDF("p")
+      .filter(BloomExprs.mightContainBroadcast(bc, col("p"))).count()
+    assert(hits === 0)
+  }
+
   test("q78's plan carries the bloom probe below the exact semi-join") {
     val df = SparkEntry.queries("q78_contamination")(
       spark, "/root/testdata/sf0.001")

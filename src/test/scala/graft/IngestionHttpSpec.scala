@@ -141,6 +141,26 @@ class IngestionHttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("sync endpoint's 500 body is valid JSON when the failure message " +
+      "has control chars") {
+    // Spark failure messages routinely embed newlines ("Job aborted due
+    // to stage failure:\n...") — the error path must escape like the
+    // success path does
+    val srv = new graft.jobs.ApiServer(() => throw new RuntimeException(
+      "stage failure:\n\tat Something.scala:42 \"quoted\"")).start()
+    try {
+      val (sc, sb) = httpPost(
+        s"http://127.0.0.1:${srv.boundPort}/jobs/ingestion/sync")
+      assert(sc === 500)
+      assert(!sb.exists(c => c < 0x20), sb)
+      val parsed = spark.read.json(
+        spark.createDataset(Seq(sb))(org.apache.spark.sql.Encoders.STRING))
+      assert(parsed.columns.sorted.toSeq === Seq("detail", "status"), sb)
+      val detail = parsed.selectExpr("detail").head.getString(0)
+      assert(detail.contains("stage failure:\n\tat"), detail)
+    } finally srv.stop()
+  }
+
   test("fixture path reports transport metrics as absent, not invented") {
     val store = Files.createTempDirectory("graft_fx_store").toString + "/st"
     val metrics = IngestionJob.run(spark, fixture, store,

@@ -80,6 +80,29 @@ class SecretsSpec extends SparkSpec {
     assert(e.getMessage.contains("missing required secret"))
   }
 
+  test("unquoted inline comments are stripped, quoted hashes kept " +
+      "(python-dotenv parity)") {
+    // `PEPPER=abc # prod` must load as "abc" on BOTH stacks — a trailing
+    // comment kept in the value would silently change every Argon2 hash
+    // and blind index relative to the reference's load_dotenv
+    val dir = Files.createTempDirectory("graft_dotenv_comments")
+    val dotenv = dir.resolve(".env")
+    def pepperFrom(line: String): String = {
+      Files.write(dotenv, java.util.Arrays.asList(
+        line,
+        s"BLIND_INDEX_KEY=${goodEnv("BLIND_INDEX_KEY")}",
+        s"""FERNET_KEY="$goodFernet""""),
+        StandardCharsets.UTF_8)
+      Secrets.fromEnv(env = Map.empty, dotenv = Some(dotenv)).pepper
+    }
+    assert(pepperFrom("PEPPER=abc # trailing comment") === "abc")
+    // quoted values keep '#' verbatim
+    assert(pepperFrom("PEPPER='kept#hash'") === "kept#hash")
+    // '#' with no whitespace before it is NOT a comment
+    assert(pepperFrom("PEPPER=no#comment-without-space")
+      === "no#comment-without-space")
+  }
+
   test("SecretKeys never renders key material") {
     val keys = Secrets.fromEnv(goodEnv)
     val s = keys.toString
