@@ -37,6 +37,25 @@ object RetrievalOps {
     Tables.documents(s, d)
       .select(col("doc_id"), size(TextOps.toks(col("text"))).as("dl"))
 
+  /** 1-based dense rank of a LIMIT-bounded run by (`score` desc, `id`
+    * asc), as a broadcast self-join count (rank = 1 + #strictly-better
+    * rows — identical to row_number under this total order, since the id
+    * tiebreak leaves no true ties). A partition-less Window would compute
+    * the same thing but funnels its input through ONE task and is banned
+    * catalog-wide by PlanAuditSpec; the O(N²) join is explicitly bounded
+    * by the run's LIMIT (N ≤ tens), which this formulation keeps visible
+    * at the call site instead of hiding behind a window. */
+  private def rankBounded(run: DataFrame, score: String,
+      id: String): DataFrame = {
+    val better = run.select(col(id).as("_id2"), col(score).as("_sc2"))
+    run.join(broadcast(better),
+        col("_sc2") > col(score) ||
+          (col("_sc2") === col(score) && col("_id2") < col(id)),
+        "left_outer")
+      .groupBy(col(id), col(score))
+      .agg((count(col("_id2")) + 1).as("rank"))
+  }
+
   val catalog: Seq[Q] = Seq(
 
     // ---- TF-IDF scoring of documents against a query-term set:
@@ -123,6 +142,110 @@ object RetrievalOps {
               FROM tf JOIN df USING (t) JOIN dl USING (doc_id)
               CROSS JOIN stats
               GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 20""")),
+
+    // ---- hybrid retrieval via reciprocal-rank fusion (q88): the
+    // standard two-tower serving pattern — a lexical run (q58's BM25
+    // top-20, formula verbatim) and a vector run (cosine against a query
+    // document's embedding, top-20) fused by RRF:
+    // score(d) = Σ_runs 1/(60 + rank_d) over the runs that retrieved d.
+    // RRF needs only the RANKS, which makes it the cross-engine-exact
+    // fusion (no score normalization to disagree on): both runs round
+    // scores to 6 dp BEFORE ranking and break ties by doc_id, so ranks —
+    // and therefore the fused scores — are bit-identical in DuckDB.
+    // Scale posture: each run is its own bounded top-N (TakeOrdered /
+    // index probe at scale); fusion touches ≤ Σ N rows. doc_id ≡ vec_id
+    // by testdata construction (TESTDATA.md).
+    Q("q88_hybrid_rrf",
+      (s, d) => {
+        val kRrf = 60
+        // lexical run — q58's BM25, identically
+        val k1 = 1.2; val b = 0.75
+        val tf = termFreqs(s, d).filter(col("t").isin(QueryTerms: _*))
+        val dfT = tf.groupBy(col("t"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val stats = docLengths(s, d)
+          .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        val idf = log(
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+        val norm = col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl"))
+        val bm25 = tf.join(broadcast(dfT), Seq("t"))
+          .join(docLengths(s, d), Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (idf * (col("tf") * (k1 + 1)) / norm).as("w"))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("w")), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(20)
+        val lex = rankBounded(bm25, "bm25", "doc_id")
+          .select(col("doc_id"), col("rank").as("r_lex"))
+        // vector run — cosine against doc 7's embedding, corpus scored
+        // in place against the broadcast single-row query (q40's shape)
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("emb"))
+        val q = e.filter(col("vec_id") === 7).select(col("emb").as("q_emb"))
+        val cosRun = e.filter(col("vec_id") =!= 7)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"),
+            round(VectorOps.cosine(col("emb"), col("q_emb")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id").asc)
+          .limit(20)
+        val vec = rankBounded(cosRun, "cos", "doc_id")
+          .select(col("doc_id"), col("rank").as("r_vec"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            round(
+              coalesce(lit(1.0) / (lit(kRrf) + col("r_lex")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(kRrf) + col("r_vec")), lit(0.0)),
+              6).as("rrf"),
+            col("r_lex"), col("r_vec"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                  '[a-z0-9]+')) AS t
+                FROM documents),
+              dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+              tf AS (
+                SELECT doc_id, t, count(*) AS tf FROM tok
+                WHERE t IN ('spark','vector','stream','hash','merge')
+                GROUP BY doc_id, t),
+              df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+              bm AS (
+                SELECT tf.doc_id,
+                  round(sum(
+                    ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                    (tf.tf * 2.2) /
+                    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE / stats.avgdl))
+                  ), 6) AS bm25
+                FROM tf JOIN df USING (t) JOIN dl USING (doc_id)
+                CROSS JOIN stats
+                GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+              lex AS (SELECT doc_id, row_number() OVER
+                  (ORDER BY bm25 DESC, doc_id ASC) AS r_lex FROM bm),
+              q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings
+                WHERE vec_id = 7),
+              coss AS (
+                SELECT vec_id AS doc_id,
+                  round(list_dot_product(embedding::DOUBLE[], q.q_emb) /
+                    (sqrt(list_dot_product(embedding::DOUBLE[],
+                       embedding::DOUBLE[])) *
+                     sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos
+                FROM embeddings CROSS JOIN q WHERE vec_id <> 7
+                ORDER BY cos DESC, doc_id ASC LIMIT 20),
+              vec AS (SELECT doc_id, row_number() OVER
+                  (ORDER BY cos DESC, doc_id ASC) AS r_vec FROM coss),
+              f AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                  r_lex, r_vec
+                FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+              SELECT doc_id,
+                round(coalesce(1.0 / (60 + r_lex), 0) +
+                      coalesce(1.0 / (60 + r_vec), 0), 6) AS rrf,
+                r_lex, r_vec
+              FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10""")),
 
     // ---- unigram-LM quality score (the pretraining "perplexity filter"
     // in its simplest closed form): p(t) = corpus freq / total tokens;
