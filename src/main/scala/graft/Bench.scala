@@ -108,18 +108,19 @@ object Bench {
       .map { case (k, m) => s"\"" + shortKey(k) + "\":\"" + m.take(60) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // a SPARK_GRAFT_ONLY-filtered run must never read as a full-catalog
+    // total: mark the subset explicitly — in BOTH the stdout line and
+    // the detail file — so a stray dev env var can't masquerade as a
+    // catalog-wide regression or improvement
+    val subset =
+      if (only.isDefined) s""","subset":${results.size}""" else ""
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",\n ", "}")
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out,
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,\n"queries":$detail,\n"errors":$errJson}\n""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,\n"queries":$detail,\n"errors":$errJson}\n""".getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
-    // a SPARK_GRAFT_ONLY-filtered run must never read as a full-catalog
-    // total: mark the subset explicitly so a stray dev env var can't
-    // masquerade as a catalog-wide regression or improvement
-    val subset =
-      if (only.isDefined) s""","subset":${results.size}""" else ""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson$subset,"sf":"$sfDir"}"""
     // The driver parses the LAST stdout JSON line; BENCH_r2-r4 all recorded

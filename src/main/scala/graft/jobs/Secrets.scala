@@ -48,12 +48,19 @@ object Secrets {
   val BlindIndexKeyVar = "BLIND_INDEX_KEY"
 
   /** Parse `.env` lines: `KEY=VALUE`, blank lines and `#` comments
-    * skipped, optional `export ` prefix, optional single/double quotes
-    * around the value (quotes stripped, content kept verbatim). Unquoted
-    * values drop a trailing ` # inline comment` (whitespace before `#`),
-    * quoted values keep `#` verbatim — python-dotenv's semantics, which
-    * this loader claims parity with: `PEPPER=abc # prod` must yield
-    * "abc" on both stacks or hashes silently diverge.
+    * skipped, optional `export ` prefix. Value semantics mirror
+    * python-dotenv (the loader the reference stack uses — divergence
+    * silently changes every hash computed from the keys), empirically
+    * verified against the library:
+    *  - a value STARTING with `'`/`"` is the quoted span up to the
+    *    matching close quote — `#` inside is kept verbatim, anything
+    *    after the close quote (inline comment) is dropped;
+    *  - an unquoted value is cut at the first `#` PRECEDED by
+    *    whitespace (`abc # c` → "abc", `a#b #c` → "a#b",
+    *    `no#space` → unchanged), then trimmed;
+    *  - a `#` at value start is NOT a comment (`KEY= # x` loads
+    *    "# x", python-dotenv's behavior — whitespace after `=` is
+    *    consumed by its key-value split, not the comment rule).
     */
   private[jobs] def parseDotenv(lines: Seq[String]): Map[String, String] =
     lines.iterator
@@ -62,21 +69,16 @@ object Secrets {
       .map { l =>
         val stripped = if (l.startsWith("export ")) l.drop(7).trim else l
         val (k, v) = stripped.span(_ != '=')
-        val rawU = v.drop(1)
-        val raw = rawU.trim
+        val lead = v.drop(1).dropWhile(_.isWhitespace)
         val value =
-          if (raw.length >= 2 &&
-            ((raw.head == '"' && raw.last == '"') ||
-              (raw.head == '\'' && raw.last == '\'')))
-            raw.substring(1, raw.length - 1)
-          else if (raw.startsWith("#") && rawU.takeWhile(_ != '#')
-              .exists(_.isWhitespace))
-            "" // `KEY= # all comment` — whitespace then comment, empty value
+          if (lead.length >= 2 &&
+              (lead.head == '"' || lead.head == '\'') &&
+              lead.indexOf(lead.head, 1) > 0)
+            lead.substring(1, lead.indexOf(lead.head, 1))
           else {
-            val hash = raw.indexOf('#')
-            if (hash > 0 && raw.charAt(hash - 1).isWhitespace)
-              raw.substring(0, hash).trim
-            else raw
+            val cut = lead.indices.find(i =>
+              lead(i) == '#' && i > 0 && lead(i - 1).isWhitespace)
+            cut.map(lead.substring(0, _)).getOrElse(lead).trim
           }
         k.trim -> value
       }

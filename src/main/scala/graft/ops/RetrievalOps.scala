@@ -47,13 +47,43 @@ object RetrievalOps {
     * at the call site instead of hiding behind a window. */
   private def rankBounded(run: DataFrame, score: String,
       id: String): DataFrame = {
-    val better = run.select(col(id).as("_id2"), col(score).as("_sc2"))
-    run.join(broadcast(better),
+    // PERSISTED: the self-join's left side and broadcast right side are
+    // separate physical subtrees — without the cache the run's WHOLE
+    // upstream pipeline (a corpus-wide scoring pass) executes twice. The
+    // cached relation is ≤ the run's LIMIT rows by construction.
+    val r = run.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val better = r.select(col(id).as("_id2"), col(score).as("_sc2"))
+    r.join(broadcast(better),
         col("_sc2") > col(score) ||
           (col("_sc2") === col(score) && col("_id2") < col(id)),
         "left_outer")
       .groupBy(col(id), col(score))
       .agg((count(col("_id2")) + 1).as("rank"))
+  }
+
+  /** The BM25 top-20 run (k1=1.2, b=0.75) against [[QueryTerms]] —
+    * shared by q58 (the lexical query) and q88 (the hybrid fusion), so
+    * the formula/rounding can never drift between them. */
+  private def bm25Run(s: SparkSession, d: String): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val tf = termFreqs(s, d).filter(col("t").isin(QueryTerms: _*))
+    val dfT = tf.groupBy(col("t"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val stats = docLengths(s, d)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val idf = log(
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / col("avgdl"))
+    tf.join(broadcast(dfT), Seq("t"))
+      .join(docLengths(s, d), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (idf * (col("tf") * (k1 + 1)) / norm).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
   }
 
   val catalog: Seq[Q] = Seq(
@@ -101,27 +131,7 @@ object RetrievalOps {
     // avgdl is an exact integer-sum average, identical in both engines.
     // Top-20 by score with doc_id tiebreak = deterministic output.
     Q("q58_bm25",
-      (s, d) => {
-        val k1 = 1.2; val b = 0.75
-        val tf = termFreqs(s, d).filter(col("t").isin(QueryTerms: _*))
-        val dfT = tf.groupBy(col("t"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-        val stats = docLengths(s, d)
-          .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-        val idf = log(
-          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-        val norm = col("tf") + lit(k1) * (lit(1.0 - b) +
-          lit(b) * col("dl").cast("double") / col("avgdl"))
-        tf.join(broadcast(dfT), Seq("t"))
-          .join(docLengths(s, d), Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            (idf * (col("tf") * (k1 + 1)) / norm).as("w"))
-          .groupBy(col("doc_id"))
-          .agg(round(sum(col("w")), 6).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id").asc)
-          .limit(20)
-      },
+      (s, d) => bm25Run(s, d),
       Some("""WITH tok AS (
                 SELECT doc_id, unnest(regexp_extract_all(lower(text),
                   '[a-z0-9]+')) AS t
@@ -158,27 +168,8 @@ object RetrievalOps {
     Q("q88_hybrid_rrf",
       (s, d) => {
         val kRrf = 60
-        // lexical run — q58's BM25, identically
-        val k1 = 1.2; val b = 0.75
-        val tf = termFreqs(s, d).filter(col("t").isin(QueryTerms: _*))
-        val dfT = tf.groupBy(col("t"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-        val stats = docLengths(s, d)
-          .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-        val idf = log(
-          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-        val norm = col("tf") + lit(k1) * (lit(1.0 - b) +
-          lit(b) * col("dl").cast("double") / col("avgdl"))
-        val bm25 = tf.join(broadcast(dfT), Seq("t"))
-          .join(docLengths(s, d), Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            (idf * (col("tf") * (k1 + 1)) / norm).as("w"))
-          .groupBy(col("doc_id"))
-          .agg(round(sum(col("w")), 6).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id").asc)
-          .limit(20)
-        val lex = rankBounded(bm25, "bm25", "doc_id")
+        // lexical run — [[bm25Run]], the same relation q58 returns
+        val lex = rankBounded(bm25Run(s, d), "bm25", "doc_id")
           .select(col("doc_id"), col("rank").as("r_lex"))
         // vector run — cosine against doc 7's embedding, corpus scored
         // in place against the broadcast single-row query (q40's shape)

@@ -101,6 +101,12 @@ class SecretsSpec extends SparkSpec {
     // '#' with no whitespace before it is NOT a comment
     assert(pepperFrom("PEPPER=no#comment-without-space")
       === "no#comment-without-space")
+    // quoted value + trailing comment: quotes stripped, comment dropped
+    assert(pepperFrom("""PEPPER="abc" # prod pepper""") === "abc")
+    // comment starts at the first WHITESPACE-preceded '#', not the first '#'
+    assert(pepperFrom("PEPPER=a#b #prod") === "a#b")
+    // '#' at value start is NOT a comment (python-dotenv loads "# x")
+    assert(pepperFrom("PEPPER= # all comment") === "# all comment")
   }
 
   test("SecretKeys never renders key material") {
