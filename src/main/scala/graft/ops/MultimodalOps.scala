@@ -54,21 +54,11 @@ object MultimodalOps {
     */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    // Synthesis/decode parallelism is capped by the SOURCE's split count:
-    // a single-file corpus scans as ONE partition, serializing every
-    // downstream codec kernel onto one task (the same hazard
-    // docsWithShingles guards — and measured there as the dominant
-    // serial chain). Fan out to a fraction of the cores when the scan
-    // under-splits; at real scale parquet supplies thousands of splits
-    // and this is a no-op.
-    val base = Tables.documents(s, d)
+    // Synthesis/decode parallelism rides on the under-split fan-out guard
+    // in Tables.load (hash-repartition on doc_id when the single-file scan
+    // yields fewer splits than Tables.minSplits) — hazard documented there.
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("n_chars"))
-    val minSplits = math.max(2, s.sparkContext.defaultParallelism / 4)
-    val split =
-      if (base.rdd.getNumPartitions < minSplits)
-        base.repartition(minSplits, col("doc_id"))
-      else base
-    split
       .as[(Long, String, Long)]
       .mapPartitions(_.map { case (docId, text, nChars) =>
         val kind = (docId % 3) match {

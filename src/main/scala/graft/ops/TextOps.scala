@@ -49,25 +49,11 @@ object TextOps {
     * q34/q35 share one copy.
     */
   private[ops] def docsWithShingles(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-    // Tokenization parallelism is capped by the SOURCE's split count: a
-    // single-file corpus (the local test SFs) scans as ONE partition, so
-    // without this the whole tokenize+shingle chain — and every cached
-    // partition downstream of it — runs serially (measured: a 1-task
-    // ~1 s materialization stage dominating q34/q35). At 100 TB parquet
-    // supplies thousands of splits and this is a no-op; the guard keys the
-    // repartition off actual vs available parallelism, not a constant.
-    // Fan out to a FRACTION of the cores, not all of them: the dedup
-    // plans are ~30 short stages, and giving each one 32 tasks costs more
-    // in scheduling than the extra parallelism buys on a cached corpus
-    // this size (measured +0.4-0.6 s per query at 32; the serial chain
-    // only needs enough splits to stop dominating).
-    val minSplits = math.max(2, s.sparkContext.defaultParallelism / 4)
-    val split =
-      if (base.rdd.getNumPartitions < minSplits)
-        base.repartition(minSplits, col("doc_id"))
-      else base
-    split
+    // Tokenize/shingle parallelism rides on the under-split fan-out guard
+    // in Tables.load (hash-repartition on doc_id when the single-file scan
+    // yields fewer splits than Tables.minSplits) — the hazard and the
+    // fraction-of-cores sizing are documented there.
+    Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), shingles(col("tk")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -53,6 +53,38 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Minimum split count for the wide corpus tables: a fraction of the
+    * cores, not all of them — the catalog's plans are many short stages,
+    * and 32 tasks per stage on a corpus this size costs more in scheduling
+    * than the parallelism buys (measured in the docsWithShingles guard
+    * this floor generalizes).
+    */
+  def minSplits(s: SparkSession): Int =
+    math.max(2, s.sparkContext.defaultParallelism / 4)
+
+  /** Fan an under-split scan out before CPU-heavy derivation chains.
+    *
+    * Narrow-transform parallelism is capped by the SOURCE's split count: a
+    * single-file corpus (the local test SFs, one row group) scans as ONE
+    * partition, so every downstream tokenize / JSON-parse / hash / codec
+    * chain runs serially on one task. This exact hazard shipped three
+    * rounds running (docsWithShingles r5, mediaTable r6, then a 17-query
+    * family of raw-table consumers caught by the r6 driver bench at
+    * 3.4-17× the internal numbers), so the guard now lives here at the
+    * load, covering every consumer at once. At 100 TB parquet supplies
+    * thousands of splits and this is a no-op — the condition keys off
+    * actual vs available parallelism, not a constant. Hash-partitioning on
+    * the table key (vs round-robin `repartition(n)`) avoids the
+    * local-sort Spark inserts for deterministic round-robin and gives
+    * downstream self-joins a reusable distribution.
+    */
+  private def fanOut(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val min = minSplits(s)
+    if (df.rdd.getNumPartitions < min)
+      df.repartition(min, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -69,7 +101,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    df.schema("ts").dataType match {
+    val typed = df.schema("ts").dataType match {
       // nanos file → raw INT64 under the conf → convert; micros-precision
       // files (e.g. Spark-written test fixtures) arrive as TIMESTAMP already
       case org.apache.spark.sql.types.LongType =>
@@ -78,7 +110,10 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df
     }
+    fanOut(s, typed, "event_id")
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanOut(s, load(s, d, "documents"), "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fanOut(s, load(s, d, "embeddings"), "vec_id")
 }
