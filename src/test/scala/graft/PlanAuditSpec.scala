@@ -54,6 +54,56 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("corpus loaders fan an under-split scan out to the parallelism floor") {
+    // The under-split hazard shipped three times (docsWithShingles r5,
+    // mediaTable r6, the 17-query raw-consumer family caught by the r6
+    // driver bench): a single-file corpus scans as ONE partition and every
+    // CPU-heavy narrow chain downstream serializes onto one task. The fix
+    // lives in Tables.load (fanOut); this asserts the loaders themselves
+    // deliver at least the floor on a single-file source, so the class of
+    // bug can't ship a fourth time.
+    val min = graft.schema.Tables.minSplits(spark)
+    Seq(
+      "documents"  -> graft.schema.Tables.documents(spark, sf),
+      "events"     -> graft.schema.Tables.events(spark, sf),
+      "embeddings" -> graft.schema.Tables.embeddings(spark, sf)
+    ).foreach { case (name, df) =>
+      val n = df.rdd.getNumPartitions
+      assert(n >= min,
+        s"$name loads with $n partition(s) on a single-file source " +
+          s"(floor $min) — the Tables.load fanOut guard is gone")
+    }
+  }
+
+  test("per-family representatives keep the fan-out exchange ahead of " +
+      "their CPU-heavy chains") {
+    // One query per family the r6 driver bench caught inflated 3.4-17×:
+    // text hashing (q36), quality scoring (q47), JSON mining (q50),
+    // embedding LSH (q42b), retrieval (q57). Each plan must contain the
+    // guard's own repartition — `REPARTITION_BY_NUM` on the table key —
+    // at a width ≥ the floor; ENSURE_REQUIREMENTS exchanges from later
+    // joins/aggs never carry that tag, so removing the loader guard (or
+    // rebasing a query onto an unguarded scan) fails this even when the
+    // query still shuffles elsewhere.
+    val min = graft.schema.Tables.minSplits(spark)
+    val reps = Map(
+      "q36_simhash"            -> "doc_id",
+      "q47_quality_filter"     -> "doc_id",
+      "q50_json_props"         -> "event_id",
+      "q42b_embed_neardup_lsh" -> "vec_id",
+      "q57_tfidf"              -> "doc_id")
+    reps.foreach { case (name, key) =>
+      val s = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val rx = (s"Exchange hashpartitioning\\($key#\\d+L?, (\\d+)\\), " +
+        "REPARTITION_BY_NUM").r
+      val widths = rx.findAllMatchIn(s).map(_.group(1).toInt).toSeq
+      assert(widths.nonEmpty && widths.max >= min,
+        s"$name has no fan-out repartition on $key at width ≥ $min — " +
+          "its CPU-heavy chain inherits the source's split count")
+    }
+  }
+
   test("dedup pair detection keeps its shuffle-exchange budget " +
       "(capDf regression guard, VERDICT r5 #8)") {
     // The r5 df-floor rescue once re-referenced the unpersisted posting
