@@ -37,7 +37,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver tail-captures stdout and fishes out the
+    // final metric line; at WARN the streaming queries (q60-q65) and AQE
+    // emit dozens of benign WARNs per run that flood the capture window —
+    // BENCH_r{4,5,6}.json all recorded "parsed": null because of it. A
+    // real failure still surfaces: errors are caught per-query and
+    // reported in the metric line's "errors" object, not via logs.
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen/scan warmup so the first measured query isn't charged
     // the session's one-time costs (JIT, codegen compiler, FS metadata,
     // JCE provider init — PBKDF2/AES/HMAC class loading alone is ~2 s cold
