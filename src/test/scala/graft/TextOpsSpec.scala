@@ -105,6 +105,43 @@ class TextOpsSpec extends SparkSpec {
       s"missing=${(uncapped -- cappedLsh).take(5)} extra=${(cappedLsh -- uncapped).take(5)}")
   }
 
+  test("df-floor rescue: partial top-up when docs keep SOME cold postings " +
+      "but fewer than the floor") {
+    // The 18-way-identical test above exercises the all-hot case (kept
+    // stream empty, rescue supplies the full floor). This covers the
+    // OTHER rescue path: docs with a few cold postings — here 9 pairs
+    // sharing a 4-word unique tail on top of an 18-way-hot boilerplate —
+    // keep their cold tail shingles (df = 2) but fewer than DfFloor of
+    // them, so _need lands strictly between 1 and the floor and the
+    // rescue tops up with the rarest hot shingles only. Cross-pair
+    // candidates (j = 0.6, sharing ONLY hot shingles) exist in the
+    // uncapped pair set purely via rescued postings, so equality proves
+    // the top-up fires and is deterministic across the class.
+    val boiler = "zorple quandric flumina vexatron brillig slithy toves " +
+      "gyre gimble wabe mimsy borogoves outgrabe raths"
+    val rows = (1L to 18L).map { i =>
+      val p = (i + 1) / 2
+      (i, s"$boiler uniq${p}a uniq${p}b uniq${p}c uniq${p}d")
+    }
+    val sh = shingled(rows)
+    val uncapped = TextOps.exactJaccardPairs(sh, sh, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val all = (for { a <- 1L to 18L; b <- (a + 1) to 18L } yield (a, b)).toSet
+    assert(uncapped == all, "construction: every doc pair clears j >= 0.5")
+    val capped = TextOps.exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped,
+      s"missing=${(uncapped -- capped).take(5)} extra=${(capped -- uncapped).take(5)}")
+    // LSH: identical-signature pairs (the 9 tail-sharing pairs, j = 1.0
+    // after rescue determinism) must collide; j = 0.6 cross pairs are
+    // banding-probabilistic (~0.67) so only soundness is asserted there.
+    val classPairs = (1L to 9L).map(p => (2 * p - 1, 2 * p)).toSet
+    val lsh = TextOps.minHashLshPairs(sh, 0.5, dfCap = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(classPairs.subsetOf(lsh), s"missing=${(classPairs -- lsh).take(5)}")
+    assert(lsh.subsetOf(uncapped), s"extra=${(lsh -- uncapped).take(5)}")
+  }
+
   test("simhash: near-identical docs collide, unrelated docs do not") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
