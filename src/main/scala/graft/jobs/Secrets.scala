@@ -52,9 +52,18 @@ object Secrets {
     * python-dotenv (the loader the reference stack uses — divergence
     * silently changes every hash computed from the keys), empirically
     * verified against the library:
-    *  - a value STARTING with `'`/`"` is the quoted span up to the
-    *    matching close quote — `#` inside is kept verbatim, anything
-    *    after the close quote (inline comment) is dropped;
+    *  - a value STARTING with `'`/`"` is the quoted span up to the first
+    *    UNESCAPED close quote (`"a\"b"` loads `a"b`, not `a\`) — `#`
+    *    inside is kept verbatim, anything after the close quote (inline
+    *    comment) is dropped; the span may continue across LINES
+    *    (multiline values, joined with `\n`);
+    *  - backslash escapes decode per quote style: `\\` and `\'` in both,
+    *    plus `\"` `\a` `\b` `\f` `\n` `\r` `\t` `\v` in DOUBLE quotes
+    *    only; unknown sequences (`\x`…) stay literal — python-dotenv's
+    *    `_double_quote_escapes`/`_single_quote_escapes` exactly;
+    *  - a quoted value with NO close quote is DROPPED, python-dotenv's
+    *    "could not parse statement" path — a required secret lost this
+    *    way still fails fast, by name, in [[fromEnv]];
     *  - an unquoted value is cut at the first `#` PRECEDED by
     *    whitespace (`abc # c` → "abc", `a#b #c` → "a#b",
     *    `no#space` → unchanged), then trimmed;
@@ -62,27 +71,85 @@ object Secrets {
     *    "# x", python-dotenv's behavior — whitespace after `=` is
     *    consumed by its key-value split, not the comment rule).
     */
-  private[jobs] def parseDotenv(lines: Seq[String]): Map[String, String] =
-    lines.iterator
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains('='))
-      .map { l =>
+  private[jobs] def parseDotenv(lines: Seq[String]): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i).trim
+      if (l.nonEmpty && !l.startsWith("#") && l.contains('=')) {
         val stripped = if (l.startsWith("export ")) l.drop(7).trim else l
         val (k, v) = stripped.span(_ != '=')
-        val lead = v.drop(1).dropWhile(_.isWhitespace)
-        val value =
-          if (lead.length >= 2 &&
-              (lead.head == '"' || lead.head == '\'') &&
-              lead.indexOf(lead.head, 1) > 0)
-            lead.substring(1, lead.indexOf(lead.head, 1))
-          else {
-            val cut = lead.indices.find(i =>
-              lead(i) == '#' && i > 0 && lead(i - 1).isWhitespace)
-            cut.map(lead.substring(0, _)).getOrElse(lead).trim
+        var lead = v.drop(1).dropWhile(_.isWhitespace)
+        if (lead.nonEmpty && (lead.head == '"' || lead.head == '\'')) {
+          val q = lead.head
+          var close = findUnescaped(lead, q)
+          // multiline quoted value: keep consuming RAW lines (python-dotenv
+          // matches the span with DOTALL — inner lines are not trimmed)
+          var consumed = i
+          while (close < 0 && consumed + 1 < lines.length) {
+            consumed += 1
+            lead = lead + "\n" + lines(consumed)
+            close = findUnescaped(lead, q)
           }
-        k.trim -> value
+          if (close >= 0) {
+            out(k.trim) = decodeEscapes(lead.substring(1, close), q)
+            i = consumed
+          }
+          // else: unterminated — binding dropped (parity), scan resumes
+          // at the next line
+        } else {
+          val cut = lead.indices.find(j =>
+            lead(j) == '#' && j > 0 && lead(j - 1).isWhitespace)
+          out(k.trim) = cut.map(lead.substring(0, _)).getOrElse(lead).trim
+        }
       }
-      .toMap
+      i += 1
+    }
+    out.toMap
+  }
+
+  /** First occurrence of `q` after index 0 not preceded by a backslash
+    * (backslash-anything counts as an escape pair, so `\\"` closes). */
+  private def findUnescaped(s: String, q: Char): Int = {
+    var j = 1
+    while (j < s.length) {
+      if (s(j) == '\\') j += 2
+      else if (s(j) == q) return j
+      else j += 1
+    }
+    -1
+  }
+
+  /** python-dotenv's escape decoding: `\\` and `\'` in both quote styles,
+    * the full C-style set only in double quotes, unknown pairs literal. */
+  private def decodeEscapes(s: String, q: Char): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\\' && i + 1 < s.length) {
+        val n = s(i + 1)
+        val decoded: Option[Char] = n match {
+          case '\\' => Some('\\')
+          case '\'' => Some('\'')
+          case '"' if q == '"' => Some('"')
+          case 'a' if q == '"' => Some('\u0007')
+          case 'b' if q == '"' => Some('\b')
+          case 'f' if q == '"' => Some('\f')
+          case 'n' if q == '"' => Some('\n')
+          case 'r' if q == '"' => Some('\r')
+          case 't' if q == '"' => Some('\t')
+          case 'v' if q == '"' => Some('\u000B')
+          case _ => None
+        }
+        decoded match {
+          case Some(d) => sb.append(d); i += 2
+          case None    => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Read a `.env` file; a missing file is an empty map (python-dotenv's
     * `load_dotenv` is a silent no-op on a missing file). */

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * (Robertson/Okapi) ranking, and unigram-LM log-probability quality scores
   * (the classic "perplexity filter" for pretraining corpora).
   *
+  * Cache lifecycle contract: the ranked-run entries persist small
+  * intermediate relations ([[rankBounded]]) and rely on Spark's
+  * CacheManager plan-dedup within a query; they do NOT unpersist, because
+  * the cached run feeds the returned (lazy) DataFrame — an unpersist here
+  * would evict before the caller's action runs. A long-lived session
+  * composing many DISTINCT corpora should `spark.catalog.clearCache()`
+  * between corpora, as Verify and Bench both do per query.
+  *
   * Scale posture: one tokenize+explode pass feeds everything; per-term
   * statistics (document frequency, corpus totals) are vocabulary-sized
   * aggregates that broadcast; the only corpus-sized shuffle is the
