@@ -142,6 +142,27 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(uncapped), s"extra=${(lsh -- uncapped).take(5)}")
   }
 
+  test("bucketed written LSH index: identical pair output, shuffle-free " +
+      "candidate aggregation on the read side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val sh = shingled(docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq)
+    val inPlan = TextOps.minHashLshPairs(sh, 0.5, dfCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val indexed = TextOps.minHashLshPairsBucketedIndex(
+        spark, sh, jaccardThreshold = 0.5, dfCap = 16, table = "b_lsh_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed == inPlan,
+      s"missing=${(inPlan -- indexed).take(5)} extra=${(indexed -- inPlan).take(5)}")
+    // the written table's bucket layout must satisfy the candidate
+    // groupBy's distribution outright — a repeated dedup run over the
+    // index pays ZERO corpus-sized shuffle (the whole point of writing it)
+    val agg = spark.table("b_lsh_test")
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("simhash: near-identical docs collide, unrelated docs do not") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
