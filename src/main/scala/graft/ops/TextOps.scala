@@ -756,19 +756,7 @@ object TextOps {
   def minHashLshPairsBucketedIndex(s: SparkSession, docs: DataFrame,
       jaccardThreshold: Double, dfCap: Int,
       table: String = "graft_lsh_band_index"): DataFrame = {
-    // a table dropped in a PREVIOUS JVM leaves its warehouse directory
-    // behind while the fresh session's catalog has no entry to overwrite
-    // through — clear both (the BucketingSpec hazard)
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
-    val dir = new java.io.File(wh, table)
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(dir)
-    }
+    Tables.resetManagedTable(s, table)
     bandedSignatures(docs, dfCap)
       .write.bucketBy(8, "band", "bucket")
       .mode("overwrite").saveAsTable(table)

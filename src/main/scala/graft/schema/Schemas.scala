@@ -85,6 +85,24 @@ object Tables {
     else df
   }
 
+  /** Drop a managed table AND its leftover warehouse directory. A table
+    * dropped in a previous JVM leaves its directory behind while the fresh
+    * session's in-memory catalog has no entry to overwrite through — the
+    * subsequent CREATE then fails on the non-empty location. Used by the
+    * written-index entries (q34b, q44b) and mirrored in BucketingSpec. */
+  def resetManagedTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(wh, table)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -76,6 +76,31 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("written IVF index: identical probe output, partition-pruned scan " +
+      "(dynamic partition pruning on cell)") {
+    // q44b's exact production shape: parquet-backed query/corpus sides.
+    // (DPP declines to insert its pruning subquery for an in-memory
+    // LocalRelation probe side — which a real serving run never is.)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val built = VectorOps.ivfBuild(corpus, dim = 64, nCells = 16)
+    val inPlan = VectorOps.ivfProbe(built, queries, k = 3, nProbe = 4)
+      .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val onDisk = VectorOps.ivfWriteIndex(spark, built, table = "b_ivf_test")
+    val probe = VectorOps.ivfProbe(onDisk, queries, k = 3, nProbe = 4)
+    // the whole point of partitioning the written index by cell: the probe
+    // scan must carry a dynamic-pruning partition filter, so a serving run
+    // reads only its probed cells off disk
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"probe scan is not partition-pruned:\n$plan")
+    val indexed = probe
+      .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(indexed == inPlan,
+      s"missing=${(inPlan -- indexed).take(5)} extra=${(indexed -- inPlan).take(5)}")
+  }
+
   test("PQ (shortlist + rerank) recall >= 0.9 on clustered data") {
     val rng = new scala.util.Random(7)
     val rows = for { c <- 0 until 20; m <- 0 until 10 } yield {
