@@ -529,6 +529,37 @@ object PipelineOps {
               count(*) AS n_docs
               FROM documents GROUP BY 1, 2 ORDER BY lang, split""")),
 
+    // ---- reproducible per-domain subsampling (q89): the fixed-size
+    // companion to q46's rate-based split — "give me exactly k docs per
+    // source, the SAME k docs on any engine, any partitioning, any day".
+    // Ranking by a content-independent hash (md5 of the key — bit-exact
+    // across Spark and DuckDB, unlike xxhash64/rand) IS the reproducible
+    // uniform draw; the per-source row_number window is partitioned
+    // (parallel across sources) and Spark's InferWindowGroupLimit turns
+    // the rk ≤ k filter into a per-partition partial top-k BEFORE the
+    // shuffle (the same group-limit machinery TopKSpec proves), so only
+    // ~k·n_partitions candidate rows move per source — not the corpus.
+    // At 100 TB this is how eval/audit samples and distillation subsets
+    // are drawn without a seed-coordination problem.
+    Q("q89_hash_sample",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("hk"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string")).as("hk"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("source"), col("rk"), col("doc_id"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""WITH h AS (SELECT doc_id, source,
+                md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+              r AS (SELECT source, doc_id, row_number() OVER
+                (PARTITION BY source ORDER BY hk, doc_id) AS rk FROM h)
+              SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
+              FROM r WHERE rk <= 10 ORDER BY source, rk""")),
+
     // ---- vocabulary building (tokenizer training's first pass): corpus-
     // wide token frequencies, top 100 by count. One explode → partial+final
     // count agg (the shuffle carries (token, partial count), not text) →
