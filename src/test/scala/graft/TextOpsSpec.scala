@@ -163,6 +163,34 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("incremental dedup against the written snapshot index equals the " +
+      "exact cross pairs, and emits ONLY cross pairs") {
+    // ids 0..99 → in-plan cut = 80. Seeded: (10, 90) identical and
+    // (70, 85) near-identical straddle the cut; (20, 30) identical sits
+    // INSIDE the snapshot and must not be emitted (it deduped yesterday).
+    val base = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }.toSeq
+    val txt = base.toMap
+    val rows = base.map {
+      case (90L, _) => (90L, txt(10L))
+      case (85L, _) => (85L, txt(70L) + " extra tail words")
+      case (30L, _) => (30L, txt(20L))
+      case r => r
+    }
+    val sh = shingled(rows)
+    val all = TextOps.exactJaccardPairs(sh, sh, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(all.contains((20L, 30L)), "construction: within-snapshot dup")
+    val expected = all.filter { case (a, b) => a < 80 && b >= 80 }
+    assert(expected.contains((10L, 90L)) && expected.contains((70L, 85L)))
+    val got = TextOps.minHashLshIncremental(spark, sh,
+        jaccardThreshold = 0.5, dfCap = 16, table = "b_lsh_inc_test")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("simhash: near-identical docs collide, unrelated docs do not") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
