@@ -108,16 +108,23 @@ object Secrets {
     out.toMap
   }
 
-  /** First occurrence of `q` after index 0 not preceded by a backslash
-    * (backslash-anything counts as an escape pair, so `\\"` closes). */
+  // python-dotenv's quoted-value spans verbatim: `'((?:\\'|[^'])*)'` /
+  // `"((?:\\"|[^"])*)"`. Only backslash-QUOTE is a pair inside the span
+  // (`[^q]` matches a lone backslash), and greedy-with-backtracking
+  // semantics matter for backslash runs before the close quote — a hand
+  // scan that skips backslash-anything parses `"a\\"` differently. A
+  // negated class matches `\n` too, so the multiline accumulation needs
+  // no DOTALL.
+  private val SingleQuotedSpan =
+    java.util.regex.Pattern.compile("'((?:\\\\'|[^'])*)'")
+  private val DoubleQuotedSpan =
+    java.util.regex.Pattern.compile("\"((?:\\\\\"|[^\"])*)\"")
+
+  /** Index of the quote closing the span that starts at index 0, or -1 if
+    * the span doesn't close within `s` (caller accumulates more lines). */
   private def findUnescaped(s: String, q: Char): Int = {
-    var j = 1
-    while (j < s.length) {
-      if (s(j) == '\\') j += 2
-      else if (s(j) == q) return j
-      else j += 1
-    }
-    -1
+    val m = (if (q == '\'') SingleQuotedSpan else DoubleQuotedSpan).matcher(s)
+    if (m.lookingAt()) m.end(1) else -1
   }
 
   /** python-dotenv's escape decoding: `\\` and `\'` in both quote styles,

@@ -269,7 +269,8 @@ object TextOps {
                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
                     regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
              FROM documents),
-             cut AS (SELECT CAST((max(doc_id) + 1) * 0.8 AS BIGINT) AS cut
+             cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT)
+                       AS cut
                      FROM documents),
              e AS (SELECT doc_id, unnest(sh) AS s FROM t),
              sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
@@ -763,14 +764,9 @@ object TextOps {
       .dropDuplicates("id_a", "id_b")
 
     // fetch the two shingle sets only for surviving candidates (rare by
-    // construction), then verify exactly
-    cand
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("ni") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("ni")))
-      .filter(col("jaccard") >= jaccardThreshold)
+    // construction), then verify exactly — the ONE shared verify contract
+    // (same helper as the in-plan LSH and incremental paths)
+    verifyJaccardCandidates(cand, docs, jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
@@ -814,9 +810,16 @@ object TextOps {
   def minHashLshIncremental(s: SparkSession, docs: DataFrame,
       jaccardThreshold: Double, dfCap: Int,
       table: String = "graft_lsh_snapshot_index"): DataFrame = {
+    // floor() on BOTH sides (here and the oracle SQL): a bare cast-to-long
+    // truncates in Spark but rounds in DuckDB, so the two engines would
+    // disagree on the snapshot/increment boundary whenever (max+1)*0.8 has
+    // a fractional part ≥ .5.
     val cut = docs.agg(
-      ((max(col("doc_id")) + lit(1)) * lit(0.8)).cast("long").as("cut"))
-    val banded = bandedSignatures(docs, dfCap)
+      floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+    // persisted: the snapshot write and the increment probe are separate
+    // actions over the same corpus-sized banding pipeline — without the
+    // cache the minhash aggregation runs twice (bench clearCache frees it)
+    val banded = bandedSignatures(docs, dfCap).persist()
     Tables.resetManagedTable(s, table)
     banded.crossJoin(broadcast(cut)).filter(col("doc_id") < col("cut"))
       .select(col("doc_id"), col("band"), col("bucket"))

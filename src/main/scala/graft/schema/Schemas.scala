@@ -78,10 +78,18 @@ object Tables {
     * local-sort Spark inserts for deterministic round-robin and gives
     * downstream self-joins a reusable distribution.
     */
-  private def fanOut(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+  /** Scan split count per source path. `df.rdd.getNumPartitions` forces a
+    * full analyze/plan/file-listing cycle; the count is stable per path
+    * within a session (file layout + maxPartitionBytes don't change under
+    * us), and catalog-wide consumers (Bench, Verify, plan audits) call the
+    * loaders hundreds of times while composing ~100 queries. */
+  private val splitCounts = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def fanOut(s: SparkSession, df: DataFrame, key: String,
+                     path: String): DataFrame = {
     val min = minSplits(s)
-    if (df.rdd.getNumPartitions < min)
-      df.repartition(min, org.apache.spark.sql.functions.col(key))
+    val n = splitCounts.getOrElseUpdate(path, df.rdd.getNumPartitions)
+    if (n < min) df.repartition(min, org.apache.spark.sql.functions.col(key))
     else df
   }
 
@@ -92,15 +100,15 @@ object Tables {
     * written-index entries (q34b, q44b) and mirrored in BucketingSpec. */
   def resetManagedTable(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
-    val dir = new java.io.File(wh, table)
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(dir)
-    }
+    // Hadoop FS, not java.io.File: the warehouse may be non-local
+    // (hdfs://, s3a://) — URI.getPath on those would silently point the
+    // recursive delete at the driver's LOCAL disk while the stale remote
+    // directory survives.
+    val dir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+      table)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
@@ -128,10 +136,10 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df
     }
-    fanOut(s, typed, "event_id")
+    fanOut(s, typed, "event_id", s"$d/events.parquet")
   }
   def documents(s: SparkSession, d: String): DataFrame =
-    fanOut(s, load(s, d, "documents"), "doc_id")
+    fanOut(s, load(s, d, "documents"), "doc_id", s"$d/documents.parquet")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    fanOut(s, load(s, d, "embeddings"), "vec_id")
+    fanOut(s, load(s, d, "embeddings"), "vec_id", s"$d/embeddings.parquet")
 }
