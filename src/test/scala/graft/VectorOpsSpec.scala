@@ -218,4 +218,30 @@ class VectorOpsSpec extends SparkSpec {
     // singletons and sub-threshold vectors never enter any group
     assert(!labels.contains(20L) && !labels.contains(21L))
   }
+
+  test("soft assignment rescues a near-dup pair straddling a cell boundary") {
+    // Hand-picked centroids (axis-aligned) make the straddle exact: the
+    // pair sits at 44° and 46° — cosine cos(2°) ≈ 0.9994 ≥ 0.99, but each
+    // member ranks a DIFFERENT centroid first, so hard assignment never
+    // compares them. Trained centroids can't stage this deterministically
+    // (sample order is hash-driven), hence the injected-centroid helper.
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r), math.sin(r), 0.0, 0.0)
+    }
+    val rows = Seq(
+      (1L, at(44)), (2L, at(46)),          // straddling near-dup pair
+      (20L, Array(0.0, 0.0, 1.0, 0.0)))    // unrelated
+      .toDF("vec_id", "embedding")
+
+    val hard = VectorOps.semanticDedupProbed(rows, cents,
+      threshold = 0.99, nProbe = 1).as[(Long, Long)].collect().toMap
+    assert(hard === Map.empty[Long, Long], hard)  // lost to the boundary
+
+    val soft = VectorOps.semanticDedupProbed(rows, cents,
+      threshold = 0.99, nProbe = 2).as[(Long, Long)].collect().toMap
+    assert(soft === Map(1L -> 1L, 2L -> 1L), soft)
+    assert(!soft.contains(20L))
+  }
 }
