@@ -287,6 +287,51 @@ object TextOps {
              WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5
              ORDER BY id_a, id_b""")),
 
+    // ---- n-gram decontamination (q90): the eval-set overlap rule
+    // (per-doc fraction of shingles appearing ANYWHERE in a benchmark
+    // set — the published "remove training docs sharing 13-grams with
+    // the eval suite" recipe at this corpus's 3-gram scale). Complements
+    // q78's bloom MEMBERSHIP check with a graded overlap FRACTION: q78
+    // answers "is this exact doc in the eval set", this answers "how
+    // much of this doc's content is". Benchmark = docs with
+    // doc_id % 50 = 0 (self-contamination guarantees rows: a verbatim
+    // eval doc in the corpus scores overlap 1.0). Scale posture: an
+    // eval suite is SMALL by definition — its distinct-shingle set
+    // broadcasts; the corpus side is one explode + one groupBy, no
+    // corpus-sized shuffle beyond the count.
+    Q("q90_ngram_decontam",
+      (s, d) => {
+        val docs = docsWithShingles(s, d)
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("sh")).as("s")).distinct()
+        docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+            explode(col("sh")).as("s"))
+          .join(broadcast(bench), Seq("s"))
+          .groupBy(col("doc_id"), col("n_sh"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") / col("n_sh") >= 0.5)
+          .select(col("doc_id"), col("n_sh"), col("n_shared"),
+            round(col("n_shared") / col("n_sh"), 4).as("overlap"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             SELECT doc_id, list_distinct(list_transform(
+               range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+             FROM documents),
+             b AS (SELECT DISTINCT unnest(sh) AS s FROM t
+                   WHERE doc_id % 50 = 0),
+             e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+             shared AS (
+               SELECT doc_id, n_sh, count(*) AS n_shared
+               FROM e JOIN b USING (s) GROUP BY 1, 2)
+             SELECT doc_id, n_sh, n_shared,
+               round(n_shared * 1.0 / n_sh, 4) AS overlap
+             FROM shared WHERE n_shared * 1.0 / n_sh >= 0.5
+             ORDER BY doc_id""")),
+
     // ---- exact n-gram Jaccard via df-capped shingle inverted index
     // (three shuffles: df window, by shingle, by pair; bounded per-key
     // fanout). Correctness oracle for q34; its own oracle is the uncapped

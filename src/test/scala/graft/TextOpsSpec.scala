@@ -222,4 +222,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(0L -> "en", 1L -> "es", 2L -> "de", 3L -> "fr",
       4L -> "und"))
   }
+
+  test("ngram decontamination scores overlap against the benchmark set") {
+    val q = SparkEntry.queries("q90_ngram_decontam")
+    // doc 0 is the benchmark (doc_id % 50 == 0). doc 7 shares 2 of its 3
+    // shingles (overlap .6667), doc 8 shares none, doc 9 shares 1 of 8
+    // (.125, under the .5 threshold) — only 0 (self, 1.0) and 7 survive.
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4 w5", "en", "s", 0L),
+      (7L, "w1 w2 w3 w4 x", "en", "s", 0L),
+      (8L, "p q r s t", "en", "s", 0L),
+      (9L, "w1 w2 w3 p q r s t u v", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q(spark, dir)
+      .select("doc_id", "n_sh", "n_shared", "overlap")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out === List((0L, 3L, 3L, 1.0), (7L, 3L, 2L, 0.6667)), out)
+  }
 }
