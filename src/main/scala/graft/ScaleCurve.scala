@@ -45,7 +45,8 @@ object ScaleCurve {
       "q74_ann_pq", "q75_bloom_join", "q76_cdc_merge",
       "q77_key_skew_profile", "q78_contamination", "q79_sequence_packing",
       "q80_range_join", "q81_ann_ivfpq", "q82_boilerplate_score",
-      "q84_bpe_merge_rank", "q87_semantic_dedup")
+      "q84_bpe_merge_rank", "q87_semantic_dedup",
+      "q87b_semantic_dedup_soft", "q90_ngram_decontam")
 
     println(f"${"query"}%-18s ${"sf"}%-8s ${"sec"}%8s ${"shuffleMB"}%10s")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); name <- queries) {
