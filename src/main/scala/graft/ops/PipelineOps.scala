@@ -660,6 +660,68 @@ object PipelineOps {
                 round(w_raw / z, 6) AS weight
               FROM w, z ORDER BY lang""")),
 
+    // ---- mixture resampling (q91): q83 computes the α=0.5-smoothed
+    // target weights; this MATERIALIZES them — the actual doc selection
+    // that builds the training mix. Budget = half the corpus docs,
+    // reallocated across langs by smoothed weight (low-resource langs
+    // upsampled toward rate 1.0 = keep all, high-resource downsampled),
+    // each doc accepted iff its q46-style multiplicative-hash bucket
+    // (integer arithmetic — bit-exact on any engine) falls under the
+    // lang's rate cut. Deterministic: same corpus → same kept SET, any
+    // partitioning, any engine — the id_sum column makes the oracle
+    // verify the set, not just its size. Scale: two lang-cardinality
+    // aggregates broadcast; the selection itself is one map-side filter —
+    // no corpus shuffle at all. IEEE-754 sqrt/div are exactly specified,
+    // so the floor'd cut agrees across engines.
+    Q("q91_mixture_resample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            (col("doc_id") % 1000000007L * lit(2654435761L)
+              % 1000000007L % 10000).as("bucket"))
+        val per = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+        val tot = per.agg(sum(col("n_in")).as("tot"))
+        val w = per.crossJoin(broadcast(tot))
+          .withColumn("w_raw", sqrt(col("n_in") / col("tot")))
+        val z = w.agg(sum(col("w_raw")).as("z"))
+        val rates = w.crossJoin(broadcast(z))
+          .withColumn("rate", least(lit(1.0),
+            lit(0.5) * col("tot") * (col("w_raw") / col("z")) / col("n_in")))
+          .select(col("lang"), col("n_in"),
+            floor(col("rate") * 10000).as("cut"))
+        docs.join(broadcast(rates), Seq("lang"))
+          .filter(col("bucket") < col("cut"))
+          .groupBy(col("lang"), col("n_in"), col("cut"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+          .select(col("lang"), col("n_in"),
+            round(col("cut") / 10000.0, 4).as("rate"),
+            col("n_kept"), col("id_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, lang,
+                  (doc_id % 1000000007 * 2654435761) % 1000000007 % 10000
+                    AS bucket
+                FROM documents),
+              per AS (SELECT lang, count(*) AS n_in FROM docs GROUP BY lang),
+              t AS (SELECT sum(n_in) AS tot FROM per),
+              w AS (SELECT lang, n_in, sqrt(n_in / (tot * 1.0)) AS w_raw,
+                      tot FROM per, t),
+              z AS (SELECT sum(w_raw) AS z FROM w),
+              rates AS (
+                SELECT lang, n_in,
+                  CAST(floor(least(1.0,
+                    0.5 * tot * (w_raw / z) / n_in) * 10000) AS BIGINT)
+                    AS cut
+                FROM w, z)
+              SELECT r.lang, r.n_in,
+                round(r.cut / 10000.0, 4) AS rate,
+                count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+              FROM docs d JOIN rates r ON d.lang = r.lang
+              WHERE d.bucket < r.cut
+              GROUP BY r.lang, r.n_in, r.cut
+              ORDER BY r.lang""")),
+
     // ---- BPE-style merge ranking (q84): tokenizer training's inner-loop
     // decision — count adjacent token pairs corpus-wide, rank merge
     // candidates by frequency. One posexplode + per-doc lead() window

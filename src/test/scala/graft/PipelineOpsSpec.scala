@@ -80,4 +80,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.getOrElse(true, 0L) > 0, "filter keeps some docs")
     assert(out.getOrElse(false, 0L) > 0, "filter drops some docs")
   }
+
+  test("mixture resampling upsamples the rare lang to the keep-all cap " +
+      "and selects exactly the recomputed doc set") {
+    // 11 en docs vs 1 xx doc: the α=0.5-smoothed reallocation pushes xx
+    // past rate 1.0 (capped — keep all), en lands at ~0.42. The expected
+    // en set is recomputed here with the SAME integer hash and the SAME
+    // IEEE double expression order the query (and its oracle) use, so
+    // the assertion is exact, not statistical.
+    val docs = ((0L to 10L).map(i => (i, s"doc $i text", "en", "s", 0L)) :+
+      ((99L, "rare doc", "xx", "s", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def bucket(id: Long) = id % 1000000007L * 2654435761L % 1000000007L % 10000
+    val wEn = math.sqrt(11.0 / 12); val wXx = math.sqrt(1.0 / 12)
+    val z = wEn + wXx
+    val cutEn = math.floor(math.min(1.0, 0.5 * 12 * (wEn / z) / 11) * 10000)
+    val keptEn = (0L to 10L).filter(bucket(_) < cutEn)
+
+    val out = SparkEntry.queries("q91_mixture_resample")(spark, dir)
+      .select("lang", "rate", "n_kept", "id_sum")
+      .as[(String, Double, Long, Long)].collect()
+      .map { case (l, r, k, s) => l -> ((r, k, s)) }.toMap
+    assert(out("xx") === ((1.0, 1L, 99L)), out)  // capped: keeps its only doc
+    assert(out("en") === ((cutEn / 10000.0, keptEn.size.toLong, keptEn.sum)),
+      (out, keptEn))
+  }
 }
