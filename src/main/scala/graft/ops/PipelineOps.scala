@@ -667,12 +667,19 @@ object PipelineOps {
     // upsampled toward rate 1.0 = keep all, high-resource downsampled),
     // each doc accepted iff its q46-style multiplicative-hash bucket
     // (integer arithmetic — bit-exact on any engine) falls under the
-    // lang's rate cut. Deterministic: same corpus → same kept SET, any
-    // partitioning, any engine — the id_sum column makes the oracle
-    // verify the set, not just its size. Scale: two lang-cardinality
-    // aggregates broadcast; the selection itself is one map-side filter —
-    // no corpus shuffle at all. IEEE-754 sqrt/div are exactly specified,
-    // so the floor'd cut agrees across engines.
+    // lang's rate cut. Deterministic: same corpus → same kept SET under
+    // any partitioning of the DOC side (acceptance depends only on
+    // integer hash arithmetic and the per-lang cut) — the id_sum column
+    // makes the oracle verify the set, not just its size. Cross-engine
+    // caveat, stated honestly: sqrt/div are exactly-specified IEEE-754,
+    // but z = Σ w_raw is a floating-point SUM whose addition order is
+    // engine-internal, so the floor'd cut could in principle differ by
+    // one ulp's worth across engines if rate·10⁴ sits exactly on an
+    // integer; at lang cardinality (≤ tens of terms) and with
+    // irrational (sqrt-derived) rates this has never fired, and the
+    // driver's oracle gate re-proves set equality on the fixed corpora
+    // every round. Scale: two lang-cardinality aggregates broadcast;
+    // the selection itself is one map-side filter — no corpus shuffle.
     Q("q91_mixture_resample",
       (s, d) => {
         val docs = Tables.documents(s, d)

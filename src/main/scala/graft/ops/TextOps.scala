@@ -295,10 +295,13 @@ object TextOps {
     // answers "is this exact doc in the eval set", this answers "how
     // much of this doc's content is". Benchmark = docs with
     // doc_id % 50 = 0 (self-contamination guarantees rows: a verbatim
-    // eval doc in the corpus scores overlap 1.0). Scale posture: an
-    // eval suite is SMALL by definition — its distinct-shingle set
-    // broadcasts; the corpus side is one explode + one groupBy, no
-    // corpus-sized shuffle beyond the count.
+    // eval doc in the corpus scores overlap 1.0). Scale posture: a real
+    // eval suite is small and AQE auto-broadcasts its shingle set; the
+    // broadcast hint is deliberately OMITTED because this demo's
+    // benchmark is a corpus FRACTION — a forced broadcast would grow
+    // with the corpus, while the unhinted join degrades gracefully to a
+    // shuffled join when the benchmark side outgrows the broadcast
+    // threshold. The corpus side stays one explode + one count groupBy.
     Q("q90_ngram_decontam",
       (s, d) => {
         val docs = docsWithShingles(s, d)
@@ -306,7 +309,7 @@ object TextOps {
           .select(explode(col("sh")).as("s")).distinct()
         docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
             explode(col("sh")).as("s"))
-          .join(broadcast(bench), Seq("s"))
+          .join(bench, Seq("s"))
           .groupBy(col("doc_id"), col("n_sh"))
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") / col("n_sh") >= 0.5)
