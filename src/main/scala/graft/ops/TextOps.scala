@@ -335,6 +335,70 @@ object TextOps {
              FROM shared WHERE n_shared * 1.0 / n_sh >= 0.5
              ORDER BY doc_id""")),
 
+    // ---- exact substring-run duplication (q92): longest VERBATIM shared
+    // token span per doc pair — the order-aware duplication the Jaccard
+    // family cannot see (a shuffled bag of the same shingles scores the
+    // same Jaccard; only a run scores here). The published recipe is
+    // suffix arrays; re-expressed relationally: positional token
+    // 5-grams, equi-join on gram text, then maximal runs as consecutive
+    // positions per (pair, diagonal) via the classic pos − row_number
+    // grouping — a run of R shared tokens is R−4 consecutive matches on
+    // one diagonal. Every stage is a shuffle-parallel join/window
+    // (windows partitioned by pair+diagonal), no suffix structure in
+    // memory. Corpus-hot boilerplate grams would fan the join out at
+    // 100 TB — there the q34 df-cap shape applies unchanged in front of
+    // the join (this corpus's max gram df is 3, so the demo stays
+    // exact with no cap). Output: pairs sharing a run ≥ 20 tokens.
+    Q("q92_substring_runs",
+      (s, d) => {
+        val k = 5
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .filter(size(col("tk")) >= k)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), size(col("tk")) - k), i =>
+              concat_ws(" ", (1 to k).map(j =>
+                element_at(col("tk"), i + lit(j))): _*)))
+              .as(Seq("pos", "g")))
+        val a = grams.select(col("g"), col("doc_id").as("id_a"),
+          col("pos").as("pa"))
+        val b = grams.select(col("g"), col("doc_id").as("id_b"),
+          col("pos").as("pb"))
+        val byDiag = Window
+          .partitionBy(col("id_a"), col("id_b"), col("diag"))
+          .orderBy(col("pa"))
+        a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+          .withColumn("diag", col("pa") - col("pb"))
+          .withColumn("grp", col("pa") - row_number().over(byDiag))
+          .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+          .agg((count(lit(1)) + (k - 1)).as("run_tokens"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(max(col("run_tokens")).as("max_run"))
+          .filter(col("max_run") >= 20)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+              g AS (SELECT doc_id, i AS pos,
+                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                  tk[i+3] || ' ' || tk[i+4] AS gram
+                FROM t, unnest(range(1, len(tk)-3)) AS u(i)
+                WHERE len(tk) >= 5),
+              p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.pos AS pa, b.pos AS pb
+                FROM g a JOIN g b ON a.gram = b.gram
+                  AND a.doc_id < b.doc_id),
+              d AS (SELECT id_a, id_b, pa - pb AS diag, pa,
+                  pa - row_number() OVER (
+                    PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+                FROM p),
+              runs AS (SELECT id_a, id_b, count(*) + 4 AS run_tokens
+                       FROM d GROUP BY id_a, id_b, diag, grp)
+              SELECT id_a, id_b, max(run_tokens) AS max_run FROM runs
+              GROUP BY 1, 2 HAVING max(run_tokens) >= 20
+              ORDER BY id_a, id_b""")),
+
     // ---- exact n-gram Jaccard via df-capped shingle inverted index
     // (three shuffles: df window, by shingle, by pair; bounded per-key
     // fanout). Correctness oracle for q34; its own oracle is the uncapped

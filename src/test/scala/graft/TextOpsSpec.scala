@@ -241,4 +241,24 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toList
     assert(out === List((0L, 3L, 3L, 1.0), (7L, 3L, 2L, 0.6667)), out)
   }
+
+  test("substring-run detection finds the verbatim span, not the bag") {
+    val q = SparkEntry.queries("q92_substring_runs")
+    // docs 1/2 embed the SAME 25-token span in different contexts →
+    // max_run exactly 25. Docs 3/4 are token-bag-identical but SHUFFLED
+    // (Jaccard 1.0, no shared 5-gram run) → absent: exactly the
+    // order-aware distinction the Jaccard family cannot make.
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta", "en", "s", 0L),
+      (2L, s"omega $span psi chi phi", "en", "s", 0L),
+      (3L, "one two three four five six seven eight", "en", "s", 0L),
+      (4L, "eight one seven two six three five four", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_runs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q(spark, dir).select("id_a", "id_b", "max_run")
+      .as[(Long, Long, Long)].collect().toList
+    assert(out === List((1L, 2L, 25L)), out)
+  }
 }
