@@ -46,10 +46,21 @@ object ScaleCurve {
       "q77_key_skew_profile", "q78_contamination", "q79_sequence_packing",
       "q80_range_join", "q81_ann_ivfpq", "q82_boilerplate_score",
       "q84_bpe_merge_rank", "q87_semantic_dedup",
-      "q87b_semantic_dedup_soft", "q90_ngram_decontam")
+      "q87b_semantic_dedup_soft", "q90_ngram_decontam",
+      "q91_mixture_resample", "q92_substring_runs")
+
+    // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
+    // set, for collecting rows of newly added operators without re-running
+    // the whole table (same idea as Bench's SPARK_GRAFT_ONLY).
+    val only = sys.env.get("SPARK_GRAFT_CURVE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(pre) => queries.filter(q => pre.exists(q.startsWith))
+      case None      => queries
+    }
 
     println(f"${"query"}%-18s ${"sf"}%-8s ${"sec"}%8s ${"shuffleMB"}%10s")
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); name <- queries) {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); name <- selected) {
       val dir = s"/root/testdata/$sf"
       // steady state: min of 2; shuffle metered on the LAST run. The
       // action is a noop write so every output column materializes (a
