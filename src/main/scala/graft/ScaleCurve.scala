@@ -47,7 +47,8 @@ object ScaleCurve {
       "q80_range_join", "q81_ann_ivfpq", "q82_boilerplate_score",
       "q84_bpe_merge_rank", "q87_semantic_dedup",
       "q87b_semantic_dedup_soft", "q90_ngram_decontam",
-      "q91_mixture_resample", "q92_substring_runs")
+      "q91_mixture_resample", "q92_substring_runs",
+      "q93_hard_negatives", "q94_bigram_quality")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running

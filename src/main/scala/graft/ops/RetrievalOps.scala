@@ -3,6 +3,7 @@ package graft.ops
 import graft.Q
 import graft.schema.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical retrieval + statistical quality scoring over `documents` — the
@@ -32,6 +33,40 @@ object RetrievalOps {
   /** Fixed query-term set for the scoring demos (mid-frequency corpus
     * terms; literal on purpose — a real caller parameterizes them). */
   private val QueryTerms = Seq("spark", "vector", "stream", "hash", "merge")
+
+  /** Interpolated bigram-LM scoring: trains unigram + bigram count models
+    * on `docs` (doc_id, text) and scores each doc as the mean −ln of the
+    * Jelinek-Mercer probability 0.7·c(t1 t2)/c(t1) + 0.3·c(t2)/N over its
+    * bigram positions. All probabilities are ratios of integer counts —
+    * cross-engine IEEE-exact. Bigrams form per doc via a lead() window
+    * that reuses the fan-out guard's doc_id distribution (the q84
+    * pattern: no extra shuffle); both models are vocabulary-shaped and
+    * broadcast here, degrading to shuffled hash joins on the token pair
+    * when a web-scale bigram table outgrows the broadcast threshold —
+    * same plan, no rewrite.
+    */
+  def bigramQuality(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextOps.toks(col("text"))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = tok.withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val biModel = bi.groupBy(col("t"), col("t2")).agg(count(lit(1)).as("c2"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    bi.join(broadcast(biModel), Seq("t", "t2"))
+      .join(broadcast(uni), Seq("t"))
+      .join(broadcast(uni.select(col("t").as("t2"),
+        col("c1").as("c1_next"))), Seq("t2"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (-log(lit(0.7) * col("c2").cast("double") / col("c1") +
+          lit(0.3) * col("c1_next").cast("double") / col("total")))
+          .as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bi"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+  }
 
   /** (doc_id, term, tf) for every document term — THE shared scan shape. */
   private def termFreqs(s: SparkSession, d: String): DataFrame =
@@ -276,6 +311,47 @@ object RetrievalOps {
               SELECT tok.doc_id, CAST(count(*) AS INTEGER) AS n_tok,
                 round(avg(-ln(model.freq::DOUBLE / total.total)), 6) AS avg_nll
               FROM tok JOIN model USING (t) CROSS JOIN total
-              GROUP BY tok.doc_id ORDER BY tok.doc_id"""))
+              GROUP BY tok.doc_id ORDER BY tok.doc_id""")),
+
+    // ---- interpolated bigram-LM quality score (q94): the next rung up
+    // from q59's unigram filter and the honest closed-form sketch of
+    // CCNet-style perplexity filtering (there a KenLM n-gram model; here
+    // a bigram model trained on the corpus itself, Jelinek-Mercer
+    // interpolated with the unigram model: p(t2|t1) = 0.7·c(t1 t2)/c(t1)
+    // + 0.3·c(t2)/N — never zero on corpus-internal bigrams, and every
+    // probability is a ratio of integer counts so Spark and DuckDB do
+    // identical IEEE arithmetic). Doc score = mean −ln p over its bigram
+    // positions; high = improbable-sequence-heavy (gibberish/boilerplate
+    // candidates). Scale posture: bigrams form per-doc via a lead()
+    // window that reuses the guard's doc_id distribution (no extra
+    // shuffle — the q84 pattern); both models are vocabulary-shaped
+    // aggregates (vocab² bigrams at worst) and broadcast; scoring is
+    // map-side. At web scale the bigram table outgrows broadcast and the
+    // scoring joins degrade to shuffled hash joins on the token pair —
+    // same plan, no rewrite.
+    Q("q94_bigram_quality",
+      (s, d) => bigramQuality(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                FROM documents),
+              tok AS (SELECT doc_id, unnest(ts) AS t FROM t),
+              bi AS (SELECT doc_id, unnest(list_transform(
+                  range(1, len(ts)),
+                  i -> struct_pack(t1 := ts[i], t2 := ts[i+1]))) AS b
+                FROM t),
+              bif AS (SELECT doc_id, b.t1 AS t, b.t2 AS t2 FROM bi),
+              uni AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
+              bim AS (SELECT t, t2, count(*) AS c2 FROM bif GROUP BY t, t2),
+              total AS (SELECT count(*) AS total FROM tok)
+              SELECT bif.doc_id, CAST(count(*) AS INTEGER) AS n_bi,
+                round(avg(-ln(0.7 * bim.c2 / u1.c1 +
+                              0.3 * u2.c1 / total.total)), 6) AS avg_nll
+              FROM bif
+              JOIN bim USING (t, t2)
+              JOIN uni u1 ON bif.t = u1.t
+              JOIN uni u2 ON bif.t2 = u2.t
+              CROSS JOIN total
+              GROUP BY bif.doc_id ORDER BY bif.doc_id"""))
   )
 }

@@ -244,4 +244,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(soft === Map(1L -> 1L, 2L -> 1L), soft)
     assert(!soft.contains(20L))
   }
+
+  test("semi-hard mining excludes negatives harder than the hardest positive") {
+    // Anchor on the x axis; all vectors unit-norm so cosines are exact by
+    // construction. p* = 0.9 (the one positive); the 0.95 negative is
+    // HARDER than the hardest positive and must be rejected by the
+    // semi-hard condition, the rest rank by cosine.
+    val rows = Seq(
+      (0L, 0, Array(1f, 0f)),             // anchor
+      (1L, 0, Array(0.9f, 0.4358899f)),   // positive -> p* = 0.9
+      (10L, 1, Array(0.95f, 0.3122499f)), // cos 0.95 > p* -> excluded
+      (11L, 1, Array(0.8f, 0.6f)),        // cos 0.8  -> rank 1
+      (12L, 2, Array(0.1f, 0.9949874f)))  // cos 0.1  -> rank 2
+      .toDF("vec_id", "label", "embedding")
+    val out = VectorOps.semiHardNegatives(
+      rows.filter(col("vec_id") === 0), rows, k = 5)
+      .select("a_id", "rank", "neg_id").as[(Long, Int, Long)]
+      .collect().toSeq.sorted
+    assert(out == Seq((0L, 1, 11L), (0L, 2, 12L)), out)
+  }
 }
