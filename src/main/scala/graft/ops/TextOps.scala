@@ -590,7 +590,45 @@ object TextOps {
               c AS (SELECT doc_id, t, count(*) AS c FROM e GROUP BY 1, 2)
               SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS rep_ratio,
               CAST(sum(c) AS BIGINT) AS n_tokens
-              FROM c GROUP BY doc_id ORDER BY doc_id"""))
+              FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- cross-corpus FUZZY decontamination (q95): corpus docs that are
+    // NEAR-dups of the benchmark set (doc_id % 50 = 0, q90's benchmark) at
+    // jaccard ≥ 0.5 — the check that catches paraphrased eval answers the
+    // exact n-gram rules (q78 membership, q90 graded overlap) let
+    // through. Banded-LSH candidates (benchmark×corpus bucket collisions
+    // only), exact shingle-set verify, q34's collision guarantee carried
+    // over by sharing its signature pipeline and threshold. Oracle: the
+    // exact cross-pair jaccard aggregation (q34c's formulation with the
+    // membership predicate in place of the snapshot cut).
+    Q("q95_fuzzy_decontam",
+      (s, d) => fuzzyDecontam(docsWithShingles(s, d),
+          benchPred = col("doc_id") % 50 === 0,
+          threshold = 0.5, dfCap = 16)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             SELECT doc_id, list_distinct(list_transform(
+               range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+             FROM documents),
+             e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+             sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
+             inter AS (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+               FROM e a JOIN e b ON a.s = b.s
+               WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+               GROUP BY 1, 2),
+             pairs AS (
+               SELECT id_a, ni * 1.0 / (sa.sz + sb.sz - ni) AS j
+               FROM inter
+               JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+               WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5)
+             SELECT id_a AS doc_id, count(*) AS n_bench_hits,
+               round(max(j), 4) AS max_jaccard
+             FROM pairs GROUP BY id_a ORDER BY doc_id"""))
   )
 
   /** Exact pairwise Jaccard ≥ threshold between two shingled doc sets via
@@ -946,6 +984,40 @@ object TextOps {
       .dropDuplicates("id_a", "id_b")
     verifyJaccardCandidates(cand, docs, jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Cross-corpus FUZZY decontamination: which corpus docs are near-dups
+    * of a benchmark/eval set (the published fuzzy complement of q78's
+    * exact-membership and q90's graded-overlap checks — eval answers that
+    * were lightly paraphrased into the training set slip past exact
+    * n-gram rules but not a Jaccard threshold). Same banded-LSH machinery
+    * as q34: the WHOLE corpus bands once (signatures from one shared
+    * pipeline, so the q34 collision guarantee carries over verbatim),
+    * candidates are benchmark×corpus bucket collisions only — cost ∝
+    * true cross-collisions, not |corpus|·|bench| — and survivors verify
+    * against full shingle sets. Banded once + consumed twice ⇒ persisted
+    * (the header's cache-lifecycle contract applies). Output is per
+    * CONTAMINATED DOC (id, #bench hits, worst jaccard) — the drop list a
+    * pipeline feeds back into its training-set filter.
+    *
+    * @param benchPred predicate over `doc_id` marking the benchmark side
+    */
+  def fuzzyDecontam(docs: DataFrame, benchPred: Column, threshold: Double,
+      dfCap: Int): DataFrame = {
+    val banded = bandedSignatures(docs, dfCap).persist()
+    val cand = banded.filter(benchPred)
+      .select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+      .join(banded.filter(!benchPred)
+        .select(col("band"), col("bucket"), col("doc_id").as("id_a")),
+        Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccardCandidates(cand, docs, threshold)
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        round(max(col("jaccard")), 4).as("max_jaccard"))
+      .select(col("id_a").as("doc_id"), col("n_bench_hits"),
+        col("max_jaccard"))
   }
 
   /** SimHash signatures: (doc_id, tk: array<string>) → (doc_id, simhash)

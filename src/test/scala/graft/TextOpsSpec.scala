@@ -261,4 +261,22 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toList
     assert(out === List((1L, 2L, 25L)), out)
   }
+
+  test("fuzzy decontam flags the paraphrased bench near-dup, nothing else") {
+    // doc 0/50 are the benchmark side (doc_id % 50 = 0). doc 1 is doc 0
+    // with one word changed (high jaccard); doc 2 is unrelated; bench
+    // docs themselves must never appear in the drop list (sides are
+    // disjoint by construction, not by luck).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = shingled(Seq(
+      (0L, base),
+      (1L, base.replace("theta", "thorn")),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (50L, "completely separate benchmark content with its own words")))
+    val out = TextOps.fuzzyDecontam(docs, col("doc_id") % 50 === 0,
+      threshold = 0.5, dfCap = 16)
+      .select("doc_id", "n_bench_hits").as[(Long, Long)].collect().toList
+    assert(out === List((1L, 1L)), out)
+  }
 }
