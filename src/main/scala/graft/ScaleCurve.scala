@@ -48,7 +48,8 @@ object ScaleCurve {
       "q84_bpe_merge_rank", "q87_semantic_dedup",
       "q87b_semantic_dedup_soft", "q90_ngram_decontam",
       "q91_mixture_resample", "q92_substring_runs",
-      "q93_hard_negatives", "q94_bigram_quality", "q95_fuzzy_decontam")
+      "q93_hard_negatives", "q94_bigram_quality", "q95_fuzzy_decontam",
+      "q96_dup_ngram_fraction")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running

@@ -628,7 +628,51 @@ object TextOps {
                WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5)
              SELECT id_a AS doc_id, count(*) AS n_bench_hits,
                round(max(j), 4) AS max_jaccard
-             FROM pairs GROUP BY id_a ORDER BY doc_id"""))
+             FROM pairs GROUP BY id_a ORDER BY doc_id""")),
+
+    // ---- within-doc duplicate n-gram fraction (q96): the MassiveText/
+    // Gopher repetition rule — the fraction of a doc's 5-gram positions
+    // whose gram occurs MORE THAN ONCE in the SAME doc. Complements the
+    // family: q39's rep_ratio sees one hot token, q82 corpus-hot
+    // boilerplate, q92 cross-doc verbatim runs; this is the intra-doc
+    // "templated/looping text" signal the published quality pipelines
+    // threshold on. Two aggregations, no join: (doc, gram) counts
+    // partial-aggregate on the guard's doc_id distribution (the exploded
+    // gram stream never re-shuffles), then roll up per doc.
+    Q("q96_dup_ngram_fraction",
+      (s, d) => {
+        val k = 5
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .filter(size(col("tk")) >= k)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("tk")) - k), i =>
+              concat_ws(" ", (1 to k).map(j =>
+                element_at(col("tk"), i + lit(j))): _*))).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_pos"),
+            sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+              .as("n_dup"))
+          .select(col("doc_id"), col("n_pos"), col("n_dup"),
+            round(col("n_dup") / col("n_pos"), 4).as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+              g AS (SELECT doc_id,
+                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                  tk[i+3] || ' ' || tk[i+4] AS gram
+                FROM t, unnest(range(1, len(tk)-3)) AS u(i)
+                WHERE len(tk) >= 5),
+              c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_pos,
+                CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                  AS n_dup,
+                round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 /
+                  sum(c), 4) AS dup_frac
+              FROM c GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Exact pairwise Jaccard ≥ threshold between two shingled doc sets via

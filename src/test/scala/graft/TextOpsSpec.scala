@@ -279,4 +279,21 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "n_bench_hits").as[(Long, Long)].collect().toList
     assert(out === List((1L, 1L)), out)
   }
+
+  test("dup-ngram fraction: looping text scores 0.5, distinct text 0") {
+    // doc 1: "a b c d e f" twice -> 8 gram positions, the two grams
+    // "a b c d e" and "b c d e f" occur twice each -> 4/8 duplicated.
+    // doc 2: all-distinct tokens -> every gram unique -> 0.
+    // doc 3: shorter than 5 tokens -> no gram positions, absent.
+    val q = graft.SparkEntry.queries("q96_dup_ngram_fraction")
+    val dir = java.nio.file.Files.createTempDirectory("q96spec").toString
+    Seq((1L, "a b c d e f a b c d e f", "en", "web", 0L),
+      (2L, "one two three four five six seven eight", "en", "web", 0L),
+      (3L, "too short here", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q(spark, dir).select("doc_id", "n_pos", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out === List((1L, 8L, 4L, 0.5), (2L, 4L, 0L, 0.0)), out)
+  }
 }
