@@ -23,12 +23,12 @@ object TextOps {
 
   /** Lowercased alphanumeric tokens; mirrors DuckDB
     * `regexp_extract_all(lower(text), '[a-z0-9]+')` exactly. */
-  private[ops] def toks(c: Column): Column =
+  private[graft] def toks(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
   /** Distinct word trigrams ("shingles"), 1-based element_at — mirrors the
     * DuckDB `list_transform(range(1, len-1), …)` formulation. */
-  private def shingles(tokens: Column): Column =
+  private[graft] def shingles(tokens: Column): Column =
     array_distinct(
       when(size(tokens) >= 3,
         transform(sequence(lit(1), size(tokens) - 2), i =>
@@ -90,6 +90,28 @@ object TextOps {
        JOIN sizes sb ON sb.doc_id = id_b
        WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5
        ORDER BY id_a, id_b"""
+
+  /** q90's graded eval-overlap rule in DuckDB SQL — the shared oracle for
+    * the batch path (q90) and its streaming twin (q66): one rule, two
+    * engine paths (the q80/q64 precedent). */
+  private[graft] val NgramDecontamSql =
+    """WITH t AS (
+       SELECT doc_id, list_distinct(list_transform(
+         range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+         i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+              regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+              regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+       FROM documents),
+       b AS (SELECT DISTINCT unnest(sh) AS s FROM t
+             WHERE doc_id % 50 = 0),
+       e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+       shared AS (
+         SELECT doc_id, n_sh, count(*) AS n_shared
+         FROM e JOIN b USING (s) GROUP BY 1, 2)
+       SELECT doc_id, n_sh, n_shared,
+         round(n_shared * 1.0 / n_sh, 4) AS overlap
+       FROM shared WHERE n_shared * 1.0 / n_sh >= 0.5
+       ORDER BY doc_id"""
 
   def catalog: Seq[Q] = catalog1 ++ catalog2
 
@@ -317,23 +339,7 @@ object TextOps {
             round(col("n_shared") / col("n_sh"), 4).as("overlap"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH t AS (
-             SELECT doc_id, list_distinct(list_transform(
-               range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
-               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
-             FROM documents),
-             b AS (SELECT DISTINCT unnest(sh) AS s FROM t
-                   WHERE doc_id % 50 = 0),
-             e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
-             shared AS (
-               SELECT doc_id, n_sh, count(*) AS n_shared
-               FROM e JOIN b USING (s) GROUP BY 1, 2)
-             SELECT doc_id, n_sh, n_shared,
-               round(n_shared * 1.0 / n_sh, 4) AS overlap
-             FROM shared WHERE n_shared * 1.0 / n_sh >= 0.5
-             ORDER BY doc_id""")),
+      Some(NgramDecontamSql)),
 
     // ---- exact substring-run duplication (q92): longest VERBATIM shared
     // token span per doc pair — the order-aware duplication the Jaccard

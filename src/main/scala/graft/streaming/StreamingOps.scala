@@ -314,8 +314,63 @@ object StreamingOps {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
-              FROM events GROUP BY event_type ORDER BY event_type"""))
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- stream-static decontamination (q66): q90's graded eval-overlap
+    // rule run ON A STREAM — corpus shards are scored as they land
+    // against a STATIC benchmark shingle set that enters the plan as one
+    // broadcast array (an eval suite is small by definition, so the set
+    // fits a broadcast at any corpus scale). STATELESS by construction:
+    // per-doc scoring is a map-side array_intersect against the
+    // broadcast set — no watermark, no state store, append mode — so the
+    // recurring cost follows shard ARRIVAL RATE, not corpus size, and a
+    // flagged doc emits exactly once. Same output, same oracle as q90:
+    // one rule, two engine paths (the q80/q64 precedent).
+    Q("q66_stream_decontam",
+      (s, d) => {
+        import graft.ops.TextOps
+        val bench = graft.schema.Tables.documents(s, d)
+          .filter(col("doc_id") % 50 === 0)
+          .select(explode(TextOps.shingles(TextOps.toks(col("text"))))
+            .as("s"))
+          .agg(collect_set(col("s")).as("bg"))
+        val out = runDocsToMemory(s, d, "append") { df =>
+          df.select(col("doc_id"),
+              TextOps.shingles(TextOps.toks(col("text"))).as("sh"))
+            .crossJoin(broadcast(bench))
+            .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+              size(array_intersect(col("sh"), col("bg"))).cast("long")
+                .as("n_shared"))
+            .filter(col("n_shared") / col("n_sh") >= 0.5)
+            .select(col("doc_id"), col("n_sh"), col("n_shared"),
+              round(col("n_shared") / col("n_sh"), 4).as("overlap"))
+        }
+        out.orderBy(col("doc_id"))
+      },
+      Some(graft.ops.TextOps.NgramDecontamSql))
   )
+
+  /** Run a streaming transform of the DOCUMENTS table to completion
+    * (AvailableNow) into a memory sink — the text-pipeline twin of
+    * [[runToMemory]] (no event-time column, so no nanos conversion and,
+    * for the stateless ops this serves, no shuffle-partition override). */
+  private def runDocsToMemory(s: SparkSession, d: String,
+      outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_stream_${runSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_ckpt_$name").toString
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val q = transform(stream).writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
 }
 
 /** Explicit per-user state carried across micro-batches. */

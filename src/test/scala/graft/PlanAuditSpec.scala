@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSpec {
   private val sideEffecting = Set(
     "q23_ingest_e2e", "q24_csv_roundtrip",
     "q60_stream_dedup", "q61_stream_window_agg", "q62_stream_stateful",
-    "q63_stream_upsert",
+    "q63_stream_upsert", "q66_stream_decontam",
     // written-index variants: composing their plan DROPs + rewrites the
     // warehouse index table (q34b/q34c) or runs driver-side k-means
     // training (q44b) — real multi-job runs, not pure plans

@@ -17,6 +17,7 @@ import org.apache.spark.sql.streaming.Trigger
   *    for the all-windows oracle demo, see StreamingOps.runToMemory).
   */
 class StreamingSpec extends SparkSpec {
+  import spark.implicits._
 
   /** Deterministic events fixture: 3 users × 4 days, hourly events 00:00-
     * 23:00 on days 1-3 and a single 12:00 event on day 4 — so a 1-hour
@@ -127,5 +128,15 @@ class StreamingSpec extends SparkSpec {
     assert(batches.nonEmpty)
     assert(batches.map(_.numInputRows).sum === 3 * 24 * 3 + 1)
     assert(batches.forall(_.batchDurationMs >= 0))
+  }
+
+  test("stream decontam emits exactly the batch q90 rows (one rule, " +
+      "two engine paths)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("doc_id", "n_sh", "n_shared", "overlap")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rows("q66_stream_decontam") === rows("q90_ngram_decontam"))
+    assert(rows("q66_stream_decontam").nonEmpty)
   }
 }
