@@ -49,7 +49,8 @@ object ScaleCurve {
       "q87b_semantic_dedup_soft", "q90_ngram_decontam",
       "q91_mixture_resample", "q92_substring_runs",
       "q93_hard_negatives", "q94_bigram_quality", "q95_fuzzy_decontam",
-      "q96_dup_ngram_fraction")
+      "q96_dup_ngram_fraction", "q97_funnel", "q98_retention_cohorts",
+      "q99_event_transitions")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running

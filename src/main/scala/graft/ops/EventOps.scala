@@ -52,6 +52,37 @@ object EventOps {
       .drop("_lepoch", "_repoch", "_bucket")
   }
 
+  /** The q54 as-of window over a (click|purchase) event frame: for each
+    * purchase, the latest click of the same user at or before it. Shared
+    * by the direct-scan entry (q54) and the bucketed-store entry (q54b) —
+    * same plan, different source layout. */
+  private def asOfClicksPurchases(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("tag", when(col("event_type") === "click", 0).otherwise(1))
+    val w = Window.partitionBy(col("user_id"))
+      // clicks sort before purchases at equal ts ⇒ "at or before"
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("purchase_s"),
+        unix_timestamp(col("last_click_ts")).as("last_click_s"))
+      .orderBy(col("event_id"))
+  }
+
+  private val AsofSql =
+    """SELECT p.event_id, p.user_id,
+       floor(epoch(p.ts))::BIGINT AS purchase_s,
+       floor(epoch((
+         SELECT max(c.ts) FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts <= p.ts)))::BIGINT AS last_click_s
+       FROM events p WHERE p.event_type = 'purchase'
+       ORDER BY p.event_id"""
+
   val catalog: Seq[Q] = Seq(
 
     // ---- JSON property mining: get_json_object pushdown-friendly scan
@@ -271,29 +302,137 @@ object EventOps {
     // at or before it — one window pass over the union (no range-join
     // explosion; at scale this is the standard sorted-merge as-of shape)
     Q("q54_asof_join",
+      (s, d) => asOfClicksPurchases(Tables.events(s, d)),
+      Some(AsofSql)),
+
+    // ---- q54's bucketed-store posture (q54b): the SAME as-of window
+    // reading events back from a table written `bucketBy(user_id)` +
+    // `sortBy(user_id, ts)` — the layout the header's scale posture
+    // promises. The bucket scan already satisfies the window's
+    // distribution requirement, so the per-user exchange DISAPPEARS from
+    // the plan (EventOpsSpec counts exchanges: bucketed = unbucketed − 1;
+    // only the final presentation sort remains). The events twin of
+    // q34b/q44b: write the layout once, every recurring analytics pass
+    // reads it shuffle-free.
+    Q("q54b_asof_join_bucketed",
       (s, d) => {
-        val ev = Tables.events(s, d)
-          .filter(col("event_type").isin("click", "purchase"))
-          .withColumn("tag", when(col("event_type") === "click", 0).otherwise(1))
-        val w = Window.partitionBy(col("user_id"))
-          // clicks sort before purchases at equal ts ⇒ "at or before"
-          .orderBy(col("ts"), col("tag"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev.withColumn("last_click_ts",
-            last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
-          .filter(col("tag") === 1)
-          .select(col("event_id"), col("user_id"),
-            unix_timestamp(col("ts")).as("purchase_s"),
-            unix_timestamp(col("last_click_ts")).as("last_click_s"))
-          .orderBy(col("event_id"))
+        val table = "graft_events_by_user"
+        Tables.resetManagedTable(s, table)
+        Tables.events(s, d).write
+          .bucketBy(8, "user_id").sortBy("user_id", "ts")
+          .mode("overwrite").saveAsTable(table)
+        asOfClicksPurchases(s.table(table))
       },
-      Some("""SELECT p.event_id, p.user_id,
-              floor(epoch(p.ts))::BIGINT AS purchase_s,
-              floor(epoch((
-                SELECT max(c.ts) FROM events c
-                WHERE c.user_id = p.user_id AND c.event_type = 'click'
-                  AND c.ts <= p.ts)))::BIGINT AS last_click_s
-              FROM events p WHERE p.event_type = 'purchase'
-              ORDER BY p.event_id"""))
+      Some(AsofSql)),
+
+    // ---- ordered funnel analysis (q97): the product-analytics staple —
+    // how many users completed view → click → purchase IN TIMESTAMP
+    // ORDER (each stage strictly after the user's EARLIEST qualifying
+    // prior stage; min-ts semantics, the standard funnel definition).
+    // Three chained (filter → per-user min → join) stages, all keyed on
+    // user_id: the per-user mins partial-aggregate map-side, every join
+    // shares the user_id distribution (AQE reuses one exchange), and
+    // each stage's frame shrinks monotonically. On a (user_id, ts)-
+    // bucketed 100 TB event store the whole chain runs shuffle-free.
+    // Output: one row of stage counts (the funnel report).
+    Q("q97_funnel",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val a = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("ta"))
+        val b = e.filter(col("event_type") === "click").join(a, "user_id")
+          .filter(col("ts") > col("ta"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tb"))
+        val c = e.filter(col("event_type") === "purchase").join(b, "user_id")
+          .filter(col("ts") > col("tb"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+        a.agg(count(lit(1)).as("n_view"))
+          .crossJoin(broadcast(b.agg(count(lit(1)).as("n_view_click"))))
+          .crossJoin(broadcast(
+            c.agg(count(lit(1)).as("n_view_click_purchase"))))
+      },
+      Some("""WITH a AS (SELECT user_id, min(ts) AS ta FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+              b AS (SELECT e.user_id, min(e.ts) AS tb FROM events e
+                JOIN a USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > a.ta GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+                JOIN b USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > b.tb GROUP BY 1)
+              SELECT (SELECT count(*) FROM a) AS n_view,
+                (SELECT count(*) FROM b) AS n_view_click,
+                (SELECT count(*) FROM c) AS n_view_click_purchase""")),
+
+    // ---- retention cohorts (q98): the other product-analytics staple —
+    // users grouped by FIRST-ACTIVE week (their cohort), counted in every
+    // later week they return. (cohort, week_offset, n_users) is the
+    // retention triangle dashboards plot. Shape: one distinct (user,
+    // week) pass (shuffle = active pairs, not events), per-user min for
+    // the cohort, then a user_id-distribution-sharing join and a
+    // cohort-sized aggregate. Week arithmetic stays in exact integer
+    // days/7 on week-truncated stamps — no float, cross-engine exact.
+    Q("q98_retention_cohorts",
+      (s, d) => {
+        val wk = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+          .distinct()
+        val first = wk.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+        wk.join(first, "user_id")
+          .select(date_format(col("w0"), "yyyy-MM-dd").as("cohort"),
+            (datediff(col("w").cast("date"), col("w0").cast("date")) / 7)
+              .cast("int").as("week_offset"))
+          .groupBy(col("cohort"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort"), col("week_offset"))
+      },
+      Some("""WITH wk AS (SELECT DISTINCT user_id,
+                  date_trunc('week', ts) AS w FROM events),
+              f AS (SELECT user_id, min(w) AS w0 FROM wk GROUP BY 1)
+              SELECT strftime(f.w0, '%Y-%m-%d') AS cohort,
+                CAST(date_diff('day', f.w0, wk.w) / 7 AS INTEGER)
+                  AS week_offset,
+                count(*) AS n_users
+              FROM wk JOIN f USING (user_id)
+              GROUP BY 1, 2 ORDER BY cohort, week_offset""")),
+
+    // ---- event-transition matrix (q99): per-user next-event bigrams →
+    // the Markov transition counts/probabilities behavioral analytics
+    // builds journey maps from (and the event-stream twin of q94's token
+    // bigrams). One lead() window over the user's timeline (event_id
+    // tiebreak makes equal-ts order deterministic in both engines), a
+    // type²-bounded aggregate, and a broadcast join for the row-
+    // normalizing totals; probabilities are integer-count ratios —
+    // cross-engine exact. On a (user_id, ts)-bucketed store the window
+    // pass is shuffle-free.
+    Q("q99_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+        pairs.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("n") / col("tot"), 4).as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH p AS (
+                SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type
+                FROM events),
+              c AS (SELECT from_type, to_type, count(*) AS n FROM p
+                    WHERE to_type IS NOT NULL GROUP BY 1, 2),
+              t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+              SELECT c.from_type, c.to_type, c.n,
+                round(c.n * 1.0 / t.tot, 4) AS p
+              FROM c JOIN t USING (from_type)
+              ORDER BY from_type, to_type"""))
   )
 }

@@ -92,4 +92,76 @@ class EventOpsSpec extends SparkSpec {
       .map(_.toSeq).toSeq.sortBy(_.toString)
     assert(banded.nonEmpty && banded == naive)
   }
+
+  test("funnel counts only stages reached in timestamp order") {
+    // u1 completes the funnel in order; u2's only click precedes their
+    // first view (ordered-funnel must NOT count the later purchase);
+    // u3 clicks after viewing but purchases BEFORE that click.
+    val d = eventsDir(Seq(
+      (0L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:02:00"), 1L, "purchase", 9.0, "{}"),
+      (3L, ts("2024-01-01 09:00:00"), 2L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-01 09:30:00"), 2L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-01 09:45:00"), 2L, "purchase", 9.0, "{}"),
+      (6L, ts("2024-01-01 08:00:00"), 3L, "view", 1.0, "{}"),
+      (7L, ts("2024-01-01 08:30:00"), 3L, "purchase", 9.0, "{}"),
+      (8L, ts("2024-01-01 09:00:00"), 3L, "click", 1.0, "{}")))
+    val out = SparkEntry.queries("q97_funnel")(spark, d)
+      .as[(Long, Long, Long)].collect().toList
+    assert(out === List((3L, 2L, 1L)), out)
+  }
+
+  test("retention cohorts bucket users by first-active week") {
+    // Weeks of 2024-01: Mon 2024-01-01, 2024-01-08, 2024-01-15.
+    // u1 first active week 0, returns week 1 and 2; u2 first active
+    // week 0 only; u3 first active week 1, returns week 2.
+    val d = eventsDir(Seq(
+      (0L, ts("2024-01-02 10:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-01-09 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-16 10:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-03 10:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-10 10:00:00"), 3L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-17 10:00:00"), 3L, "view", 1.0, "{}")))
+    val out = SparkEntry.queries("q98_retention_cohorts")(spark, d)
+      .as[(String, Int, Long)].collect().toList
+    assert(out === List(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)), out)
+  }
+
+  test("event transitions count ordered next-event pairs per user") {
+    // u1: view -> click -> view; u2: view -> click. Transitions:
+    // view->click x2, click->view x1. From 'view' p(click)=1.0; from
+    // 'click' p(view)=1.0.
+    val d = eventsDir(Seq(
+      (0L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:02:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 11:01:00"), 2L, "click", 1.0, "{}")))
+    val out = SparkEntry.queries("q99_event_transitions")(spark, d)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(out === List(
+      ("click", "view", 1L, 1.0), ("view", "click", 2L, 1.0)), out)
+  }
+
+  test("bucketed as-of store: same rows, one less exchange than the scan") {
+    val sf = "/root/testdata/sf0.001"
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    val direct = run("q54_asof_join")
+    val bucketed = run("q54b_asof_join_bucketed")
+    assert(bucketed.collect().toSeq == direct.collect().toSeq)
+    // the precise claim: the bucket layout satisfies the window's
+    // user_id distribution, so the per-user hash exchange is GONE from
+    // the bucketed plan while the direct scan needs it (the direct path
+    // also carries the fan-out guard's repartition; only the bucketed
+    // path can drop the user_id shuffle entirely)
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    assert(!plan(bucketed).contains("hashpartitioning(user_id"),
+      "bucketed plan still shuffles on user_id")
+    assert(plan(direct).contains("hashpartitioning(user_id"),
+      "direct plan unexpectedly lost its user_id exchange")
+  }
 }

@@ -24,10 +24,11 @@ class PlanAuditSpec extends SparkSpec {
     "q60_stream_dedup", "q61_stream_window_agg", "q62_stream_stateful",
     "q63_stream_upsert", "q66_stream_decontam",
     // written-index variants: composing their plan DROPs + rewrites the
-    // warehouse index table (q34b/q34c) or runs driver-side k-means
-    // training (q44b) — real multi-job runs, not pure plans
+    // warehouse index table (q34b/q34c), runs driver-side k-means
+    // training (q44b), or rewrites the bucketed events store (q54b) —
+    // real multi-job runs, not pure plans
     "q34b_minhash_lsh_indexed", "q34c_minhash_incremental",
-    "q44b_ann_ivf_indexed")
+    "q44b_ann_ivf_indexed", "q54b_asof_join_bucketed")
 
   /** All-pairs formulations quarantined BY DESIGN as correctness oracles
     * for the sub-quadratic paths (SURVEY §9 "Dedup family"). */
