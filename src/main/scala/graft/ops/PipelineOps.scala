@@ -798,6 +798,51 @@ object PipelineOps {
               FROM t)
               SELECT doc_id, wc_ok, mwl_ok, stop_ok, sym_ok,
                 wc_ok AND mwl_ok AND stop_ok AND sym_ok AS keep
-              FROM r ORDER BY doc_id"""))
+              FROM r ORDER BY doc_id""")),
+
+    // ---- per-source corpus health report (q100): the one-screen summary
+    // a pipeline team watches per ingest batch — per source: doc count,
+    // distinct languages, mean token length, and the exact-dup rate
+    // (share of docs whose full text occurs more than once WITHIN the
+    // source). Shape: per-doc features derive map-side (md5 + token
+    // count — the md5 shuffles as one 32-hex key per doc, never text),
+    // the dup rate is a (source, hash) rollup, everything else one
+    // source-sized aggregate; all ratios are integer-count based, so the
+    // report is cross-engine exact.
+    Q("q100_source_health",
+      (s, d) => {
+        val f = Tables.documents(s, d).select(col("source"), col("lang"),
+          md5(col("text")).as("h"),
+          size(TextOps.toks(col("text"))).cast("long").as("n_tok"))
+        val dup = f.groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n_docs"),
+            sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+              .as("n_dup"))
+        f.groupBy(col("source"))
+          .agg(countDistinct(col("lang")).as("n_langs"),
+            round(avg(col("n_tok")), 4).as("avg_tokens"))
+          .join(dup, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_langs"),
+            col("avg_tokens"),
+            round(col("n_dup") / col("n_docs"), 4).as("dup_doc_rate"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH f AS (SELECT source, lang, md5(text) AS h,
+                  len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS n_tok
+                FROM documents),
+              dup AS (SELECT source, h, count(*) AS c FROM f GROUP BY 1, 2),
+              d2 AS (SELECT source, sum(c) AS n_docs,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup
+                     FROM dup GROUP BY 1),
+              b AS (SELECT source, count(DISTINCT lang) AS n_langs,
+                      round(avg(n_tok), 4) AS avg_tokens
+                    FROM f GROUP BY 1)
+              SELECT b.source, CAST(d2.n_docs AS BIGINT) AS n_docs,
+                b.n_langs, b.avg_tokens,
+                round(d2.n_dup * 1.0 / d2.n_docs, 4) AS dup_doc_rate
+              FROM b JOIN d2 USING (source) ORDER BY source"""))
   )
 }

@@ -48,7 +48,7 @@ object TextOps {
     * not recomputed per consumer. CacheManager dedups by logical plan, so
     * q34/q35 share one copy.
     */
-  private[ops] def docsWithShingles(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docsWithShingles(s: SparkSession, d: String): DataFrame = {
     // Tokenize/shingle parallelism rides on the under-split fan-out guard
     // in Tables.load (hash-repartition on doc_id when the single-file scan
     // yields fewer splits than Tables.minSplits) — the hazard and the

@@ -318,34 +318,48 @@ object StreamingOps {
 
     // ---- stream-static decontamination (q66): q90's graded eval-overlap
     // rule run ON A STREAM — corpus shards are scored as they land
-    // against a STATIC benchmark shingle set that enters the plan as one
-    // broadcast array (an eval suite is small by definition, so the set
-    // fits a broadcast at any corpus scale). STATELESS by construction:
-    // per-doc scoring is a map-side array_intersect against the
-    // broadcast set — no watermark, no state store, append mode — so the
-    // recurring cost follows shard ARRIVAL RATE, not corpus size, and a
-    // flagged doc emits exactly once. Same output, same oracle as q90:
-    // one rule, two engine paths (the q80/q64 precedent).
+    // against a STATIC benchmark shingle set (an eval suite is small by
+    // definition). STATELESS by construction: the in-stream work is
+    // shingle-explode → stream-static equi-JOIN on the gram — no
+    // watermark, no state store, append mode — so the recurring cost
+    // follows shard ARRIVAL RATE, not corpus size; the per-doc rollup
+    // happens batch-side over the sink, the standard streaming-ETL split
+    // (sink raw matches, aggregate downstream — q60's shape). A first
+    // cut scored per row with array_intersect against ONE broadcast
+    // array holding the whole benchmark set — semantically identical but
+    // 25× slower at sf0.1, because array_intersect rebuilds the
+    // 750k-element set's hash table PER ROW; the equi-join builds it
+    // once per batch. Same output, same oracle as q90: one rule, two
+    // engine paths (the q80/q64 precedent).
     Q("q66_stream_decontam",
       (s, d) => {
         import graft.ops.TextOps
-        val bench = graft.schema.Tables.documents(s, d)
+        // static side: the SHARED persisted shingle relation (CacheManager
+        // dedups with the batch q90, so recurring runs pay it once)
+        val bench = TextOps.docsWithShingles(s, d)
           .filter(col("doc_id") % 50 === 0)
-          .select(explode(TextOps.shingles(TextOps.toks(col("text"))))
-            .as("s"))
-          .agg(collect_set(col("s")).as("bg"))
-        val out = runDocsToMemory(s, d, "append") { df =>
-          df.select(col("doc_id"),
-              TextOps.shingles(TextOps.toks(col("text"))).as("sh"))
-            .crossJoin(broadcast(bench))
+          .select(explode(col("sh")).as("s"))
+          .distinct()
+        val matches = runDocsToMemory(s, d, "append") { df =>
+          // two-step select: tokens MATERIALIZE before the shingle
+          // transform (the docsWithShingles hazard note — inlining the
+          // tokenizer into the shingle lambda re-tokenizes per element,
+          // measured 10× at sf0.1; persist is not available on a stream,
+          // but single-consumer projections don't collapse because the
+          // alias is non-cheap and multiply referenced)
+          df.select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+            .select(col("doc_id"), TextOps.shingles(col("tk")).as("sh"))
             .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
-              size(array_intersect(col("sh"), col("bg"))).cast("long")
-                .as("n_shared"))
-            .filter(col("n_shared") / col("n_sh") >= 0.5)
-            .select(col("doc_id"), col("n_sh"), col("n_shared"),
-              round(col("n_shared") / col("n_sh"), 4).as("overlap"))
+              explode(col("sh")).as("s"))
+            .join(broadcast(bench), Seq("s"))
+            .select(col("doc_id"), col("n_sh"))
         }
-        out.orderBy(col("doc_id"))
+        matches.groupBy(col("doc_id"), col("n_sh"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") / col("n_sh") >= 0.5)
+          .select(col("doc_id"), col("n_sh"), col("n_shared"),
+            round(col("n_shared") / col("n_sh"), 4).as("overlap"))
+          .orderBy(col("doc_id"))
       },
       Some(graft.ops.TextOps.NgramDecontamSql))
   )
@@ -353,7 +367,16 @@ object StreamingOps {
   /** Run a streaming transform of the DOCUMENTS table to completion
     * (AvailableNow) into a memory sink — the text-pipeline twin of
     * [[runToMemory]] (no event-time column, so no nanos conversion and,
-    * for the stateless ops this serves, no shuffle-partition override). */
+    * for the stateless ops this serves, no shuffle-partition override).
+    *
+    * The per-batch repartition is the STREAMING face of the
+    * `Tables.fanOut` under-split guard: the file source inherits the
+    * arriving shard's split count, and a single-file test corpus batches
+    * as ONE task, serializing every downstream tokenize/shingle chain
+    * (measured: q66 25 s single-task vs ~2 s fanned at sf0.1). At real
+    * scale arriving shards are many files and the exchange moves one
+    * micro-batch of raw text — bounded by arrival rate, not corpus
+    * size. */
   private def runDocsToMemory(s: SparkSession, d: String,
       outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
@@ -362,6 +385,7 @@ object StreamingOps {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .repartition(graft.schema.Tables.minSplits(s), col("doc_id"))
     val q = transform(stream).writeStream
       .format("memory").queryName(name)
       .outputMode(outputMode)

@@ -108,4 +108,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("en") === ((cutEn / 10000.0, keptEn.size.toLong, keptEn.sum)),
       (out, keptEn))
   }
+
+  test("source health report: dup rate counts within-source text repeats") {
+    import spark.implicits._
+    // source A: 3 docs, two verbatim-identical -> dup rate 2/3, langs
+    // {en, de}; source B: 1 unique doc -> rate 0.
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "A", 0L),
+      (2L, "alpha beta gamma", "en", "A", 0L),
+      (3L, "one two three four", "de", "A", 0L),
+      (4L, "solo document here", "en", "B", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_health").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q100_source_health")(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    assert(out === List(
+      ("A", 3L, 2L, 3.3333, 0.6667), ("B", 1L, 1L, 3.0, 0.0)), out)
+  }
 }
