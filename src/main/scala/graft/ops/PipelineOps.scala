@@ -843,6 +843,60 @@ object PipelineOps {
               SELECT b.source, CAST(d2.n_docs AS BIGINT) AS n_docs,
                 b.n_langs, b.avg_tokens,
                 round(d2.n_dup * 1.0 / d2.n_docs, 4) AS dup_doc_rate
-              FROM b JOIN d2 USING (source) ORDER BY source"""))
+              FROM b JOIN d2 USING (source) ORDER BY source""")),
+
+    // ---- curriculum deciles (q101): order the corpus by a lexical-
+    // diversity score (type-token ratio) and assign each doc its decile —
+    // the curriculum-learning batch-schedule column. The naive form is a
+    // global ORDER BY + ntile() window: one partition holding the corpus,
+    // the exact shape this engine bans. Instead the rank comes from the
+    // score HISTOGRAM: decile(d) = (#docs with score < d.score) * 10 div N.
+    // The histogram is distinct-score-sized (partial-aggregated map-side,
+    // then broadcast), the cumulative counts come from a broadcast
+    // nested-loop self-join OVER THE HISTOGRAM (tiny × tiny), and the
+    // final assignment is a map-side broadcast-hash join — the corpus is
+    // never globally sorted and never collapses to one partition. Ties
+    // share a decile by construction (same strict-< rank), which is also
+    // what makes the rule deterministic and cross-engine exact: all
+    // arithmetic after the 4-dp score round is integer.
+    Q("q101_curriculum",
+      (s, d) => {
+        val f = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+          .select(col("doc_id"),
+            when(size(col("tk")) === 0, lit(0.0))
+              .otherwise(round(size(array_distinct(col("tk"))) /
+                size(col("tk")).cast("double"), 4)).as("score"))
+        val h = f.groupBy(col("score")).agg(count(lit(1)).as("c"))
+        val n = f.agg(count(lit(1)).as("n"))
+        val cdf = h.as("a")
+          .join(broadcast(h.select(col("score").as("s2"), col("c").as("c2"))),
+            col("s2") < col("a.score"), "left")
+          .groupBy(col("a.score"))
+          .agg(coalesce(sum(col("c2")), lit(0L)).as("cum_lt"))
+          .crossJoin(broadcast(n))
+          .select(col("score"),
+            (expr("cum_lt * 10 div n") + 1).cast("int").as("decile"))
+        f.join(broadcast(cdf), Seq("score"))
+          .select(col("doc_id"), col("score"), col("decile"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents),
+              f AS (SELECT doc_id,
+                  CASE WHEN len(tk) = 0 THEN 0.0
+                       ELSE round(len(list_distinct(tk)) * 1.0 / len(tk), 4)
+                  END AS score
+                FROM t),
+              h AS (SELECT score, count(*) AS c FROM f GROUP BY 1),
+              cdf AS (SELECT a.score, coalesce(sum(b.c), 0) AS cum_lt
+                      FROM h a LEFT JOIN h b ON b.score < a.score
+                      GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM f)
+              SELECT f.doc_id, f.score,
+                CAST((cdf.cum_lt * 10) // n.n + 1 AS INT) AS decile
+              FROM f JOIN cdf USING (score) CROSS JOIN n
+              ORDER BY f.doc_id"""))
   )
 }

@@ -343,14 +343,21 @@ object StreamingOps {
         val matches = runDocsToMemory(s, d, "append") { df =>
           // two-step select: tokens MATERIALIZE before the shingle
           // transform (the docsWithShingles hazard note — inlining the
-          // tokenizer into the shingle lambda re-tokenizes per element,
-          // measured 10× at sf0.1; persist is not available on a stream,
-          // but single-consumer projections don't collapse because the
-          // alias is non-cheap and multiply referenced)
+          // tokenizer into the shingle lambda re-tokenizes per element;
+          // persist is not available on a stream, but single-consumer
+          // projections don't collapse because the alias is non-cheap and
+          // multiply referenced). explode_OUTER, deliberately: a plain
+          // explode makes InferFiltersFromGenerate add `size(sh) > 0`,
+          // and predicate pushdown then shoves that filter BELOW the
+          // fan-out repartition with the whole shingle+tokenize chain
+          // inlined — the entire corpus gets shingled serially in the
+          // one-split scan task (measured: 24-31 s vs 1.8 s at sf0.1).
+          // outer explode infers nothing; the equi-join drops the null
+          // gram of empty-shingle docs, so the semantics are identical.
           df.select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
             .select(col("doc_id"), TextOps.shingles(col("tk")).as("sh"))
             .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
-              explode(col("sh")).as("s"))
+              explode_outer(col("sh")).as("s"))
             .join(broadcast(bench), Seq("s"))
             .select(col("doc_id"), col("n_sh"))
         }

@@ -126,4 +126,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === List(
       ("A", 3L, 2L, 3.3333, 0.6667), ("B", 1L, 1L, 3.0, 0.0)), out)
   }
+
+  test("curriculum deciles: strict-< histogram rank, ties share a bucket") {
+    import spark.implicits._
+    // type-token ratios: 0.25 (rank 0), 0.5 ×2 (rank 1), 1.0 ×2 (rank 3);
+    // N=5 → deciles (0*10 div 5)+1=1, (1*10 div 5)+1=3, (3*10 div 5)+1=7.
+    val docs = Seq(
+      (1L, "a a a a", "en", "A", 7L),
+      (2L, "a b a b", "en", "A", 7L),
+      (3L, "a b c d", "en", "A", 7L),
+      (4L, "x y x y", "en", "A", 7L),
+      (5L, "p q r s", "en", "A", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_curr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q101_curriculum")(spark, dir)
+      .as[(Long, Double, Int)].collect().toList
+    assert(out === List((1L, 0.25, 1), (2L, 0.5, 3), (3L, 1.0, 7),
+      (4L, 0.5, 3), (5L, 1.0, 7)), out)
+  }
 }
