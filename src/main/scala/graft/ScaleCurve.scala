@@ -50,7 +50,8 @@ object ScaleCurve {
       "q91_mixture_resample", "q92_substring_runs",
       "q93_hard_negatives", "q94_bigram_quality", "q95_fuzzy_decontam",
       "q96_dup_ngram_fraction", "q97_funnel", "q98_retention_cohorts",
-      "q99_event_transitions")
+      "q99_event_transitions", "q100_source_health", "q101_curriculum",
+      "q102_chunk_dedup_clean", "q103_decontam_report", "q104_rag_chunks")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running

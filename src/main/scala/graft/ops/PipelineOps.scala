@@ -88,6 +88,46 @@ object PipelineOps {
     labels.withColumnRenamed("lbl", "cluster_id")
   }
 
+  /** Gopher-style per-doc quality verdicts (token-count bounds, mean word
+    * length, stopword presence, symbol ratio) + the composed keep flag.
+    * Pure map-side built-ins over (doc_id, text) — safe on a stream (no
+    * shuffle, no state), which is exactly how q67 runs it. Kept verbatim
+    * in sync with [[QualityFilterSql]]. */
+  private[graft] def qualityVerdicts(df: DataFrame): DataFrame =
+    df.withColumn("tk", TextOps.toks(col("text")))
+      .withColumn("n_tok", size(col("tk")))
+      .select(
+        col("doc_id"),
+        col("n_tok").between(15, 10000).as("wc_ok"),
+        (length(array_join(col("tk"), "")) /
+          greatest(col("n_tok"), lit(1)).cast("double"))
+          .between(3.0, 10.0).as("mwl_ok"),
+        (size(filter(col("tk"), t =>
+          t === "the" || t === "a" || t === "of" || t === "and")) > 0)
+          .as("stop_ok"),
+        (length(regexp_replace(col("text"), "[\\sa-zA-Z0-9]", ""))
+          / length(col("text")).cast("double") < 0.1).as("sym_ok"))
+      .withColumn("keep",
+        col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("sym_ok"))
+
+  /** q47's exact oracle; also q67's (stream ≡ batch by construction). */
+  private[graft] val QualityFilterSql: String =
+    """WITH t AS (SELECT doc_id, text,
+        regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      FROM documents),
+      r AS (SELECT doc_id,
+        len(tk) BETWEEN 15 AND 10000 AS wc_ok,
+        length(array_to_string(tk, '')) * 1.0 /
+          greatest(len(tk), 1) BETWEEN 3.0 AND 10.0 AS mwl_ok,
+        len(list_filter(tk, x -> x IN ('the','a','of','and'))) > 0
+          AS stop_ok,
+        length(regexp_replace(text, '[\sa-zA-Z0-9]', '', 'g')) * 1.0
+          / length(text) < 0.1 AS sym_ok
+      FROM t)
+      SELECT doc_id, wc_ok, mwl_ok, stop_ok, sym_ok,
+        wc_ok AND mwl_ok AND stop_ok AND sym_ok AS keep
+      FROM r ORDER BY doc_id"""
+
   val catalog: Seq[Q] = Seq(
 
     // ---- CDC changelog application (q76): MERGE INTO semantics without a
@@ -762,43 +802,13 @@ object PipelineOps {
     // ---- composed quality filter (Gopher-style heuristic rules: token
     // count bounds, mean word length, stopword presence, symbol ratio) —
     // per-doc rule verdicts plus the composed keep decision, all built-in
-    // expressions evaluated in one pass over the scan.
+    // expressions evaluated in one pass over the scan. The rule transform
+    // is [[qualityVerdicts]], shared verbatim with the streaming path
+    // (q67) — one rule, two engine paths.
     Q("q47_quality_filter",
-      (s, d) => {
-        val tk = TextOps.toks(col("text"))
-        Tables.documents(s, d)
-          .withColumn("tk", tk)
-          .withColumn("n_tok", size(col("tk")))
-          .select(
-            col("doc_id"),
-            col("n_tok").between(15, 10000).as("wc_ok"),
-            (length(array_join(col("tk"), "")) /
-              greatest(col("n_tok"), lit(1)).cast("double"))
-              .between(3.0, 10.0).as("mwl_ok"),
-            (size(filter(col("tk"), t =>
-              t === "the" || t === "a" || t === "of" || t === "and")) > 0)
-              .as("stop_ok"),
-            (length(regexp_replace(col("text"), "[\\sa-zA-Z0-9]", ""))
-              / length(col("text")).cast("double") < 0.1).as("sym_ok"))
-          .withColumn("keep",
-            col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("sym_ok"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH t AS (SELECT doc_id, text,
-                regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-              FROM documents),
-              r AS (SELECT doc_id,
-                len(tk) BETWEEN 15 AND 10000 AS wc_ok,
-                length(array_to_string(tk, '')) * 1.0 /
-                  greatest(len(tk), 1) BETWEEN 3.0 AND 10.0 AS mwl_ok,
-                len(list_filter(tk, x -> x IN ('the','a','of','and'))) > 0
-                  AS stop_ok,
-                length(regexp_replace(text, '[\sa-zA-Z0-9]', '', 'g')) * 1.0
-                  / length(text) < 0.1 AS sym_ok
-              FROM t)
-              SELECT doc_id, wc_ok, mwl_ok, stop_ok, sym_ok,
-                wc_ok AND mwl_ok AND stop_ok AND sym_ok AS keep
-              FROM r ORDER BY doc_id""")),
+      (s, d) => qualityVerdicts(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some(QualityFilterSql)),
 
     // ---- per-source corpus health report (q100): the one-screen summary
     // a pipeline team watches per ingest batch — per source: doc count,
@@ -897,6 +907,119 @@ object PipelineOps {
               SELECT f.doc_id, f.score,
                 CAST((cdf.cum_lt * 10) // n.n + 1 AS INT) AS decile
               FROM f JOIN cdf USING (score) CROSS JOIN n
-              ORDER BY f.doc_id"""))
+              ORDER BY f.doc_id""")),
+
+    // ---- composed decontamination REPORT (q103): the three published
+    // eval-contamination rules the catalog implements separately — exact
+    // 5-gram membership (q78's rule), graded trigram overlap ≥ 0.5
+    // (q90's), fuzzy near-dup jaccard ≥ 0.5 (q95's) — joined into the
+    // one drop-list a pipeline team actually reviews, on one benchmark
+    // convention (doc_id % 50 = 0). Composition, not re-implementation:
+    // the trigram side reads the SHARED persisted shingle relation
+    // (CacheManager dedups across the three consumers), the fuzzy side
+    // IS TextOps.fuzzyDecontam (q95's exact-verified LSH path), and the
+    // 5-gram semi-join broadcasts the bench gram set (q78's bloom
+    // pre-pass composes in front of it at 100 TB). Only flagged docs
+    // emit — the report is contamination-sized, not corpus-sized.
+    Q("q103_decontam_report",
+      (s, d) => {
+        val k = 5
+        val benchSide = col("doc_id") % 50 === 0
+        val sh = TextOps.docsWithShingles(s, d)
+        val bench3 = sh.filter(benchSide)
+          .select(explode(col("sh")).as("s3")).distinct()
+        val ov = sh.filter(!benchSide)
+          .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+            explode_outer(col("sh")).as("s3"))
+          .join(broadcast(bench3), Seq("s3"))
+          .groupBy(col("doc_id"), col("n_sh"))
+          .agg(count(lit(1)).as("n3"))
+          .select(col("doc_id"),
+            round(col("n3") / col("n_sh"), 4).as("overlap"))
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+          .select(col("doc_id"),
+            explode_outer(when(size(col("tk")) >= k,
+              array_distinct(transform(
+                sequence(lit(1), size(col("tk")) - (k - 1)), i =>
+                  concat_ws(" ", (0 until k).map(j =>
+                    element_at(col("tk"), i + j)): _*))))
+              .otherwise(array())).as("g"))
+          .filter(col("g").isNotNull)
+        val x5 = grams.filter(!benchSide)
+          .join(grams.filter(benchSide).select(col("g")).distinct(),
+            Seq("g"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n5_shared"))
+        val fz = TextOps.fuzzyDecontam(sh, benchSide,
+            threshold = 0.5, dfCap = 16)
+          .select(col("doc_id"), col("max_jaccard"))
+        Tables.documents(s, d).filter(!benchSide).select(col("doc_id"))
+          .join(x5, Seq("doc_id"), "left_outer")
+          .join(ov, Seq("doc_id"), "left_outer")
+          .join(fz, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n5_shared"), lit(0L)).as("n5_shared"),
+            coalesce(col("overlap"), lit(0.0)).as("overlap"),
+            coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+          .withColumn("exact_hit", col("n5_shared") > 0)
+          .withColumn("graded_hit", col("overlap") >= 0.5)
+          .withColumn("fuzzy_hit", col("max_jaccard") >= 0.5)
+          .filter(col("exact_hit") || col("graded_hit") || col("fuzzy_hit"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tks AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents),
+              t AS (SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(tk)-1),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                FROM tks),
+              b3 AS (SELECT DISTINCT unnest(sh) AS s FROM t
+                     WHERE doc_id % 50 = 0),
+              e3 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                     FROM t WHERE doc_id % 50 <> 0),
+              ov AS (SELECT doc_id,
+                       round(count(*) * 1.0 / n_sh, 4) AS overlap
+                     FROM e3 JOIN b3 USING (s) GROUP BY doc_id, n_sh),
+              g5 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, len(tk)-3),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] ||
+                            ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
+                     FROM tks WHERE len(tk) >= 5),
+              b5 AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 50 = 0),
+              x5 AS (SELECT doc_id, count(*) AS n5
+                     FROM g5 JOIN b5 USING (g)
+                     WHERE doc_id % 50 <> 0 GROUP BY 1),
+              e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+              sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS ni
+                        FROM e a JOIN e b ON a.s = b.s
+                        WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+                        GROUP BY 1, 2),
+              fz AS (SELECT id_a AS doc_id, round(max(j), 4) AS max_jaccard
+                     FROM (SELECT id_a,
+                             ni * 1.0 / (sa.sz + sb.sz - ni) AS j
+                           FROM inter
+                           JOIN sizes sa ON sa.doc_id = id_a
+                           JOIN sizes sb ON sb.doc_id = id_b
+                           WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5)
+                     GROUP BY 1),
+              r AS (SELECT c.doc_id,
+                      CAST(coalesce(x5.n5, 0) AS BIGINT) AS n5_shared,
+                      coalesce(ov.overlap, 0.0) AS overlap,
+                      coalesce(fz.max_jaccard, 0.0) AS max_jaccard
+                    FROM (SELECT doc_id FROM documents
+                          WHERE doc_id % 50 <> 0) c
+                    LEFT JOIN x5 USING (doc_id)
+                    LEFT JOIN ov USING (doc_id)
+                    LEFT JOIN fz USING (doc_id))
+              SELECT doc_id, n5_shared, overlap, max_jaccard,
+                n5_shared > 0 AS exact_hit,
+                overlap >= 0.5 AS graded_hit,
+                max_jaccard >= 0.5 AS fuzzy_hit
+              FROM r
+              WHERE n5_shared > 0 OR overlap >= 0.5 OR max_jaccard >= 0.5
+              ORDER BY doc_id"""))
   )
 }

@@ -678,7 +678,135 @@ object TextOps {
                   AS n_dup,
                 round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 /
                   sum(c), 4) AS dup_frac
-              FROM c GROUP BY doc_id ORDER BY doc_id"""))
+              FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- chunk-level dedup CLEANING (q102): the CCNet paragraph-dedup
+    // recipe on a corpus without paragraph marks — split each doc's token
+    // stream into consecutive 10-token chunks, drop every chunk whose
+    // exact text occurs elsewhere in the corpus EXCEPT its first
+    // occurrence (min (doc_id, idx)), and re-emit the cleaned text. The
+    // rest of the dedup family SCORES (q82 boilerplate, q96 intra-doc,
+    // q92 runs); this one TRANSFORMS — the produce step that feeds
+    // training. Shape: the duplicate decision shuffles (md5, doc_id,
+    // idx) — never chunk text; the keep-set rides back to the doc as a
+    // sorted idx array and the text is re-assembled from the PERSISTED
+    // chunk relation on the guard's doc_id distribution (the only
+    // text-bearing join is doc-keyed). The occurrence stream uses
+    // posexplode_OUTER — the q66 lesson: inner explode's inferred
+    // size()>0 filter would push the whole chunking chain below the
+    // fan-out guard and serialize it; outer infers nothing, and the
+    // null row of token-less docs is filtered on the GENERATED column,
+    // which cannot be pushed down.
+    Q("q102_chunk_dedup_clean",
+      (s, d) => {
+        val w = 10
+        val chunks = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .select(col("doc_id"),
+            when(size(col("tk")) === 0, array().cast("array<string>"))
+              .otherwise(transform(
+                sequence(lit(0),
+                  ceil(size(col("tk")) / lit(w.toDouble)).cast("int") - 1),
+                i => concat_ws(" ", slice(col("tk"), i * w + 1, lit(w)))))
+              .as("ch"))
+          .persist()
+        val occ = chunks
+          .select(col("doc_id"),
+            posexplode_outer(col("ch")).as(Seq("idx", "chunk")))
+          .filter(col("idx").isNotNull)
+          .select(col("doc_id"), col("idx"), md5(col("chunk")).as("h"))
+        val dup = occ.groupBy(col("h"))
+          .agg(count(lit(1)).as("c"),
+            min(struct(col("doc_id"), col("idx"))).as("m"))
+          .filter(col("c") > 1)
+          .select(col("h"), col("m.doc_id").as("m_doc"),
+            col("m.idx").as("m_idx"))
+        val agg = occ.join(dup, Seq("h"), "left")
+          .select(col("doc_id"), col("idx"),
+            (col("m_doc").isNull ||
+              (col("m_doc") === col("doc_id") &&
+                col("m_idx") === col("idx"))).as("keep"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+            sort_array(collect_list(when(col("keep"), col("idx"))))
+              .as("kept"))
+        chunks.join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            concat_ws(" ",
+              transform(coalesce(col("kept"), array().cast("array<int>")),
+                i => element_at(col("ch"), i + 1))).as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents),
+              ch AS (SELECT doc_id, i - 1 AS idx,
+                  array_to_string(
+                    list_slice(tk, (i-1)*10+1, i*10), ' ') AS chunk
+                FROM t, unnest(range(1,
+                  CAST(ceil(len(tk)/10.0) AS INT) + 1)) AS u(i)),
+              k AS (SELECT doc_id, idx, chunk,
+                  row_number() OVER (PARTITION BY md5(chunk)
+                    ORDER BY doc_id, idx) AS rn,
+                  count(*) OVER (PARTITION BY md5(chunk)) AS c
+                FROM ch),
+              agg AS (SELECT doc_id, count(*) AS n_chunks,
+                  sum(CASE WHEN c = 1 OR rn = 1 THEN 1 ELSE 0 END)
+                    AS n_kept,
+                  string_agg(chunk, ' ' ORDER BY idx)
+                    FILTER (WHERE c = 1 OR rn = 1) AS clean_text
+                FROM k GROUP BY 1)
+              SELECT t.doc_id,
+                CAST(coalesce(agg.n_chunks, 0) AS BIGINT) AS n_chunks,
+                CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(agg.clean_text, '') AS clean_text
+              FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- RAG chunking (q104): overlapping token windows (W=32 tokens,
+    // stride 24 — 8-token overlap so no answer span is ever split across
+    // a boundary without a copy) with stable (doc_id, chunk_idx) keys —
+    // the retrieval-corpus prep step that feeds q57/q58/q88 indexing and
+    // the embedding pipeline. Window starts are 0, S, 2S, …; the LAST
+    // start is ceil((n-W)/S)·S, so the tail window always reaches the
+    // final token and a short doc yields exactly one whole-doc chunk.
+    // Pure map-side: explode_outer over the start index (the q66
+    // inferred-filter lesson), slice per row, integer-exact window
+    // count — zero shuffles besides the output sort.
+    Q("q104_rag_chunks",
+      (s, d) => {
+        val w = 32; val st = 24
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+          .select(col("doc_id"), col("tk"),
+            explode_outer(when(col("n") > 0,
+              sequence(lit(0), expr(
+                s"(greatest(n - $w, 0) + ${st - 1}) div $st").cast("int")))
+              .otherwise(array())).as("i"))
+          .filter(col("i").isNotNull)
+          .select(col("doc_id"), col("i").as("chunk_idx"),
+            slice(col("tk"), col("i") * st + 1, lit(w)).as("ct"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("ct")).as("n_tok"),
+            concat_ws(" ", col("ct")).as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents),
+              c AS (SELECT doc_id, i,
+                  list_slice(tk, i*24 + 1, i*24 + 32) AS ct
+                FROM t, unnest(range(0,
+                  CASE WHEN len(tk) = 0 THEN 0
+                       ELSE (greatest(len(tk) - 32, 0) + 23) // 24 + 1
+                  END)) AS u(i))
+              SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                CAST(len(ct) AS INT) AS n_tok,
+                array_to_string(ct, ' ') AS chunk_text
+              FROM c ORDER BY doc_id, chunk_idx"""))
   )
 
   /** Exact pairwise Jaccard ≥ threshold between two shingled doc sets via

@@ -361,15 +361,35 @@ object StreamingOps {
             .join(broadcast(bench), Seq("s"))
             .select(col("doc_id"), col("n_sh"))
         }
-        matches.groupBy(col("doc_id"), col("n_sh"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") / col("n_sh") >= 0.5)
-          .select(col("doc_id"), col("n_sh"), col("n_shared"),
-            round(col("n_shared") / col("n_sh"), 4).as("overlap"))
-          .orderBy(col("doc_id"))
+        matchesTail(matches)
       },
-      Some(graft.ops.TextOps.NgramDecontamSql))
+      Some(graft.ops.TextOps.NgramDecontamSql)),
+
+    // ---- streaming quality filter (q67): q47's Gopher-rule verdicts ON
+    // A STREAM — every arriving shard gets its per-doc keep decision as
+    // it lands, the shape a production ingest gate runs in. The rule
+    // transform is PipelineOps.qualityVerdicts, the very same Column
+    // tree the batch q47 runs (one rule, two engine paths — the
+    // q80/q64/q66 precedent), and it is pure map-side built-ins: no
+    // watermark, no state store, append mode, so the recurring cost
+    // follows shard arrival rate and a doc's verdict emits exactly once.
+    Q("q67_stream_quality",
+      (s, d) =>
+        runDocsToMemory(s, d, "append")(graft.ops.PipelineOps
+          .qualityVerdicts)
+          .orderBy(col("doc_id")),
+      Some(graft.ops.PipelineOps.QualityFilterSql))
   )
+
+  /** q66's batch-side rollup over the sinked match stream. */
+  private def matchesTail(matches: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    matches.groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") / col("n_sh") >= 0.5)
+      .select(col("doc_id"), col("n_sh"), col("n_shared"),
+        round(col("n_shared") / col("n_sh"), 4).as("overlap"))
+      .orderBy(col("doc_id"))
 
   /** Run a streaming transform of the DOCUMENTS table to completion
     * (AvailableNow) into a memory sink — the text-pipeline twin of

@@ -139,4 +139,14 @@ class StreamingSpec extends SparkSpec {
     assert(rows("q66_stream_decontam") === rows("q90_ngram_decontam"))
     assert(rows("q66_stream_decontam").nonEmpty)
   }
+
+  test("stream quality filter emits exactly the batch q47 verdicts") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("doc_id", "wc_ok", "mwl_ok", "stop_ok", "sym_ok", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSet
+    assert(rows("q67_stream_quality") === rows("q47_quality_filter"))
+    assert(rows("q67_stream_quality").nonEmpty)
+  }
 }

@@ -296,4 +296,42 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toList
     assert(out === List((1L, 8L, 4L, 0.5), (2L, 4L, 0L, 0.0)), out)
   }
+
+  test("chunk-dedup cleaning keeps first occurrence, rebuilds clean text") {
+    // docs 1 and 2 share an identical first 10-token chunk; the copy in
+    // doc 2 (later (doc_id, idx)) is dropped, doc 1's original survives.
+    // doc 3 is one unique partial chunk — untouched.
+    val shared = "a b c d e f g h i j"
+    val q = graft.SparkEntry.queries("q102_chunk_dedup_clean")
+    val dir = java.nio.file.Files.createTempDirectory("q102spec").toString
+    Seq((1L, s"$shared k l m n o p q r s t", "en", "web", 0L),
+      (2L, s"$shared u v w x y z a1 b1 c1 d1", "en", "web", 0L),
+      (3L, "zz yy xx", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(out === List(
+      (1L, 2L, 2L, s"$shared k l m n o p q r s t"),
+      (2L, 2L, 1L, "u v w x y z a1 b1 c1 d1"),
+      (3L, 1L, 1L, "zz yy xx")), out)
+  }
+
+  test("rag chunking: stride-24/window-32, tail window reaches last token") {
+    // doc 1: 40 tokens -> starts 0 and 24; chunk 0 = t1..t32 (32 tokens),
+    // chunk 1 = t25..t40 (16 tokens, 8-token overlap with chunk 0).
+    // doc 2: 3 tokens -> a single whole-doc chunk.
+    val ts = (1 to 40).map(i => s"t$i")
+    val q = graft.SparkEntry.queries("q104_rag_chunks")
+    val dir = java.nio.file.Files.createTempDirectory("q104spec").toString
+    Seq((1L, ts.mkString(" "), "en", "web", 0L),
+      (2L, "x y z", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q(spark, dir).as[(Long, Int, Int, String)].collect().toList
+    assert(out === List(
+      (1L, 0, 32, ts.take(32).mkString(" ")),
+      (1L, 1, 16, ts.drop(24).mkString(" ")),
+      (2L, 0, 3, "x y z")), out)
+  }
 }
