@@ -616,6 +616,48 @@ object PipelineOps {
                 '[a-z0-9]+')) AS t FROM documents)
               GROUP BY t ORDER BY freq DESC, token ASC LIMIT 100""")),
 
+    // ---- vocabulary coverage / OOV report (q106): the question a
+    // tokenizer team asks of q49's vocabulary before freezing it — what
+    // fraction of each language's token OCCURRENCES does the top-k vocab
+    // cover? Top-10 by (freq desc, token asc) — the tie-break makes the
+    // cut deterministic and cross-engine exact; coverage ratios are
+    // integer-count based. Shape: the vocab is TakeOrderedAndProject-
+    // bounded (partial top-k per partition, k rows to the driver BY
+    // CONSTRUCTION) and broadcasts into a map-side left join over the
+    // token stream; the only corpus-wide shuffles carry (token) and
+    // (lang) keys.
+    Q("q106_vocab_coverage",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("lang"),
+            explode_outer(TextOps.toks(col("text"))).as("t"))
+          .filter(col("t").isNotNull)
+        val vocab = tok.groupBy(col("t"))
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("t").asc)
+          .limit(10)
+          .select(col("t"), lit(1).as("in_v"))
+        tok.join(broadcast(vocab), Seq("t"), "left_outer")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("in_v").isNotNull, 1L).otherwise(0L))
+              .as("n_covered"))
+          .select(col("lang"), col("n_tok"), col("n_covered"),
+            round(col("n_covered") / col("n_tok"), 4).as("coverage"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (SELECT lang,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+                FROM documents),
+              v AS (SELECT t FROM (
+                      SELECT t, count(*) AS freq FROM tok GROUP BY 1
+                      ORDER BY freq DESC, t ASC LIMIT 10))
+              SELECT tok.lang, count(*) AS n_tok,
+                CAST(count(v.t) AS BIGINT) AS n_covered,
+                round(count(v.t) * 1.0 / count(*), 4) AS coverage
+              FROM tok LEFT JOIN v ON tok.t = v.t
+              GROUP BY 1 ORDER BY 1""")),
+
     // ---- boilerplate-contamination score (q82): the RefinedWeb-style
     // corpus-level heuristic — a doc whose distinct trigrams are mostly
     // CORPUS-HOT (df > 10% of docs) is boilerplate/template matter, not

@@ -145,4 +145,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === List((1L, 0.25, 1), (2L, 0.5, 3), (3L, 1.0, 7),
       (4L, 0.5, 3), (5L, 1.0, 7)), out)
   }
+
+  test("vocab coverage: top-10 cut is deterministic, per-lang OOV exact") {
+    import spark.implicits._
+    // 12 distinct tokens: "hot" (freq 5) + w01..w11 (freq 1 each); the
+    // top-10 vocab = hot + w01..w09 (alphabetical tie-break). en doc is
+    // fully covered; de doc has w03..w11 -> 7 of 9 covered.
+    val docs = Seq(
+      (1L, "hot hot hot hot hot w01 w02", "en", "A", 0L),
+      (2L, "w03 w04 w05 w06 w07 w08 w09 w10 w11", "de", "A", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q106spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q106_vocab_coverage")(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(out === List(("de", 9L, 7L, 0.7778), ("en", 7L, 7L, 1.0)), out)
+  }
 }

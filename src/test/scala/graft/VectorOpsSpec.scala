@@ -263,4 +263,21 @@ class VectorOpsSpec extends SparkSpec {
       .collect().toSeq.sorted
     assert(out == Seq((0L, 1, 11L), (0L, 2, 12L)), out)
   }
+
+  test("embedding health: norms, zero vectors, dim consistency per label") {
+    // label 1: a 3-4-5 vector (norm 5.0) and a zero vector; label 2: a
+    // unit vector plus a RAGGED 3-dim vector (dim_min 2 != dim_max 3).
+    val rows = Seq(
+      (1L, 1, Array(3f, 4f)),
+      (2L, 1, Array(0f, 0f)),
+      (3L, 2, Array(1f, 0f)),
+      (4L, 2, Array(0f, 3f, 4f)))
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("q105spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q105_embedding_health")(spark, dir)
+      .as[(Int, Long, Int, Int, Long, Double)].collect().toList
+    assert(out === List((1, 2L, 2, 2, 1L, 2.5), (2, 2L, 2, 3, 0L, 3.0)),
+      out)
+  }
 }
