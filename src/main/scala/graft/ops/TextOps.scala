@@ -94,6 +94,38 @@ object TextOps {
   /** q90's graded eval-overlap rule in DuckDB SQL — the shared oracle for
     * the batch path (q90) and its streaming twin (q66): one rule, two
     * engine paths (the q80/q64 precedent). */
+  /** PII seed-then-redact with verification flags: plant a synthetic
+    * email + phone per doc, redact with typed placeholders, emit per-doc
+    * proof the contacts are gone. Pure map-side built-ins — stateless on
+    * a stream, which is how q68 runs the SAME Column tree (q38 is the
+    * batch path). Kept verbatim in sync with [[PiiRedactSql]]. */
+  private[graft] def piiRedactFlags(df: DataFrame): DataFrame = {
+    val dirty = df.withColumn("text2",
+      concat(col("text"), lit(" contact: user"), col("doc_id"),
+        lit("@example.com or 555-"), lpad(col("doc_id") % 10000, 4, "0")))
+    val clean = dirty.withColumn("redacted",
+      regexp_replace(
+        regexp_replace(col("text2"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{3}-\\d{4}\\b", "<PHONE>"))
+    clean.select(
+      col("doc_id"),
+      col("redacted").contains("<EMAIL>").as("has_email_tag"),
+      col("redacted").contains("<PHONE>").as("has_phone_tag"),
+      col("redacted").rlike("@").as("residual_at"),
+      (length(col("text2")) - length(col("text"))).as("appended_len"))
+  }
+
+  /** q38's exact oracle; also q68's (stream ≡ batch by construction). */
+  private[graft] val PiiRedactSql: String =
+    """SELECT doc_id, true AS has_email_tag, true AS has_phone_tag,
+      false AS residual_at,
+      CAST(length(' contact: user' || doc_id ||
+        '@example.com or 555-' ||
+        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+        AS INTEGER) AS appended_len
+      FROM documents ORDER BY doc_id"""
+
   private[graft] val NgramDecontamSql =
     """WITH t AS (
        SELECT doc_id, list_distinct(list_transform(
@@ -552,30 +584,9 @@ object TextOps {
     // deterministic synthetic contact line is appended per doc — redaction
     // then provably strips every one of them, which the oracle restates.
     Q("q38_pii_redact",
-      (s, d) => {
-        val dirty = Tables.documents(s, d).withColumn("text2",
-          concat(col("text"), lit(" contact: user"), col("doc_id"),
-            lit("@example.com or 555-"), lpad(col("doc_id") % 10000, 4, "0")))
-        val clean = dirty.withColumn("redacted",
-          regexp_replace(
-            regexp_replace(col("text2"),
-              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-            "\\b\\d{3}-\\d{4}\\b", "<PHONE>"))
-        clean.select(
-          col("doc_id"),
-          col("redacted").contains("<EMAIL>").as("has_email_tag"),
-          col("redacted").contains("<PHONE>").as("has_phone_tag"),
-          col("redacted").rlike("@").as("residual_at"),
-          (length(col("text2")) - length(col("text"))).as("appended_len"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""SELECT doc_id, true AS has_email_tag, true AS has_phone_tag,
-              false AS residual_at,
-              CAST(length(' contact: user' || doc_id ||
-                '@example.com or 555-' ||
-                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
-                AS INTEGER) AS appended_len
-              FROM documents ORDER BY doc_id""")),
+      (s, d) => piiRedactFlags(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some(PiiRedactSql)),
 
     // ---- repetition ratio (boilerplate/spam signal): frequency of the
     // most common token over total tokens

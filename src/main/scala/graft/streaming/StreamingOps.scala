@@ -378,7 +378,19 @@ object StreamingOps {
         runDocsToMemory(s, d, "append")(graft.ops.PipelineOps
           .qualityVerdicts)
           .orderBy(col("doc_id")),
-      Some(graft.ops.PipelineOps.QualityFilterSql))
+      Some(graft.ops.PipelineOps.QualityFilterSql)),
+
+    // ---- streaming PII redaction (q68): q38's seed-then-redact proof ON
+    // A STREAM — the compliance gate runs where the data lands, before
+    // anything persists downstream. Same Column tree as batch q38
+    // (TextOps.piiRedactFlags), stateless map-side regexes, append mode:
+    // per-shard cost follows arrival rate and each doc's redaction proof
+    // emits exactly once.
+    Q("q68_stream_redaction",
+      (s, d) =>
+        runDocsToMemory(s, d, "append")(graft.ops.TextOps.piiRedactFlags)
+          .orderBy(col("doc_id")),
+      Some(graft.ops.TextOps.PiiRedactSql))
   )
 
   /** q66's batch-side rollup over the sinked match stream. */

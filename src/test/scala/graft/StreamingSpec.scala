@@ -149,4 +149,14 @@ class StreamingSpec extends SparkSpec {
     assert(rows("q67_stream_quality") === rows("q47_quality_filter"))
     assert(rows("q67_stream_quality").nonEmpty)
   }
+
+  test("stream redaction emits exactly the batch q38 proof rows") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("doc_id", "has_email_tag", "has_phone_tag", "residual_at",
+        "appended_len")
+      .as[(Long, Boolean, Boolean, Boolean, Int)].collect().toSet
+    assert(rows("q68_stream_redaction") === rows("q38_pii_redact"))
+    assert(rows("q68_stream_redaction").nonEmpty)
+  }
 }
