@@ -913,12 +913,17 @@ object PipelineOps {
     // arithmetic after the 4-dp score round is integer.
     Q("q101_curriculum",
       (s, d) => {
+        // persisted: consumed three times (histogram, N, assignment), and
+        // the cache boundary stops the assignment join's inferred
+        // isnotnull(score) from being pushed below the fan-out guard with
+        // the whole tokenize chain inlined (the PlanAuditSpec rule)
         val f = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
           .select(col("doc_id"),
             when(size(col("tk")) === 0, lit(0.0))
               .otherwise(round(size(array_distinct(col("tk"))) /
                 size(col("tk")).cast("double"), 4)).as("score"))
+          .persist()
         val h = f.groupBy(col("score")).agg(count(lit(1)).as("c"))
         val n = f.agg(count(lit(1)).as("n"))
         val cdf = h.as("a")

@@ -390,14 +390,21 @@ object TextOps {
     Q("q92_substring_runs",
       (s, d) => {
         val k = 5
+        // posexplode_OUTER over a when-guarded gram array instead of an
+        // explicit size(tk) >= k pre-filter: the pre-filter version gets
+        // predicate-pushed BELOW the fan-out guard with the tokenizer
+        // inlined — every scan task tokenizes twice, serially on an
+        // under-split source (the q66 lesson, audited in PlanAuditSpec).
         val grams = Tables.documents(s, d)
           .select(col("doc_id"), toks(col("text")).as("tk"))
-          .filter(size(col("tk")) >= k)
           .select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), size(col("tk")) - k), i =>
-              concat_ws(" ", (1 to k).map(j =>
-                element_at(col("tk"), i + lit(j))): _*)))
+            posexplode_outer(when(size(col("tk")) >= k,
+              transform(sequence(lit(0), size(col("tk")) - k), i =>
+                concat_ws(" ", (1 to k).map(j =>
+                  element_at(col("tk"), i + lit(j))): _*)))
+              .otherwise(array()))
               .as(Seq("pos", "g")))
+          .filter(col("g").isNotNull)
         val a = grams.select(col("g"), col("doc_id").as("id_a"),
           col("pos").as("pa"))
         val b = grams.select(col("g"), col("doc_id").as("id_b"),
@@ -659,13 +666,18 @@ object TextOps {
     Q("q96_dup_ngram_fraction",
       (s, d) => {
         val k = 5
+        // explode_OUTER + when-guard, not a size(tk) pre-filter — the
+        // pre-filter pushes below the fan-out guard with the tokenizer
+        // inlined (q92's note; the q66 lesson).
         Tables.documents(s, d)
           .select(col("doc_id"), toks(col("text")).as("tk"))
-          .filter(size(col("tk")) >= k)
           .select(col("doc_id"),
-            explode(transform(sequence(lit(0), size(col("tk")) - k), i =>
-              concat_ws(" ", (1 to k).map(j =>
-                element_at(col("tk"), i + lit(j))): _*))).as("g"))
+            explode_outer(when(size(col("tk")) >= k,
+              transform(sequence(lit(0), size(col("tk")) - k), i =>
+                concat_ws(" ", (1 to k).map(j =>
+                  element_at(col("tk"), i + lit(j))): _*)))
+              .otherwise(array())).as("g"))
+          .filter(col("g").isNotNull)
           .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n_pos"),

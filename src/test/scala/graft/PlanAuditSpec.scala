@@ -22,7 +22,8 @@ class PlanAuditSpec extends SparkSpec {
   private val sideEffecting = Set(
     "q23_ingest_e2e", "q24_csv_roundtrip",
     "q60_stream_dedup", "q61_stream_window_agg", "q62_stream_stateful",
-    "q63_stream_upsert", "q66_stream_decontam",
+    "q63_stream_upsert", "q66_stream_decontam", "q67_stream_quality",
+    "q68_stream_redaction",
     // written-index variants: composing their plan DROPs + rewrites the
     // warehouse index table (q34b/q34c), runs driver-side k-means
     // training (q44b), or rewrites the bucketed events store (q54b) —
@@ -132,5 +133,40 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plans $n shuffle exchanges (budget $budget) — a capDf " +
           "consumer is likely re-deriving the posting stream per branch")
     }
+  }
+
+  test("no filter re-derives a higher-order chain below the fan-out " +
+      "guard (inferred/pushed-filter inline, the q66 lesson)") {
+    // Predicate pushdown substitutes project aliases into the pushed
+    // condition with no reference-count guard, and InferFiltersFromGenerate
+    // manufactures a size()>0 filter from every inner explode. Either way
+    // an expensive lambda chain (tokenize, shingle, gram transform) lands
+    // BELOW the loader's fan-out repartition: it then executes in the
+    // scan stage — serially on an under-split source (q66 measured 24-31 s
+    // vs 1.8 s at sf0.1) and as duplicated CPU at any scale. Higher-order
+    // functions render as lambdafunction(...) in the condition; no
+    // catalog plan may carry one under a RepartitionByExpression.
+    // A lambda whose body is a bare element cast (isnotnull(transform(x,
+    // cast)) inferred from a join on a cast-projected vector) costs one
+    // array copy per row — allowed; anything else (tokenize, shingle,
+    // gram build) is the real hazard.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, RepartitionByExpression}
+    val expensiveLambda = "lambdafunction\\((?!cast\\(lambda)".r
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
+      .foreach { name =>
+        val plan =
+          SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+        plan.foreach {
+          case r: RepartitionByExpression => r.child.foreach {
+            case f: LFilter =>
+              val cond = f.condition.toString
+              assert(expensiveLambda.findFirstIn(cond).isEmpty,
+                s"$name pushes a higher-order chain below the fan-out " +
+                  s"guard: ${cond.take(200)}")
+            case _ =>
+          }
+          case _ =>
+        }
+      }
   }
 }
