@@ -148,10 +148,16 @@ class PlanAuditSpec extends SparkSpec {
     // catalog plan may carry one under a RepartitionByExpression.
     // A lambda whose body is a bare element cast (isnotnull(transform(x,
     // cast)) inferred from a join on a cast-projected vector) costs one
-    // array copy per row — allowed; anything else (tokenize, shingle,
-    // gram build) is the real hazard.
+    // array copy per row — allowed. So is constant arithmetic over such a
+    // cast ((cast(x) * 1.5), the q42b dup-seeding projection): one fused
+    // multiply per element, the same cost class as the copy itself, and
+    // Catalyst infers its isnotnull from the LSH join no matter where the
+    // projection sits. Anything else (tokenize, shingle, gram build, any
+    // non-literal operand) is the real hazard and stays flagged.
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, RepartitionByExpression}
-    val expensiveLambda = "lambdafunction\\((?!cast\\(lambda)".r
+    val expensiveLambda =
+      ("lambdafunction\\((?!cast\\(lambda" +
+        "|\\(cast\\(lambda [^)]*\\) [*+/-] -?[\\d.]+\\))").r
     SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
       .foreach { name =>
         val plan =
