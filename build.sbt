@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout UNPREFIXED: sbt's default
+// LoggedOutput wraps every forked-process line in "[info] ", which is
+// exactly why the driver's BENCH_r* artifacts recorded "parsed": null —
+// the bench's final metric JSON line arrived as "[info] {...}" and the
+// driver's last-JSON-line parse failed. StdoutOutput pipes the forked
+// JVM's stdout straight through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -972,7 +972,22 @@ object PipelineOps {
       (s, d) => {
         val k = 5
         val benchSide = col("doc_id") % 50 === 0
-        val sh = TextOps.docsWithShingles(s, d)
+        // ONE tokenize pass, explicitly persisted (VERDICT r7 #5): the
+        // trigram-shingle side (ov + fuzzy) and the 5-gram side both
+        // derive from this relation — previously the 5-gram branch
+        // re-tokenized the whole corpus and only CacheManager plan-dedup
+        // kept the shingle side from doing it a third time. The shingle
+        // relation is itself persisted because three consumers fan off it
+        // (bench3, ov, fuzzyDecontam). Lifecycle: Bench clears the cache
+        // before each query, so neither persist leaks into another
+        // query's timing; sessions composing many catalog queries follow
+        // the caller-clears-cache contract (RetrievalOps scaladoc).
+        val tks = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sh = tks
+          .select(col("doc_id"), TextOps.shingles(col("tk")).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bench3 = sh.filter(benchSide)
           .select(explode(col("sh")).as("s3")).distinct()
         val ov = sh.filter(!benchSide)
@@ -983,8 +998,7 @@ object PipelineOps {
           .agg(count(lit(1)).as("n3"))
           .select(col("doc_id"),
             round(col("n3") / col("n_sh"), 4).as("overlap"))
-        val grams = Tables.documents(s, d)
-          .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+        val grams = tks
           .select(col("doc_id"),
             explode_outer(when(size(col("tk")) >= k,
               array_distinct(transform(
@@ -1000,7 +1014,7 @@ object PipelineOps {
         val fz = TextOps.fuzzyDecontam(sh, benchSide,
             threshold = 0.5, dfCap = 16)
           .select(col("doc_id"), col("max_jaccard"))
-        Tables.documents(s, d).filter(!benchSide).select(col("doc_id"))
+        tks.filter(!benchSide).select(col("doc_id"))
           .join(x5, Seq("doc_id"), "left_outer")
           .join(ov, Seq("doc_id"), "left_outer")
           .join(fz, Seq("doc_id"), "left_outer")

@@ -799,38 +799,47 @@ object TextOps {
     // inferred-filter lesson), slice per row, integer-exact window
     // count — zero shuffles besides the output sort.
     Q("q104_rag_chunks",
-      (s, d) => {
-        val w = 32; val st = 24
-        Tables.documents(s, d)
-          .select(col("doc_id"), toks(col("text")).as("tk"))
-          .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
-          .select(col("doc_id"), col("tk"),
-            explode_outer(when(col("n") > 0,
-              sequence(lit(0), expr(
-                s"(greatest(n - $w, 0) + ${st - 1}) div $st").cast("int")))
-              .otherwise(array())).as("i"))
-          .filter(col("i").isNotNull)
-          .select(col("doc_id"), col("i").as("chunk_idx"),
-            slice(col("tk"), col("i") * st + 1, lit(w)).as("ct"))
-          .select(col("doc_id"), col("chunk_idx"),
-            size(col("ct")).as("n_tok"),
-            concat_ws(" ", col("ct")).as("chunk_text"))
-          .orderBy(col("doc_id"), col("chunk_idx"))
-      },
-      Some("""WITH t AS (SELECT doc_id,
-                  regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-                FROM documents),
-              c AS (SELECT doc_id, i,
-                  list_slice(tk, i*24 + 1, i*24 + 32) AS ct
-                FROM t, unnest(range(0,
-                  CASE WHEN len(tk) = 0 THEN 0
-                       ELSE (greatest(len(tk) - 32, 0) + 23) // 24 + 1
-                  END)) AS u(i))
-              SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-                CAST(len(ct) AS INT) AS n_tok,
-                array_to_string(ct, ' ') AS chunk_text
-              FROM c ORDER BY doc_id, chunk_idx"""))
+      (s, d) => ragChunks(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(RagChunksSql))
   )
+
+  /** q104's chunking Column tree, factored so the streaming twin (q107)
+    * runs the SAME transform on a stream — one rule, two engine paths
+    * (the q47/q67, q38/q68 precedent). Stateless map-side: explode over
+    * the window-start index, slice per row; safe in append mode. */
+  private[graft] def ragChunks(df: DataFrame): DataFrame = {
+    val w = 32; val st = 24
+    df.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .select(col("doc_id"), col("tk"),
+        explode_outer(when(col("n") > 0,
+          sequence(lit(0), expr(
+            s"(greatest(n - $w, 0) + ${st - 1}) div $st").cast("int")))
+          .otherwise(array())).as("i"))
+      .filter(col("i").isNotNull)
+      .select(col("doc_id"), col("i").as("chunk_idx"),
+        slice(col("tk"), col("i") * st + 1, lit(w)).as("ct"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ct")).as("n_tok"),
+        concat_ws(" ", col("ct")).as("chunk_text"))
+  }
+
+  /** Shared oracle for q104 and its streaming twin q107. */
+  private[graft] val RagChunksSql: String =
+    """WITH t AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+         FROM documents),
+       c AS (SELECT doc_id, i,
+           list_slice(tk, i*24 + 1, i*24 + 32) AS ct
+         FROM t, unnest(range(0,
+           CASE WHEN len(tk) = 0 THEN 0
+                ELSE (greatest(len(tk) - 32, 0) + 23) // 24 + 1
+           END)) AS u(i))
+       SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         CAST(len(ct) AS INT) AS n_tok,
+         array_to_string(ct, ' ') AS chunk_text
+       FROM c ORDER BY doc_id, chunk_idx"""
 
   /** Exact pairwise Jaccard ≥ threshold between two shingled doc sets via
     * inverted index. Columns: (doc_id, sh) on both sides; emits

@@ -116,8 +116,18 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** The two TPC-H fact tables get the same under-split guard as the wide
+    * corpus tables (VERDICT r7 #3): at sf0.1 lineitem packs into ~3 splits
+    * and orders into 1, so the whole relational family (q10-q17, q26, q29)
+    * ran its scans-plus-aggregations on 1-3 tasks — below the guard's own
+    * floor — and host contention amplified exactly those queries (q11b
+    * 1.89 → 5.05 s across two driver rounds). Keyed on the orderkey so the
+    * orders⋈lineitem join family and the groupBy(l_orderkey) aggregations
+    * can reuse the distribution. At 100 TB the condition is a no-op. */
+  def orders(s: SparkSession, d: String): DataFrame =
+    fanOut(s, load(s, d, "orders"), "o_orderkey", s"$d/orders.parquet")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    fanOut(s, load(s, d, "lineitem"), "l_orderkey", s"$d/lineitem.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the raw INT64 nanos via
