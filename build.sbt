@@ -18,6 +18,12 @@ run / fork := true
 // driver's last-JSON-line parse failed. StdoutOutput pipes the forked
 // JVM's stdout straight through.
 run / outputStrategy := Some(StdoutOutput)
+// ...and sbt's own "[success] Total time: ..." banner printed AFTER the
+// forked JVM exits still followed the metric JSON (BENCH_r09 "parsed"
+// stayed null). Suppress the success banner so the bench's metric line is
+// the process's final stdout line; failures still print "[error]".
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

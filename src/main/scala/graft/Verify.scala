@@ -37,7 +37,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // A null/empty oracle (e.g. a val-init-order bug making an entry
+    // Some(null), round 9) must degrade ONE query to a rows-only check,
+    // never NPE the escaper and zero the whole round's compare.
     val json = SparkEntry.oracleSql
+      .filter { case (k, v) =>
+        val ok = v != null && v.trim.nonEmpty
+        if (!ok) System.err.println(s"[verify] $k: null/empty oracle, skipped")
+        ok
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

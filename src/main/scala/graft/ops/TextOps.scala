@@ -583,6 +583,26 @@ object TextOps {
               FROM t ORDER BY doc_id"""))
   )
 
+  /** Shared oracle for q104 and its streaming twin q107. Declared BEFORE
+    * catalog2 (the declare-before-catalog convention all *Sql vals follow):
+    * a strict val referenced from an earlier strict val in the same object
+    * body reads the uninitialized field — exactly the bug that nulled q104's
+    * oracle and aborted Verify in round 9. */
+  private[graft] val RagChunksSql: String =
+    """WITH t AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+         FROM documents),
+       c AS (SELECT doc_id, i,
+           list_slice(tk, i*24 + 1, i*24 + 32) AS ct
+         FROM t, unnest(range(0,
+           CASE WHEN len(tk) = 0 THEN 0
+                ELSE (greatest(len(tk) - 32, 0) + 23) // 24 + 1
+           END)) AS u(i))
+       SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         CAST(len(ct) AS INT) AS n_tok,
+         array_to_string(ct, ' ') AS chunk_text
+       FROM c ORDER BY doc_id, chunk_idx"""
+
   /** PII redaction + repetition-ratio queries appended to the catalog. */
   val catalog2: Seq[Q] = Seq(
 
@@ -824,22 +844,6 @@ object TextOps {
         size(col("ct")).as("n_tok"),
         concat_ws(" ", col("ct")).as("chunk_text"))
   }
-
-  /** Shared oracle for q104 and its streaming twin q107. */
-  private[graft] val RagChunksSql: String =
-    """WITH t AS (SELECT doc_id,
-           regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-         FROM documents),
-       c AS (SELECT doc_id, i,
-           list_slice(tk, i*24 + 1, i*24 + 32) AS ct
-         FROM t, unnest(range(0,
-           CASE WHEN len(tk) = 0 THEN 0
-                ELSE (greatest(len(tk) - 32, 0) + 23) // 24 + 1
-           END)) AS u(i))
-       SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-         CAST(len(ct) AS INT) AS n_tok,
-         array_to_string(ct, ' ') AS chunk_text
-       FROM c ORDER BY doc_id, chunk_idx"""
 
   /** Exact pairwise Jaccard ≥ threshold between two shingled doc sets via
     * inverted index. Columns: (doc_id, sh) on both sides; emits

@@ -54,15 +54,28 @@ object StreamingOps {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
     val ckpt = java.nio.file.Files
       .createTempDirectory(s"graft_ckpt_$name").toString
-    // ts is parquet TIMESTAMP(NANOS): stream the raw INT64 nanos and
-    // convert via integer division (see Schemas.Tables.events)
+    // ts precision varies with the generator: TIMESTAMP(NANOS) files need
+    // the raw-INT64 read + integer-division conversion, micros-precision
+    // files arrive as TIMESTAMP already. Mirror Schemas.Tables.events'
+    // type dispatch — round 9's data switched nanos → micros and the
+    // unconditional `ts div 1000` broke every ts-consuming stream query
+    // with DATATYPE_MISMATCH (BENCH_r09 q60-q65).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source requires a directory path: stream the sf dir
     // with a glob filter selecting only the events table.
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // watermarks require TIMESTAMP ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]);
+      // the NTZ→TZ cast under the UTC session timezone preserves wall-clock
+      // values, so windows/date_format still match the batch oracle
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     try {
@@ -390,7 +403,22 @@ object StreamingOps {
       (s, d) =>
         runDocsToMemory(s, d, "append")(graft.ops.TextOps.piiRedactFlags)
           .orderBy(col("doc_id")),
-      Some(graft.ops.TextOps.PiiRedactSql))
+      Some(graft.ops.TextOps.PiiRedactSql)),
+
+    // ---- streaming RAG chunking (q107): q104's overlapping-window
+    // chunker ON A STREAM — retrieval-corpus prep running where shards
+    // land, feeding the embedding/indexing pipeline incrementally instead
+    // of re-chunking the corpus per refresh. Same Column tree as batch
+    // q104 (TextOps.ragChunks: explode over window starts + slice —
+    // stateless map-side, no watermark, no state store), append mode, so
+    // each doc's chunks emit exactly once and per-shard cost follows
+    // arrival rate. Shares q104's oracle: one rule, two engine paths
+    // (the q47/q67, q38/q68 precedent).
+    Q("q107_stream_rag_chunks",
+      (s, d) =>
+        runDocsToMemory(s, d, "append")(graft.ops.TextOps.ragChunks)
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(graft.ops.TextOps.RagChunksSql))
   )
 
   /** q66's batch-side rollup over the sinked match stream. */

@@ -22,8 +22,9 @@ class PlanAuditSpec extends SparkSpec {
   private val sideEffecting = Set(
     "q23_ingest_e2e", "q24_csv_roundtrip",
     "q60_stream_dedup", "q61_stream_window_agg", "q62_stream_stateful",
-    "q63_stream_upsert", "q66_stream_decontam", "q67_stream_quality",
-    "q68_stream_redaction",
+    "q63_stream_upsert", "q64_stream_stream_join", "q65_stream_tws",
+    "q66_stream_decontam", "q67_stream_quality",
+    "q68_stream_redaction", "q107_stream_rag_chunks",
     // written-index variants: composing their plan DROPs + rewrites the
     // warehouse index table (q34b/q34c), runs driver-side k-means
     // training (q44b), or rewrites the bucketed events store (q54b) —
@@ -135,6 +136,13 @@ class PlanAuditSpec extends SparkSpec {
     // lowercase partitioning words.
     val rx = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
     val budgets = Map("q34_minhash_lsh" -> 20, "q35_ngram_jaccard" -> 44)
+    // Budgets are calibrated against a cache-free session. Earlier tests
+    // (and pureQueryPlans composition) leave CacheManager entries behind —
+    // persist() registers at COMPOSE time, no action needed — and a cached
+    // subtree substituted into q34's plan re-renders ITS exchanges inside
+    // the InMemoryRelation, inflating the count (observed 20 → 29 purely
+    // from test ordering). Clear to the calibrated state first.
+    spark.catalog.clearCache()
     budgets.foreach { case (name, budget) =>
       val s = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

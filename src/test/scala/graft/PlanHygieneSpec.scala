@@ -104,4 +104,16 @@ class PlanHygieneSpec extends SparkSpec {
     val p = plan("q81_ann_ivfpq")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("catalog integrity: unique names, no null/empty oracle strings") {
+    // Round 9 shipped Some(null) via a strict-val forward reference
+    // (TextOps.RagChunksSql declared after catalog2) — Verify NPE'd and the
+    // whole round's DuckDB compare was zeroed. This catches any recurrence
+    // at test time, for every module's catalog at once.
+    val cat = SparkEntry.catalog
+    val dupes = cat.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
+    val bad = cat.filter(q => q.oracle.exists(s => s == null || s.trim.isEmpty))
+    assert(bad.isEmpty, s"null/empty oracles: ${bad.map(_.name).mkString(",")}")
+  }
 }
