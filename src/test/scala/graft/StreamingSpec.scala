@@ -159,4 +159,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows("q68_stream_redaction") === rows("q38_pii_redact"))
     assert(rows("q68_stream_redaction").nonEmpty)
   }
+
+  test("stream RAG chunking emits exactly the batch q104 chunks") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("doc_id", "chunk_idx", "n_tok", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(rows("q107_stream_rag_chunks") === rows("q104_rag_chunks"))
+    assert(rows("q107_stream_rag_chunks").nonEmpty)
+  }
+
+  test("ts-consuming stream queries run against the DRIVER testdata's " +
+      "actual timestamp type") {
+    // The other streaming tests run on Spark-written fixtures (micros
+    // TIMESTAMP), so a generator-side change to events.ts' parquet type
+    // is invisible to them: round 9's nanos → micros switch broke
+    // q60-q65 in Bench/Verify while the suite stayed green. Exercise one
+    // watermark + window + one dedup catalog query end-to-end on the real
+    // testdata and cross-check against the same aggregate computed in
+    // batch (Tables.events has its own type dispatch).
+    val sf = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("q61_stream_window_agg")(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = graft.schema.Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+    val dedup = SparkEntry.queries("q60_stream_dedup")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val batchDedup = graft.schema.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(dedup === batchDedup)
+  }
 }
