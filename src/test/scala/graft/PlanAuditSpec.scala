@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     // training (q44b), or rewrites the bucketed events store (q54b) —
     // real multi-job runs, not pure plans
     "q34b_minhash_lsh_indexed", "q34c_minhash_incremental",
-    "q44b_ann_ivf_indexed", "q54b_asof_join_bucketed")
+    "q44b_ann_ivf_indexed", "q44c_ann_ivf_incremental",
+    "q54b_asof_join_bucketed")
 
   /** All-pairs formulations quarantined BY DESIGN as correctness oracles
     * for the sub-quadratic paths (SURVEY §9 "Dedup family"). */

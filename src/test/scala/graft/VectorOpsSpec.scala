@@ -101,6 +101,33 @@ class VectorOpsSpec extends SparkSpec {
       s"missing=${(inPlan -- indexed).take(5)} extra=${(indexed -- inPlan).take(5)}")
   }
 
+  test("incremental IVF append equals one full assignment under frozen " +
+      "centroids (q44c's order-free update contract)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") >= 10)
+    val snap = e.filter(col("vec_id") < 15)
+    val inc = e.filter(col("vec_id") >= 15)
+    val table = "b_ivf_incr_test"
+    val base = VectorOps.ivfWriteIndex(spark,
+      VectorOps.ivfBuild(snap, dim = 64, nCells = 8), table)
+    val updated = VectorOps.ivfAppendIncrement(spark, base, inc, table)
+    val incremental = updated.index.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toSet
+    // full re-assignment of snapshot ∪ increment under the SAME centroids
+    val full = VectorOps.IvfIndex(
+      e.select(col("vec_id"), col("embedding"))
+        .withColumn("cell",
+          element_at(VectorOps.topCells(base.centroids, 1), 1)),
+      base.centroids).index
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(incremental == full,
+      s"missing=${(full -- incremental).take(5)} " +
+        s"extra=${(incremental -- full).take(5)}")
+    // every vector indexed exactly once (append never duplicated the
+    // snapshot rows)
+    assert(incremental.size == e.count())
+  }
+
   test("PQ (shortlist + rerank) recall >= 0.9 on clustered data") {
     val rng = new scala.util.Random(7)
     val rows = for { c <- 0 until 20; m <- 0 until 10 } yield {
