@@ -418,7 +418,58 @@ object StreamingOps {
       (s, d) =>
         runDocsToMemory(s, d, "append")(graft.ops.TextOps.ragChunks)
           .orderBy(col("doc_id"), col("chunk_idx")),
-      Some(graft.ops.TextOps.RagChunksSql))
+      Some(graft.ops.TextOps.RagChunksSql)),
+
+    // ---- streaming ANN serving (q108): query vectors ARRIVE AS A
+    // STREAM and probe the written cell-partitioned IVF index (the q44b
+    // snapshot posture) via foreachBatch — the online half of the
+    // build-once/probe-many serving design. Each micro-batch is one
+    // batch-side ivfProbe: broadcast the batch's (query, probed-cell)
+    // pairs into a partition-pruned index read, rank, emit top-k to the
+    // store. Recurring cost follows query ARRIVAL RATE × probed cells —
+    // never corpus size; no state store (the index IS the state, on
+    // disk). Same gated exact-recall verification contract as
+    // q41/q44/q44b/q44c over the emitted results.
+    Q("q108_stream_ann_serving",
+      (s, d) => {
+        import graft.ops.VectorOps
+        val corpus = graft.schema.Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+        val idx = VectorOps.ivfWriteIndex(s,
+          VectorOps.ivfBuild(corpus, dim = 64, nCells = 16),
+          "graft_ivf_serve_index")
+        val store =
+          s"${System.getProperty("java.io.tmpdir")}/graft_ann_serve_out"
+        val storePath = new org.apache.hadoop.fs.Path(store)
+        storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(storePath, true)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_ckpt_serve").toString
+        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+          .filter(col("vec_id") < 10)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // batch-side plan: ivfProbe's window/top-k are legal here,
+            // and the probe's cell join partition-prunes the index scan.
+            // Append is replay-safe in spirit (a restarted batch rewrites
+            // the same q_ids); a production store would upsert on
+            // (q_id, rank) — the q63 pattern.
+            VectorOps.ivfProbe(idx, batch, k = 5, nProbe = 4)
+              .write.mode("append").parquet(store)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val queries = graft.schema.Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        VectorOps.gatedAnnVerification(s.read.parquet(store), corpus,
+          VectorOps.cosineTopK(queries, corpus, k = 5),
+          k = 5, recallFloor = 0.3)
+      },
+      Some("""SELECT CAST(10 AS BIGINT) AS n_queries,
+              true AS all_returned_k, true AS avg_recall_ok,
+              true AS verified"""))
   )
 
   /** q66's batch-side rollup over the sinked match stream. */

@@ -169,6 +169,14 @@ class StreamingSpec extends SparkSpec {
     assert(rows("q107_stream_rag_chunks").nonEmpty)
   }
 
+  test("stream ANN serving emits the verified top-k invariants row " +
+      "(recall vs exact checked below the gate)") {
+    val sf = "/root/testdata/sf0.001"
+    val row = SparkEntry.queries("q108_stream_ann_serving")(spark, sf)
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(row === Seq((10L, true, true, true)))
+  }
+
   test("ts-consuming stream queries run against the DRIVER testdata's " +
       "actual timestamp type") {
     // The other streaming tests run on Spark-written fixtures (micros
