@@ -91,6 +91,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("the fan-out guard is a NO-OP when the scan already supplies the " +
+      "floor (the at-scale claim, exercised)") {
+    // Every SCALING.md row arguing the guard floor "disappears at real
+    // scale" rests on the condition keying off actual vs available
+    // splits. Prove it: the same loader over a MULTI-file table (what
+    // 100 TB parquet always is) must plan NO guard repartition.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_manyfile").toString
+    val floor = graft.schema.Tables.minSplits(spark)
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .repartition(floor * 2)
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val df = graft.schema.Tables.lineitem(spark, tmp)
+    assert(df.rdd.getNumPartitions >= floor)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("REPARTITION_BY_NUM"),
+      s"guard repartitioned a scan that already had >= $floor splits:\n$plan")
+  }
+
   test("per-family representatives keep the fan-out exchange ahead of " +
       "their CPU-heavy chains") {
     // One query per family the r6 driver bench caught inflated 3.4-17×:
