@@ -878,7 +878,7 @@ object TextOps {
     * capped-index candidate generators: whatever pruning produced the
     * candidates, the emitted (pair, jaccard) values are computed from
     * untouched shingle sets. */
-  private def verifyJaccardCandidates(cand: DataFrame, docs: DataFrame,
+  private[graft] def verifyJaccardCandidates(cand: DataFrame, docs: DataFrame,
       threshold: Double): DataFrame =
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -1094,7 +1094,7 @@ object TextOps {
     * (doc_id, shingle) rows shuffle — the shingle ARRAY stays out of the
     * exploded stream (carrying it per-row ballooned the shuffle ~60×).
     * Band key = hash of the band's signature slice. */
-  private[ops] def bandedSignatures(docs: DataFrame, dfCap: Int): DataFrame = {
+  private[graft] def bandedSignatures(docs: DataFrame, dfCap: Int): DataFrame = {
     val posts = docs
       .select(col("doc_id"), explode(col("sh")).as("s"))
     val sig = capDf(posts, docs, dfCap)

@@ -469,7 +469,98 @@ object StreamingOps {
       },
       Some("""SELECT CAST(10 AS BIGINT) AS n_queries,
               true AS all_returned_k, true AS avg_recall_ok,
-              true AS verified"""))
+              true AS verified""")),
+
+    // ---- streaming near-dup GATE (q109): arriving docs are checked
+    // against the WRITTEN banded-LSH snapshot index as they land — the
+    // crawl-ingest dedup pattern (admit a shard only after knowing what
+    // it duplicates). Static side: the snapshot (docs below the 80% cut)
+    // bands ONCE into the bucketed index table (the q34b posture) and its
+    // shingle sets stay persisted for verification. Stream side: each
+    // micro-batch tokenizes/shingles/bands ONLY its own docs — banding
+    // here is deliberately UNCAPPED so a batch's signatures are a pure
+    // per-doc function, identical to what the corpus-wide pass would
+    // compute (df-capping needs corpus stats; production freezes the
+    // snapshot's hot-shingle list the way q44c freezes centroids) —
+    // probes the index by (band, bucket), and exact-verifies candidates
+    // against full shingle sets. Recurring cost ∝ batch size; the
+    // snapshot never re-bands. Output = q34c's cross pairs, same oracle.
+    Q("q109_stream_neardup_gate",
+      (s, d) => {
+        import graft.ops.TextOps
+        val docs = TextOps.docsWithShingles(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val snap = docs.filter(col("doc_id") < cut)
+        val table = "graft_lsh_gate_index"
+        graft.schema.Tables.resetManagedTable(s, table)
+        TextOps.bandedSignatures(snap, dfCap = Int.MaxValue)
+          .write.bucketBy(8, "band", "bucket")
+          .mode("overwrite").saveAsTable(table)
+        val store =
+          s"${System.getProperty("java.io.tmpdir")}/graft_neardup_gate_out"
+        val storePath = new org.apache.hadoop.fs.Path(store)
+        storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(storePath, true)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_ckpt_gate").toString
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") >= cut)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val bdocs = batch
+              .repartition(graft.schema.Tables.minSplits(s), col("doc_id"))
+              .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+              .select(col("doc_id"), TextOps.shingles(col("tk")).as("sh"))
+              .persist()
+            val cand = batch.sparkSession.table(table)
+              .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+              .join(TextOps.bandedSignatures(bdocs, dfCap = Int.MaxValue)
+                .select(col("band"), col("bucket"),
+                  col("doc_id").as("id_b")),
+                Seq("band", "bucket"))
+              .select(col("id_a"), col("id_b"))
+              .dropDuplicates("id_a", "id_b")
+            TextOps.verifyJaccardCandidates(cand,
+                snap.unionByName(bdocs), threshold = 0.5)
+              .select(col("id_a"), col("id_b"),
+                round(col("jaccard"), 4).as("jaccard"))
+              .write.mode("append").parquet(store)
+            bdocs.unpersist()
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(store).orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (
+             SELECT doc_id, list_distinct(list_transform(
+               range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+             FROM documents),
+             cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT)
+                       AS cut
+                     FROM documents),
+             e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+             sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
+             inter AS (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+               FROM e a JOIN e b ON a.s = b.s, cut
+               WHERE a.doc_id < cut.cut AND b.doc_id >= cut.cut
+               GROUP BY 1, 2)
+             SELECT id_a, id_b,
+               round(ni * 1.0 / (sa.sz + sb.sz - ni), 4) AS jaccard
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+             WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5
+             ORDER BY id_a, id_b"""))
   )
 
   /** q66's batch-side rollup over the sinked match stream. */

@@ -169,6 +169,17 @@ class StreamingSpec extends SparkSpec {
     assert(rows("q107_stream_rag_chunks").nonEmpty)
   }
 
+  test("stream near-dup gate emits exactly the batch q34c cross pairs " +
+      "(one rule, two engine paths)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows("q109_stream_neardup_gate") ===
+      rows("q34c_minhash_incremental"))
+    assert(rows("q109_stream_neardup_gate").nonEmpty)
+  }
+
   test("stream ANN serving emits the verified top-k invariants row " +
       "(recall vs exact checked below the gate)") {
     val sf = "/root/testdata/sf0.001"
