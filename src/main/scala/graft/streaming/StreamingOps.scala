@@ -467,9 +467,11 @@ object StreamingOps {
           VectorOps.cosineTopK(queries, corpus, k = 5),
           k = 5, recallFloor = 0.3)
       },
+      // avg_recall pinned to the sf0.01 measurement (VERDICT r10 #3);
+      // equals q44b's by construction (same index params, same queries)
       Some("""SELECT CAST(10 AS BIGINT) AS n_queries,
-              true AS all_returned_k, true AS avg_recall_ok,
-              true AS verified""")),
+              true AS all_returned_k, CAST(0.56 AS DOUBLE) AS avg_recall,
+              true AS avg_recall_ok, true AS verified""")),
 
     // ---- streaming near-dup GATE (q109): arriving docs are checked
     // against the WRITTEN banded-LSH snapshot index as they land — the

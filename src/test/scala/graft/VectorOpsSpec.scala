@@ -291,6 +291,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == Seq((0L, 1, 11L), (0L, 2, 12L)), out)
   }
 
+  test("gated verification emits MEASURED recall that a broken probe " +
+      "moves (VERDICT r10 #3: the oracle value is data, not a constant)") {
+    // Clustered corpus (the regime where recall is meaningful). A healthy
+    // probe (nProbe=4) must report avg_recall near 1.0; a deliberately
+    // crippled probe (nProbe=1 over 20 spread clusters) must report a
+    // STRICTLY lower measured value — i.e. a probe bug changes the number
+    // the driver hashes, instead of hiding behind a boolean floor.
+    val rng = new scala.util.Random(11)
+    val rows = for { c <- 0 until 20; m <- 0 until 10 } yield {
+      val theta = c * (2 * math.Pi / 20) + (rng.nextDouble() - 0.5) * 0.035
+      ((c * 10 + m).toLong,
+        Array.tabulate(8)(i => (math.cos(theta * (i + 1)) / 2.0).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    val corpus = df.filter(col("vec_id") % 10 =!= 0)
+    def measured(nProbe: Int): Double = VectorOps.gatedAnnVerification(
+      VectorOps.ivfTopK(queries, corpus, dim = 8, k = 3,
+        nCells = 20, nProbe = nProbe),
+      corpus, VectorOps.cosineTopK(queries, corpus, 3),
+      k = 3, recallFloor = 0.3)
+      .select("avg_recall").as[Double].head()
+    val healthy = measured(4)
+    val broken = measured(1)
+    assert(healthy >= 0.9, s"healthy avg_recall=$healthy")
+    assert(broken < healthy,
+      s"broken probe must move the measured value: $broken vs $healthy")
+  }
+
   test("embedding health: norms, zero vectors, dim consistency per label") {
     // label 1: a 3-4-5 vector (norm 5.0) and a zero vector; label 2: a
     // unit vector plus a RAGGED 3-dim vector (dim_min 2 != dim_max 3).
