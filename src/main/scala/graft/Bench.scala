@@ -62,6 +62,35 @@ object Bench {
           org.apache.spark.sql.Encoders.STRING)).collect()
     }
 
+    // Host-contention calibration (VERDICT r10 #1): the driver host's load
+    // wanders and bench numbers inflate 2-6× in contiguous windows (r7/r10
+    // both had idle SCALING measurements contradict the same round's bench).
+    // Make noise-vs-regression adjudication MECHANICAL: time a fixed
+    // constant-work query — catalog-independent, data-independent, pure
+    // codegen'd CPU (sum of xxhash64 over a fixed range, fixed 32-way
+    // parallelism regardless of the cpus setting so the work shape matches
+    // the driver's local[32] config) — and compare it against the recorded
+    // idle floor below. A run where calib exceeds 1.3× the floor self-labels
+    // "contended": true in the metric line, so elevated query readings in
+    // that run are attributable to the host, not the plans.
+    // min-of-3 measured idle on this host at cpus=32, three consecutive
+    // runs: 0.36/0.35/0.37 (round 11). Re-derive with
+    // SPARK_GRAFT_ONLY=q01 SPARK_GRAFT_CPUS=32 runs if the host changes.
+    val CalibFloorSec = 0.35
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: ANSI mode makes a long sum of hashes overflow
+      spark.range(0L, 1200000000L, 1L, 32)
+        .selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = (1 to 3).map(_ => calibOnce()).min
+    // the flag is calibrated for the driver's 32-thread config; at other
+    // cpu counts the measured work still runs 32 slices and the floor
+    // doesn't apply — report null rather than a wrong verdict
+    val contended =
+      if (cpus == "32") (calib > CalibFloorSec * 1.3).toString else "null"
+
     // Dev-only subset filter (comma-separated name prefixes); the driver
     // sets no filter and always measures the full sorted catalog.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -125,10 +154,10 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out,
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,\n"queries":$detail,\n"errors":$errJson}\n""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"contended":$contended,\n"queries":$detail,\n"errors":$errJson}\n""".getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson$subset,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"contended":$contended,"sf":"$sfDir"}"""
     // The driver parses the LAST stdout JSON line; BENCH_r2-r4 all recorded
     // "parsed": null because Spark's shutdown logging and sbt's success
     // banner landed after (or interleaved with) the metric line. Defense in
