@@ -934,14 +934,26 @@ object TextOps {
     *               corpus-wide pass over the posting stream */
   private def capDf(posts: DataFrame, docs: DataFrame, dfCap: Int): DataFrame =
     if (dfCap == Int.MaxValue) posts
-    else {
+    else
       // PERSISTED (not broadcast-reuse): hot is ≤ postings/dfCap rows BY
       // CONSTRUCTION, and it is referenced both by the eager needy-set
       // probe below and by the main plan's consumers — ReuseExchange only
       // dedups within one execution, the cache spans both.
-      val hot = posts.groupBy(col("s")).agg(count(lit(1)).as("_df"))
-        .filter(col("_df") > dfCap)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      capWithHot(posts, docs,
+        posts.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > dfCap)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** [[capDf]]'s body against a CALLER-SUPPLIED hot list — the piece that
+    * makes the cap a pure per-doc function of (hot list, doc): an
+    * increment or a streaming micro-batch banded under a FROZEN snapshot
+    * hot list (ADVICE r10 #3) computes exactly the signatures the
+    * snapshot-time pass would have, without any corpus-wide df aggregate
+    * over data it hasn't seen. `hot` must carry (s, _df) rows (df > cap
+    * keys); it is tiny by construction and broadcasts into every use.
+    */
+  private def capWithHot(posts: DataFrame, docs: DataFrame,
+      hot: DataFrame): DataFrame = {
       val kept = posts.join(broadcast(hot), Seq("s"), "left_anti")
       // Floor guarantee (prefix-filtering style): every doc keeps at least
       // its DfFloor RAREST postings regardless of df. Docs with ≥ DfFloor
@@ -1094,10 +1106,24 @@ object TextOps {
     * (doc_id, shingle) rows shuffle — the shingle ARRAY stays out of the
     * exploded stream (carrying it per-row ballooned the shuffle ~60×).
     * Band key = hash of the band's signature slice. */
-  private[graft] def bandedSignatures(docs: DataFrame, dfCap: Int): DataFrame = {
-    val posts = docs
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    val sig = capDf(posts, docs, dfCap)
+  private[graft] def bandedSignatures(docs: DataFrame, dfCap: Int): DataFrame =
+    bandsFromKept(capDf(
+      docs.select(col("doc_id"), explode(col("sh")).as("s")), docs, dfCap))
+
+  /** [[bandedSignatures]] for an increment/micro-batch under a FROZEN hot
+    * list (ADVICE r10 #3): the df-cap decision comes from the snapshot's
+    * written stats instead of a corpus-wide aggregate, so the signature is
+    * a pure per-doc function of (hot list, doc) — a streaming batch
+    * computes byte-identical bands to the snapshot-time scheme, and
+    * batch/stream candidate sets coincide by CONSTRUCTION rather than by
+    * two schemes both happening to reach full recall. */
+  private[graft] def bandedSignaturesFrozenHot(docs: DataFrame,
+      hot: DataFrame): DataFrame =
+    bandsFromKept(capWithHot(
+      docs.select(col("doc_id"), explode(col("sh")).as("s")), docs, hot))
+
+  private def bandsFromKept(kept: DataFrame): DataFrame = {
+    val sig = kept
       .groupBy(col("doc_id"))
       .agg(array((0 until NumHashes).map(h =>
         min(xxhash64(lit(h), col("s")))): _*).as("sig"))
@@ -1171,6 +1197,25 @@ object TextOps {
     * stats, so every exact-oracle pair collides in at least one band.
     * Output: cross pairs only — (id_a < cut ≤ id_b, jaccard ≥ threshold).
     */
+  /** Write the snapshot's banded LSH index AND its frozen df stats — the
+    * complete written artifact an incremental/streaming consumer needs:
+    * `table` holds (doc_id, band, bucket) bucketed for shuffle-free
+    * probing; `table`_hot holds the snapshot's over-cap (s, _df) stats.
+    * An increment banded via [[bandedSignaturesFrozenHot]] against
+    * `table`_hot computes byte-identical signatures to the snapshot
+    * scheme — the q44c frozen-centroid posture, for text. */
+  def writeSnapshotLshIndex(s: SparkSession, snap: DataFrame, dfCap: Int,
+      table: String): Unit = {
+    Tables.resetManagedTable(s, s"${table}_hot")
+    snap.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > dfCap)
+      .write.mode("overwrite").saveAsTable(s"${table}_hot")
+    Tables.resetManagedTable(s, table)
+    bandedSignaturesFrozenHot(snap, s.table(s"${table}_hot"))
+      .write.bucketBy(8, "band", "bucket").mode("overwrite").saveAsTable(table)
+  }
+
   def minHashLshIncremental(s: SparkSession, docs: DataFrame,
       jaccardThreshold: Double, dfCap: Int,
       table: String = "graft_lsh_snapshot_index"): DataFrame = {
@@ -1180,16 +1225,19 @@ object TextOps {
     // a fractional part ≥ .5.
     val cut = docs.agg(
       floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
-    // persisted: the snapshot write and the increment probe are separate
-    // actions over the same corpus-sized banding pipeline — without the
-    // cache the minhash aggregation runs twice (bench clearCache frees it)
-    val banded = bandedSignatures(docs, dfCap).persist()
-    Tables.resetManagedTable(s, table)
-    banded.crossJoin(broadcast(cut)).filter(col("doc_id") < col("cut"))
-      .select(col("doc_id"), col("band"), col("bucket"))
-      .write.bucketBy(8, "band", "bucket").mode("overwrite").saveAsTable(table)
-    val incBands = banded.crossJoin(broadcast(cut))
-      .filter(col("doc_id") >= col("cut"))
+    // The snapshot bands under its OWN df stats, written alongside the
+    // index as the `_hot` table; the increment bands under those FROZEN
+    // stats read back from the artifact (ADVICE r10 #3) — increment cost
+    // depends only on the increment (no corpus-wide df aggregate), the
+    // snapshot never re-bands, and the streaming twin (q109) reproduces
+    // this scheme byte-identically per micro-batch, so batch and stream
+    // candidate sets coincide by construction.
+    val snap = docs.crossJoin(broadcast(cut))
+      .filter(col("doc_id") < col("cut")).drop("cut")
+    val inc = docs.crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cut")).drop("cut")
+    writeSnapshotLshIndex(s, snap, dfCap, table)
+    val incBands = bandedSignaturesFrozenHot(inc, s.table(s"${table}_hot"))
     val cand = s.table(table)
       .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(incBands.select(col("band"), col("bucket"),

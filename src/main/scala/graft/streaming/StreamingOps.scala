@@ -90,6 +90,40 @@ object StreamingOps {
     s.table(name)
   }
 
+  /** Shared foreachBatch scaffolding (ADVICE r10 #2): stream one table of
+    * the sf dir (glob-filtered) to completion, under the SAME
+    * shuffle-partition tuning-and-restore [[runToMemory]] applies to every
+    * other streaming query (per-batch work is arrival-sized, so the
+    * state-store-sized partition count is right for the batch-side jobs
+    * too), with a fresh checkpoint dir per run. `prepare` shapes the
+    * stream before the sink; `body` runs per micro-batch. */
+  private def runForeachBatch(s: SparkSession, d: String, tableFile: String)(
+      prepare: DataFrame => DataFrame)(
+      body: (DataFrame, Long) => Unit): Unit = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_feb").toString
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/$tableFile.parquet").schema
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = prepare(s.readStream.schema(schema)
+          .option("pathGlobFilter", s"$tableFile.parquet").parquet(d))
+        .writeStream
+        .foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Per-run UNIQUE output store dir (ADVICE r10 #1): the fixed
+    * java.io.tmpdir paths let two concurrent sessions clobber each
+    * other's stores; a createTempDirectory per run cannot collide. */
+  private def tempStore(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   /** Production append-mode windowed aggregation: emits ONLY watermark-
     * finalized windows (no driver-side complete-mode materialization — the
     * sink receives each window once, append-only, which is what a parquet/
@@ -295,32 +329,14 @@ object StreamingOps {
     // that count.
     Q("q63_stream_upsert",
       (s, d) => {
-        val store = s"${System.getProperty("java.io.tmpdir")}/graft_stream_store"
-        val storePath = new org.apache.hadoop.fs.Path(store)
-        val fs = storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(storePath, true)
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_ckpt_upsert").toString
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = s.read.parquet(s"$d/events.parquet").schema
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
-        try {
-          val q = s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(d)
-            .select(col("user_id"), col("event_type"))
-            .writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
-              val incoming = batch.dropDuplicates("user_id", "event_type")
-              Upsert.partitionedUpsert(batch.sparkSession, store, incoming,
-                keys = Seq("user_id", "event_type"), partCol = "event_type",
-                order = Seq(col("user_id")))
-            }
-            .option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        val store = tempStore("graft_stream_store")
+        runForeachBatch(s, d, "events")(
+          _.select(col("user_id"), col("event_type"))) { (batch, _) =>
+          val incoming = batch.dropDuplicates("user_id", "event_type")
+          Upsert.partitionedUpsert(batch.sparkSession, store, incoming,
+            keys = Seq("user_id", "event_type"), partCol = "event_type",
+            order = Seq(col("user_id")))
+        }
         s.read.parquet(store)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_distinct_users"))
@@ -437,31 +453,17 @@ object StreamingOps {
         val idx = VectorOps.ivfWriteIndex(s,
           VectorOps.ivfBuild(corpus, dim = 64, nCells = 16),
           "graft_ivf_serve_index")
-        val store =
-          s"${System.getProperty("java.io.tmpdir")}/graft_ann_serve_out"
-        val storePath = new org.apache.hadoop.fs.Path(store)
-        storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(storePath, true)
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_ckpt_serve").toString
-        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-        val q = s.readStream.schema(schema)
-          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
-          .filter(col("vec_id") < 10)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            // batch-side plan: ivfProbe's window/top-k are legal here,
-            // and the probe's cell join partition-prunes the index scan.
-            // Append is replay-safe in spirit (a restarted batch rewrites
-            // the same q_ids); a production store would upsert on
-            // (q_id, rank) — the q63 pattern.
+        val store = tempStore("graft_ann_serve_out")
+        // batch-side plan: ivfProbe's window/top-k are legal here, and
+        // the probe's cell join partition-prunes the index scan. A
+        // RETRIED micro-batch would append duplicate (q_id, rank) rows
+        // to this run's store; a production store upserts on (q_id,
+        // rank) — the q63 pattern, exercised delete-aware by q112.
+        runForeachBatch(s, d, "embeddings")(_.filter(col("vec_id") < 10)) {
+          (batch, _) =>
             VectorOps.ivfProbe(idx, batch, k = 5, nProbe = 4)
               .write.mode("append").parquet(store)
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        }
         val queries = graft.schema.Tables.embeddings(s, d).filter(col("vec_id") < 10)
         VectorOps.gatedAnnVerification(s.read.parquet(store), corpus,
           VectorOps.cosineTopK(queries, corpus, k = 5),
@@ -477,16 +479,18 @@ object StreamingOps {
     // against the WRITTEN banded-LSH snapshot index as they land — the
     // crawl-ingest dedup pattern (admit a shard only after knowing what
     // it duplicates). Static side: the snapshot (docs below the 80% cut)
-    // bands ONCE into the bucketed index table (the q34b posture) and its
-    // shingle sets stay persisted for verification. Stream side: each
-    // micro-batch tokenizes/shingles/bands ONLY its own docs — banding
-    // here is deliberately UNCAPPED so a batch's signatures are a pure
-    // per-doc function, identical to what the corpus-wide pass would
-    // compute (df-capping needs corpus stats; production freezes the
-    // snapshot's hot-shingle list the way q44c freezes centroids) —
-    // probes the index by (band, bucket), and exact-verifies candidates
-    // against full shingle sets. Recurring cost ∝ batch size; the
-    // snapshot never re-bands. Output = q34c's cross pairs, same oracle.
+    // bands ONCE into the bucketed index table (the q34b posture) with
+    // its df stats written alongside as the `_hot` table, and its shingle
+    // sets stay persisted for verification. Stream side: each micro-batch
+    // tokenizes/shingles/bands ONLY its own docs under the FROZEN
+    // snapshot hot list (ADVICE r10 #3; the q44c frozen-centroid posture)
+    // — the batch's signatures are a pure per-doc function of (hot list,
+    // doc), byte-identical to the scheme q34c bands its increment with,
+    // so batch and stream candidate sets coincide by construction instead
+    // of by two signature schemes both reaching full recall — probes the
+    // index by (band, bucket), and exact-verifies candidates against full
+    // shingle sets. Recurring cost ∝ batch size; the snapshot never
+    // re-bands. Output = q34c's cross pairs, same oracle.
     Q("q109_stream_neardup_gate",
       (s, d) => {
         import graft.ops.TextOps
@@ -495,31 +499,20 @@ object StreamingOps {
           (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
         val snap = docs.filter(col("doc_id") < cut)
         val table = "graft_lsh_gate_index"
-        graft.schema.Tables.resetManagedTable(s, table)
-        TextOps.bandedSignatures(snap, dfCap = Int.MaxValue)
-          .write.bucketBy(8, "band", "bucket")
-          .mode("overwrite").saveAsTable(table)
-        val store =
-          s"${System.getProperty("java.io.tmpdir")}/graft_neardup_gate_out"
-        val storePath = new org.apache.hadoop.fs.Path(store)
-        storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(storePath, true)
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_ckpt_gate").toString
-        val schema = s.read.parquet(s"$d/documents.parquet").schema
-        val q = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
-          .filter(col("doc_id") >= cut)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+        TextOps.writeSnapshotLshIndex(s, snap, dfCap = 16, table)
+        val store = tempStore("graft_neardup_gate_out")
+        runForeachBatch(s, d, "documents")(_.filter(col("doc_id") >= cut)) {
+          (batch, _) =>
             val bdocs = batch
-              .repartition(graft.schema.Tables.minSplits(s), col("doc_id"))
+              .repartition(graft.schema.Tables.minSplits(batch.sparkSession),
+                col("doc_id"))
               .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
               .select(col("doc_id"), TextOps.shingles(col("tk")).as("sh"))
               .persist()
             val cand = batch.sparkSession.table(table)
               .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-              .join(TextOps.bandedSignatures(bdocs, dfCap = Int.MaxValue)
+              .join(TextOps.bandedSignaturesFrozenHot(bdocs,
+                  batch.sparkSession.table(s"${table}_hot"))
                 .select(col("band"), col("bucket"),
                   col("doc_id").as("id_b")),
                 Seq("band", "bucket"))
@@ -532,11 +525,7 @@ object StreamingOps {
               .write.mode("append").parquet(store)
             bdocs.unpersist()
             ()
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        }
         s.read.parquet(store).orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH t AS (

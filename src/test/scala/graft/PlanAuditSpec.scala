@@ -99,15 +99,29 @@ class PlanAuditSpec extends SparkSpec {
     // 100 TB parquet always is) must plan NO guard repartition.
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_manyfile").toString
-    val floor = graft.schema.Tables.minSplits(spark)
-    spark.read.parquet(s"$sf/lineitem.parquet")
-      .repartition(floor * 2)
-      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
-    val df = graft.schema.Tables.lineitem(spark, tmp)
-    assert(df.rdd.getNumPartitions >= floor)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("REPARTITION_BY_NUM"),
-      s"guard repartitioned a scan that already had >= $floor splits:\n$plan")
+    try {
+      val floor = graft.schema.Tables.minSplits(spark)
+      // POSITIVE control first (ADVICE r10 #4): the marker must RENDER in
+      // this Spark version's plan string on the single-file load, or the
+      // negative assertion below would pass vacuously after a plan-format
+      // change.
+      val single = graft.schema.Tables.lineitem(spark, sf)
+      assert(single.queryExecution.executedPlan.toString
+          .contains("REPARTITION_BY_NUM"),
+        "positive control: the guard's repartition marker no longer " +
+          "renders as REPARTITION_BY_NUM in executedPlan strings — " +
+          "update both assertions")
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .repartition(floor * 2)
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      val df = graft.schema.Tables.lineitem(spark, tmp)
+      assert(df.rdd.getNumPartitions >= floor)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("REPARTITION_BY_NUM"),
+        s"guard repartitioned a scan that already had >= $floor splits:\n$plan")
+    } finally
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
   }
 
   test("per-family representatives keep the fan-out exchange ahead of " +
