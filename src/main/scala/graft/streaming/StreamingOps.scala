@@ -551,7 +551,78 @@ object StreamingOps {
              JOIN sizes sa ON sa.doc_id = id_a
              JOIN sizes sb ON sb.doc_id = id_b
              WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5
-             ORDER BY id_a, id_b"""))
+             ORDER BY id_a, id_b""")),
+
+    // ---- streaming CDC upsert WITH DELETES (q112, VERDICT r10 #7): q63
+    // streams insert-if-absent and q76 batch-merges D/I/U — this closes
+    // the gap between them: a changelog STREAM (synthesized from orders
+    // with q76's exact derivation — deletes for key%10=0, two conflicting
+    // updates where the later seq must win, inserts of fresh keys) is
+    // applied per micro-batch to a VERSIONED parquet store through
+    // applyChangelog, so deletes actually remove keys from the served
+    // snapshot. The versioned store is what makes replay IDEMPOTENT:
+    // batch B always derives v(B+1) from the latest version ≤ B, so a
+    // retried batch rewrites its own version instead of double-applying
+    // (UpsertSpec replays a batch and asserts the store is unchanged) —
+    // the delete-capable upsert posture an append-only sink cannot
+    // express. Sequencing across batches is safe by construction here:
+    // every conflicting (seq 1, seq 2) pair for a key derives from the
+    // SAME source row, hence lands in the same micro-batch where
+    // applyChangelog's latest-wins window resolves it. Oracle: q76's CTE
+    // on the replayed changelog — stream ≡ batch, one rule, two engine
+    // paths.
+    Q("q112_stream_cdc_upsert",
+      (s, d) => {
+        val store = tempStore("graft_cdc_store")
+        graft.schema.Tables.orders(s, d)
+          .select(col("o_orderkey").as("key"),
+            col("o_totalprice").as("price"))
+          .write.mode("overwrite").parquet(s"$store/v0")
+        runForeachBatch(s, d, "orders")(identity) { (batch, batchId) =>
+          val o = batch.select(col("o_orderkey").as("key"),
+            col("o_totalprice").as("price"))
+          def part(m: Int) = o.filter(col("key") % 10 === m)
+          val changes = part(0)
+            .select(col("key"), col("price"), lit("D").as("op"),
+              lit(1L).as("seq"))
+            .unionByName(part(1).select(col("key"),
+              (col("price") + 500).as("price"), lit("U").as("op"),
+              lit(1L).as("seq")))
+            .unionByName(o.filter(col("key") % 10 === 1 ||
+                col("key") % 10 === 2)
+              .select(col("key"), (col("price") + 1000).as("price"),
+                lit("U").as("op"), lit(2L).as("seq")))
+            .unionByName(part(3).select(
+              (col("key") + 100000000L).as("key"),
+              lit(42.0).as("price"), lit("I").as("op"), lit(1L).as("seq")))
+          Upsert.applyChangelogVersioned(batch.sparkSession, store, changes,
+            Seq("key"), "op", "seq", batchId)
+        }
+        s.read.parquet(Upsert.latestVersionPath(s, store))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("price")), 2).as("total"))
+      },
+      Some("""WITH snap AS (SELECT o_orderkey AS key, o_totalprice AS price
+                FROM orders),
+              changes AS (
+                SELECT key, price, 'D' AS op, 1 AS seq FROM snap
+                  WHERE key % 10 = 0
+                UNION ALL SELECT key, price + 500, 'U', 1 FROM snap
+                  WHERE key % 10 = 1
+                UNION ALL SELECT key, price + 1000, 'U', 2 FROM snap
+                  WHERE key % 10 IN (1, 2)
+                UNION ALL SELECT key + 100000000, 42.0, 'I', 1 FROM snap
+                  WHERE key % 10 = 3),
+              latest AS (SELECT key, price, op FROM (
+                  SELECT *, row_number() OVER
+                    (PARTITION BY key ORDER BY seq DESC) AS rn FROM changes)
+                WHERE rn = 1),
+              merged AS (
+                SELECT s.key, s.price FROM snap s
+                  WHERE s.key NOT IN (SELECT key FROM latest)
+                UNION ALL SELECT key, price FROM latest WHERE op <> 'D')
+              SELECT count(*) AS n_rows, round(sum(price), 2) AS total
+              FROM merged"""))
   )
 
   /** q66's batch-side rollup over the sinked match stream. */

@@ -161,4 +161,50 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toList
     assert(out === List(("de", 9L, 7L, 0.7778), ("en", 7L, 7L, 1.0)), out)
   }
+
+  test("logistic quality score: hand-computed features and logit") {
+    // doc 1 "the cat sat": n_tok 3, f_len 3/500, mwl 9/3 = 3.0, stopword
+    // ratio 1/3, no symbols. doc 2 "$$$ !!!": zero tokens, 6 symbol chars
+    // of 7 → the -8 symbol weight dominates, keep = false.
+    val docs = Seq(
+      (1L, "the cat sat", "en", "A", 0L),
+      (2L, "$$$ !!!", "en", "A", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q111spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q111_quality_logistic")(spark, dir)
+      .as[(Long, Long, Double, Double, Boolean)].collect().toList
+    def q4(x: Double) = math.floor(x * 10000) / 10000
+    val logit1 = -2.0 + 2.5 * (3 / 500.0) + 0.3 * 3.0 + 4.0 * (1.0 / 3) - 8.0 * 0.0
+    val logit2 = -2.0 + 2.5 * 0.0 + 0.3 * 0.0 + 4.0 * 0.0 - 8.0 * (6.0 / 7)
+    def prob(l: Double) = math.floor(10000.0 / (1.0 + math.exp(-l))) / 10000
+    assert(out === List(
+      (1L, 3L, q4(logit1), prob(logit1), true),
+      (2L, 0L, q4(logit2), prob(logit2), false)), out)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("BPE encode: greedy run-parity merges, hand-tokenized fixture") {
+    // Corpus pair freqs: "a b" ×3, "b a" ×2, "c c" ×1, "a z" ×1 →
+    // top-2 merge table = {"a b", "b a"}, symbol vocab {a, b}.
+    //  doc 1 [a b a b a b]: all 5 pair positions matched → one run of 5 →
+    //    greedy takes positions 0, 2, 4 = ceil(5/2) = 3 merges (exactly
+    //    the sequential left-to-right result), encoded length 3, oov 0.
+    //  doc 2 [c c]: pair unmatched → 0 merges; both tokens outside the
+    //    vocab → oov_rate 1.0.
+    //  doc 3 [a z]: unmatched; z is oov → 0.5.
+    val docs = Seq(
+      (1L, "a b a b a b", "en", "A", 0L),
+      (2L, "c c", "en", "A", 0L),
+      (3L, "a z", "en", "A", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = PipelineOps.bpeEncodeStats(docs, topN = 2)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(out === List(
+      (1L, 6L, 3L, 3L, 0.0),
+      (2L, 2L, 0L, 2L, 1.0),
+      (3L, 2L, 0L, 2L, 0.5)), out)
+  }
 }

@@ -180,6 +180,17 @@ class StreamingSpec extends SparkSpec {
     assert(rows("q109_stream_neardup_gate").nonEmpty)
   }
 
+  test("streaming CDC upsert with deletes equals the batch CDC merge " +
+      "(q112 replays q76's changelog through the versioned store)") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("q112_stream_cdc_upsert")(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    val batch = SparkEntry.queries("q76_cdc_merge")(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    assert(stream === batch)
+    assert(stream.head._1 > 0)
+  }
+
   test("stream ANN serving emits the verified top-k invariants row " +
       "(recall vs exact checked below the gate)") {
     val sf = "/root/testdata/sf0.001"

@@ -108,4 +108,34 @@ class UpsertSpec extends SparkSpec {
     assert(once.orderBy("k").collect().toSeq ==
       twice.orderBy("k").collect().toSeq)
   }
+
+  test("versioned changelog store: a RETRIED micro-batch rewrites its own " +
+      "version instead of double-applying (q112's replay contract)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_spec").toString
+    def read(v: Long) = spark.read.parquet(s"$root/v$v")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    // seed snapshot = v0
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$root/v0")
+    val batch0 = Seq((1L, "", "D", 1L), (2L, "b2", "U", 1L),
+      (9L, "i", "I", 1L)).toDF("k", "v", "op", "seq")
+    Upsert.applyChangelogVersioned(spark, root, batch0,
+      Seq("k"), "op", "seq", batchId = 0L)
+    val afterBatch0 = read(1L)
+    assert(afterBatch0 == Seq((2L, "b2"), (3L, "c"), (9L, "i")))
+    // REPLAY batch 0: must re-derive v1 from v0 (the latest version ≤ 0),
+    // not from v1 — content unchanged, no phantom version
+    Upsert.applyChangelogVersioned(spark, root, batch0,
+      Seq("k"), "op", "seq", batchId = 0L)
+    assert(read(1L) == afterBatch0)
+    assert(Upsert.latestVersionPath(spark, root) == s"$root/v1")
+    // next batch deletes the batch-0 insert — builds on v1
+    val batch1 = Seq((9L, "", "D", 1L)).toDF("k", "v", "op", "seq")
+    Upsert.applyChangelogVersioned(spark, root, batch1,
+      Seq("k"), "op", "seq", batchId = 1L)
+    assert(read(2L) == Seq((2L, "b2"), (3L, "c")))
+    assert(Upsert.latestVersionPath(spark, root) == s"$root/v2")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
