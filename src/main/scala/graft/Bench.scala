@@ -104,7 +104,8 @@ object Bench {
     // the recorded number reflects the plan, not the filesystem's mood.
     val checkpointBacked = Set("q45_dup_clusters", "q45b_dup_clusters_lsh",
       "q85_canonical_docs", "q86_leakage_safe_split", "q87_semantic_dedup",
-      "q63_stream_upsert", "q64_stream_stream_join", "q65_stream_tws")
+      "q63_stream_upsert", "q64_stream_stream_join", "q65_stream_tws",
+      "q112_stream_cdc_upsert")
     val results = names.map { name =>
       val runs = if (checkpointBacked(name)) 3 else 2
       val times = (1 to runs).flatMap { _ =>
