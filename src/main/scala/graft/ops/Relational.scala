@@ -344,6 +344,49 @@ object Relational {
               GROUP BY CUBE (l_returnflag, l_linestatus)
               ORDER BY returnflag, linestatus""")),
 
+    // ---- k-anonymity risk report (q113): the governance check behind the
+    // reference's PII posture (crypto_utils' blind-index design exists so
+    // quasi-identifiers can be queried WITHOUT exposing identities — this
+    // measures whether the released quasi-identifier columns themselves
+    // re-identify). One CUBE pass over (c_nationkey, c_mktsegment)
+    // computes every generalization level of the lattice at once —
+    // grouping_id 0 = both columns released, 1 = nation only, 2 = segment
+    // only, 3 = fully generalized — and the per-level rollup reports the
+    // k-anonymity (min equivalence-class size), rows in classes below
+    // k = 5, and the risk rate. Two partial+final aggregates; the shuffle
+    // carries equivalence classes, not rows. At 100 TB the report shape
+    // is unchanged — the cube's expand factor is the (small) lattice
+    // size, and class counts combine map-side.
+    Q("q113_k_anonymity",
+      (s, d) => {
+        val k = 5
+        val cls = Tables.customer(s, d)
+          .cube(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("class_size"),
+            grouping_id().as("gid"))
+        cls.groupBy(col("gid"))
+          .agg(count(lit(1)).as("n_classes"),
+            min(col("class_size")).as("k_anonymity"),
+            sum(when(col("class_size") < k, col("class_size"))
+              .otherwise(lit(0L))).as("rows_at_risk"),
+            round(sum(when(col("class_size") < k, col("class_size"))
+              .otherwise(lit(0L))) /
+              sum(col("class_size")).cast("double"), 4).as("risk_rate"))
+          .orderBy(col("gid"))
+      },
+      Some("""WITH cls AS (
+                SELECT GROUPING(c_nationkey, c_mktsegment) AS gid,
+                  count(*) AS class_size
+                FROM customer GROUP BY CUBE (c_nationkey, c_mktsegment))
+              SELECT gid, count(*) AS n_classes,
+                CAST(min(class_size) AS BIGINT) AS k_anonymity,
+                CAST(sum(CASE WHEN class_size < 5 THEN class_size
+                         ELSE 0 END) AS BIGINT) AS rows_at_risk,
+                round(sum(CASE WHEN class_size < 5 THEN class_size
+                          ELSE 0 END) * 1.0 / sum(class_size), 4)
+                  AS risk_rate
+              FROM cls GROUP BY gid ORDER BY gid""")),
+
     // ---- scalar-function library: string / date / math / conditional
     Q("q17_scalar_fns",
       (s, d) => Tables.orders(s, d)
