@@ -152,20 +152,49 @@ object PipelineOps {
     * per corpus snapshot, entirely map-side but for the per-doc window.
     */
   def bpeEncodeStats(docs: DataFrame, topN: Int): DataFrame = {
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val pos = docs
-      .select(col("doc_id"),
-        posexplode(TextOps.toks(col("text"))).as(Seq("pos", "tok")))
+    val pos = tokenPositions(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = pos
-      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+    val pairs = adjacentPairs(pos)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = trainMergesFromPairs(pairs, topN)
+    encodeFromPositions(docs, pos, pairs, merges)
+  }
+
+  /** The training half of [[bpeEncodeStats]], exposed so the streaming
+    * twin (q114) can train ONCE on a snapshot, freeze the merge table,
+    * and apply it per micro-batch — the q44c/q109 frozen-artifact
+    * posture for the tokenizer family. */
+  def trainMerges(docs: DataFrame, topN: Int): DataFrame =
+    trainMergesFromPairs(adjacentPairs(tokenPositions(docs)), topN)
+
+  /** The application half: encode `docs` against a FROZEN merge table
+    * (any (pair) relation — freshly trained or read back from a written
+    * artifact). Pure per-doc work given the broadcast merge table. */
+  def encodeWithMerges(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val pos = tokenPositions(docs)
+    encodeFromPositions(docs, pos, adjacentPairs(pos), merges)
+  }
+
+  private def tokenPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(TextOps.toks(col("text"))).as(Seq("pos", "tok")))
+
+  private def adjacentPairs(pos: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos.withColumn("nxt", lead(col("tok"), 1).over(byDoc))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", col("tok"), col("nxt")).as("pair"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val merges = pairs.groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+  }
+
+  private def trainMergesFromPairs(pairs: DataFrame, topN: Int): DataFrame =
+    pairs.groupBy(col("pair")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("pair").asc).limit(topN)
       .select(col("pair"))
+
+  private def encodeFromPositions(docs: DataFrame, pos: DataFrame,
+      pairs: DataFrame, merges: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val nMerges = pairs.join(broadcast(merges), Seq("pair"), "left_semi")
       .withColumn("rn", row_number().over(byDoc))
       .withColumn("grp", col("pos") - col("rn"))

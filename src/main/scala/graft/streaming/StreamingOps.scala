@@ -622,7 +622,80 @@ object StreamingOps {
                   WHERE s.key NOT IN (SELECT key FROM latest)
                 UNION ALL SELECT key, price FROM latest WHERE op <> 'D')
               SELECT count(*) AS n_rows, round(sum(price), 2) AS total
-              FROM merged"""))
+              FROM merged""")),
+
+    // ---- streaming tokenizer application (q114): the serving posture of
+    // the q84→q110 tokenize-train-apply loop — the merge table is trained
+    // ONCE on the snapshot (docs below the 80% cut), WRITTEN as the
+    // frozen artifact (the q44c centroid / q109 hot-list posture for the
+    // tokenizer family), and each arriving micro-batch encodes its own
+    // docs against the broadcast frozen table: token budgeting at ingest,
+    // recurring cost ∝ arrival rate, no state store, the snapshot never
+    // retrains. Oracle replays the identical split in DuckDB (merges
+    // from snapshot only, encode over arrivals only); StreamingSpec
+    // asserts stream ≡ batch encodeWithMerges under the same frozen
+    // table.
+    Q("q114_stream_bpe_encode",
+      (s, d) => {
+        import graft.ops.PipelineOps
+        val docs = graft.schema.Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val table = "graft_bpe_merges"
+        graft.schema.Tables.resetManagedTable(s, table)
+        PipelineOps.trainMerges(docs.filter(col("doc_id") < cut), topN = 20)
+          .write.mode("overwrite").saveAsTable(table)
+        val store = tempStore("graft_bpe_encode_out")
+        runForeachBatch(s, d, "documents")(_.filter(col("doc_id") >= cut)) {
+          (batch, _) =>
+            PipelineOps.encodeWithMerges(batch.select("doc_id", "text"),
+                batch.sparkSession.table(table))
+              .write.mode("append").parquet(store)
+        }
+        s.read.parquet(store).orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+              cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT)
+                        AS cut
+                      FROM documents),
+              px AS (SELECT doc_id, unnest(range(1, len(tk))) AS pos, tk
+                     FROM t WHERE len(tk) >= 2),
+              p AS (SELECT doc_id, pos,
+                      tk[pos] || ' ' || tk[pos+1] AS pair FROM px),
+              merges AS (SELECT pair FROM (
+                SELECT pair, count(*) AS freq FROM p, cut
+                WHERE doc_id < cut.cut GROUP BY pair
+                ORDER BY freq DESC, pair ASC LIMIT 20)),
+              m AS (SELECT doc_id, pos,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS rn
+                    FROM p, cut WHERE doc_id >= cut.cut
+                      AND pair IN (SELECT pair FROM merges)),
+              runs AS (SELECT doc_id, pos - rn AS grp, count(*) AS len
+                       FROM m GROUP BY doc_id, pos - rn),
+              mg AS (SELECT doc_id, sum((len + 1) // 2) AS n_merges
+                     FROM runs GROUP BY doc_id),
+              vocab AS (SELECT DISTINCT unnest(string_split(pair, ' '))
+                          AS tok FROM merges),
+              toks AS (SELECT doc_id, unnest(tk) AS tok FROM t, cut
+                       WHERE doc_id >= cut.cut),
+              oov AS (SELECT doc_id, count(*) AS n_oov FROM toks
+                      WHERE tok NOT IN (SELECT tok FROM vocab)
+                      GROUP BY doc_id),
+              base AS (SELECT doc_id, len(tk) AS n_tok FROM t, cut
+                       WHERE doc_id >= cut.cut)
+              SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+                CAST(coalesce(mg.n_merges, 0) AS BIGINT) AS n_merges,
+                CAST(b.n_tok - coalesce(mg.n_merges, 0) AS BIGINT) AS n_enc,
+                CASE WHEN b.n_tok = 0 THEN 0.0
+                     ELSE round(coalesce(o.n_oov, 0) * 1.0 / b.n_tok, 4)
+                END AS oov_rate
+              FROM base b
+              LEFT JOIN mg ON b.doc_id = mg.doc_id
+              LEFT JOIN oov o ON b.doc_id = o.doc_id
+              ORDER BY b.doc_id"""))
   )
 
   /** q66's batch-side rollup over the sinked match stream. */

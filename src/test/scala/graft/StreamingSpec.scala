@@ -191,6 +191,23 @@ class StreamingSpec extends SparkSpec {
     assert(stream.head._1 > 0)
   }
 
+  test("streaming BPE encode equals the batch apply under the same " +
+      "frozen snapshot merge table (q114)") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("q114_stream_bpe_encode")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val docs = graft.schema.Tables.documents(spark, sf)
+    val cut = math.floor(
+      (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+    val batch = graft.ops.PipelineOps.encodeWithMerges(
+        docs.filter(col("doc_id") >= cut),
+        graft.ops.PipelineOps.trainMerges(
+          docs.filter(col("doc_id") < cut), topN = 20))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("stream ANN serving emits the verified top-k invariants row " +
       "(recall vs exact checked below the gate)") {
     val sf = "/root/testdata/sf0.001"
