@@ -944,6 +944,81 @@ object PipelineOps {
               SELECT pair, count(*) AS freq FROM pairs
               GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 20""")),
 
+    // ---- distribution drift report (q115): the monitoring check a
+    // RECURRING pipeline runs before admitting a new batch — Population
+    // Stability Index per feature between the baseline snapshot (docs
+    // below the 80% cut, the q34c/q114 convention) and the current
+    // arrivals. Two features melted into one (feature, bin) relation —
+    // token-count bins (fixed width 32, capped) and the language
+    // categorical — so ONE partial+final count aggregate feeds every
+    // PSI; shares are epsilon-floored (1e-6, the published PSI practice)
+    // so empty bins neither divide by zero nor blow up the log; psi is
+    // floor-quantized to 4dp (the q111 tie lesson). drifted at the
+    // standard 0.2 threshold. Shuffle carries (feature, bin, side)
+    // counts — bins, not rows; at 100 TB the baseline's binned profile
+    // would be the written artifact and only the arrivals re-count.
+    Q("q115_drift_psi",
+      (s, d) => {
+        val cut = Tables.documents(s, d).agg(
+          floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+        // persisted: the melt references feat in BOTH union branches (the
+        // tokenize pass would otherwise run twice), and counts feeds both
+        // the share join and its own totals rollup
+        val feat = Tables.documents(s, d).crossJoin(broadcast(cut))
+          .select((col("doc_id") >= col("cut")).as("cur"),
+            least(floor(size(TextOps.toks(col("text"))) / lit(32)), lit(15))
+              .cast("long").cast("string").as("tok_bin"),
+            col("lang"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val melted = feat.select(col("cur"), lit("tok_bin").as("feature"),
+            col("tok_bin").as("bin"))
+          .unionByName(feat.select(col("cur"), lit("lang").as("feature"),
+            col("lang").as("bin")))
+        val counts = melted.groupBy(col("feature"), col("bin"))
+          .agg(sum(when(col("cur"), lit(0L)).otherwise(lit(1L))).as("cb"),
+            sum(when(col("cur"), lit(1L)).otherwise(lit(0L))).as("cc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val totals = counts.groupBy(col("feature"))
+          .agg(sum(col("cb")).as("nb"), sum(col("cc")).as("nc"))
+        counts.join(broadcast(totals), Seq("feature"))
+          .select(col("feature"),
+            greatest(col("cb") / col("nb").cast("double"), lit(1e-6)).as("p"),
+            greatest(col("cc") / col("nc").cast("double"), lit(1e-6)).as("q"))
+          .groupBy(col("feature"))
+          .agg(count(lit(1)).as("n_bins"),
+            (floor(sum((col("q") - col("p")) * log(col("q") / col("p"))) *
+              10000) / 10000).as("psi"))
+          .withColumn("drifted", col("psi") > 0.2)
+          .orderBy(col("feature"))
+      },
+      Some("""WITH cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8)
+                  AS BIGINT) AS cut FROM documents),
+              feat AS (SELECT doc_id >= cut.cut AS cur,
+                  CAST(least(CAST(floor(
+                    len(regexp_extract_all(lower(text), '[a-z0-9]+')) / 32)
+                    AS BIGINT), 15) AS VARCHAR) AS tok_bin,
+                  lang
+                FROM documents, cut),
+              melted AS (
+                SELECT cur, 'tok_bin' AS feature, tok_bin AS bin FROM feat
+                UNION ALL
+                SELECT cur, 'lang' AS feature, lang AS bin FROM feat),
+              counts AS (SELECT feature, bin,
+                  sum(CASE WHEN cur THEN 0 ELSE 1 END) AS cb,
+                  sum(CASE WHEN cur THEN 1 ELSE 0 END) AS cc
+                FROM melted GROUP BY feature, bin),
+              totals AS (SELECT feature, sum(cb) AS nb, sum(cc) AS nc
+                         FROM counts GROUP BY feature),
+              shares AS (SELECT c.feature,
+                  greatest(c.cb * 1.0 / t.nb, 1e-6) AS p,
+                  greatest(c.cc * 1.0 / t.nc, 1e-6) AS q
+                FROM counts c JOIN totals t ON c.feature = t.feature)
+              SELECT feature, count(*) AS n_bins,
+                floor(sum((q - p) * ln(q / p)) * 10000) / 10000 AS psi,
+                floor(sum((q - p) * ln(q / p)) * 10000) / 10000 > 0.2
+                  AS drifted
+              FROM shares GROUP BY feature ORDER BY feature""")),
+
     // ---- tokenizer application (q110): greedy longest-match encoding of
     // every doc against the q84-trained merge table — see
     // [[bpeEncodeStats]] for the relational greedy formulation and the

@@ -185,6 +185,33 @@ class PipelineOpsSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("PSI drift report: hand-built baseline/current split, both features") {
+    // cut = floor(10 * 0.8) = 8 → baseline docs 0-7, current docs 8-9.
+    // lang: baseline en/de 50/50; current en/fr 50/50 → de vanishes, fr
+    // appears (both epsilon-floored) → massive PSI, drifted. tok_bin:
+    // baseline all bin 0; current splits bins 0/1 → drifted.
+    val w40 = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = ((0L to 3L).map(i => (i, "a b c", "en", "A", 0L)) ++
+      (4L to 7L).map(i => (i, "a b c", "de", "A", 0L)) ++
+      Seq((8L, w40, "en", "A", 0L), (9L, "a b c d e", "fr", "A", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q115spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q115_drift_psi")(spark, dir)
+      .as[(String, Long, Double, Boolean)].collect().toList
+    def term(p: Double, q: Double) = {
+      val (pf, qf) = (math.max(p, 1e-6), math.max(q, 1e-6))
+      (qf - pf) * math.log(qf / pf)
+    }
+    def q4(x: Double) = math.floor(x * 10000) / 10000
+    val psiLang = q4(term(0.5, 0.5) + term(0.5, 0.0) + term(0.0, 0.5))
+    val psiTok = q4(term(1.0, 0.5) + term(0.0, 0.5))
+    assert(out === List(
+      ("lang", 3L, psiLang, true),
+      ("tok_bin", 2L, psiTok, true)), out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("BPE encode: greedy run-parity merges, hand-tokenized fixture") {
     // Corpus pair freqs: "a b" ×3, "b a" ×2, "c c" ×1, "a z" ×1 →
     // top-2 merge table = {"a b", "b a"}, symbol vocab {a, b}.
