@@ -217,6 +217,54 @@ object PipelineOps {
             col("n_tok").cast("double"), 4)).as("oov_rate"))
   }
 
+  /** Melt the drift features — token-count bin (width 32, capped at 15)
+    * and the language categorical — into (…, feature, bin) rows. Any
+    * non-(text, lang) input columns (e.g. a baseline/current marker) are
+    * carried through. ONE rule for the batch report (q115) and the
+    * streaming gate (q116). */
+  private[graft] def driftFeatures(docs: DataFrame): DataFrame = {
+    val carried = docs.columns.toSeq.diff(Seq("text", "lang")).map(col)
+    val f = docs.select(carried :+
+      least(floor(size(TextOps.toks(col("text"))) / lit(32)), lit(15))
+        .cast("long").cast("string").as("tok_bin") :+ col("lang"): _*)
+    f.select(carried :+ lit("tok_bin").as("feature") :+
+        col("tok_bin").as("bin"): _*)
+      .unionByName(f.select(carried :+ lit("lang").as("feature") :+
+        col("lang").as("bin"): _*))
+  }
+
+  /** PSI report of `current` (melted (feature, bin) rows) against a
+    * baseline PROFILE ((feature, bin, cb) counts — freshly aggregated or
+    * read back from a written artifact): full-outer support union,
+    * epsilon-floored shares (1e-6), floor-quantized psi (4dp — the q111
+    * tie lesson), drifted at the standard 0.2 threshold. The profile and
+    * per-feature totals broadcast; the only row-scaled work is counting
+    * `current`. */
+  private[graft] def psiReport(baseProfile: DataFrame,
+      current: DataFrame): DataFrame = {
+    val cc = current.groupBy(col("feature"), col("bin"))
+      .agg(count(lit(1)).as("cc"))
+    // persisted: feeds both the share join and its own totals rollup
+    val counts = baseProfile
+      .join(cc, Seq("feature", "bin"), "full_outer")
+      .select(col("feature"), col("bin"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.groupBy(col("feature"))
+      .agg(sum(col("cb")).as("nb"), sum(col("cc")).as("nc"))
+    counts.join(broadcast(totals), Seq("feature"))
+      .select(col("feature"),
+        greatest(col("cb") / col("nb").cast("double"), lit(1e-6)).as("p"),
+        greatest(col("cc") / col("nc").cast("double"), lit(1e-6)).as("q"))
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_bins"),
+        (floor(sum((col("q") - col("p")) * log(col("q") / col("p"))) *
+          10000) / 10000).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
+      .orderBy(col("feature"))
+  }
+
   val catalog: Seq[Q] = Seq(
 
     // ---- CDC changelog application (q76): MERGE INTO semantics without a
@@ -961,35 +1009,17 @@ object PipelineOps {
       (s, d) => {
         val cut = Tables.documents(s, d).agg(
           floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
-        // persisted: the melt references feat in BOTH union branches (the
-        // tokenize pass would otherwise run twice), and counts feeds both
-        // the share join and its own totals rollup
-        val feat = Tables.documents(s, d).crossJoin(broadcast(cut))
-          .select((col("doc_id") >= col("cut")).as("cur"),
-            least(floor(size(TextOps.toks(col("text"))) / lit(32)), lit(15))
-              .cast("long").cast("string").as("tok_bin"),
-            col("lang"))
+        // persisted: the melt references the featurized relation in BOTH
+        // union branches (the tokenize pass would otherwise run twice)
+        val feat = driftFeatures(
+          Tables.documents(s, d).crossJoin(broadcast(cut))
+            .select((col("doc_id") >= col("cut")).as("cur"),
+              col("text"), col("lang")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val melted = feat.select(col("cur"), lit("tok_bin").as("feature"),
-            col("tok_bin").as("bin"))
-          .unionByName(feat.select(col("cur"), lit("lang").as("feature"),
-            col("lang").as("bin")))
-        val counts = melted.groupBy(col("feature"), col("bin"))
-          .agg(sum(when(col("cur"), lit(0L)).otherwise(lit(1L))).as("cb"),
-            sum(when(col("cur"), lit(1L)).otherwise(lit(0L))).as("cc"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val totals = counts.groupBy(col("feature"))
-          .agg(sum(col("cb")).as("nb"), sum(col("cc")).as("nc"))
-        counts.join(broadcast(totals), Seq("feature"))
-          .select(col("feature"),
-            greatest(col("cb") / col("nb").cast("double"), lit(1e-6)).as("p"),
-            greatest(col("cc") / col("nc").cast("double"), lit(1e-6)).as("q"))
-          .groupBy(col("feature"))
-          .agg(count(lit(1)).as("n_bins"),
-            (floor(sum((col("q") - col("p")) * log(col("q") / col("p"))) *
-              10000) / 10000).as("psi"))
-          .withColumn("drifted", col("psi") > 0.2)
-          .orderBy(col("feature"))
+        psiReport(
+          feat.filter(!col("cur")).groupBy(col("feature"), col("bin"))
+            .agg(count(lit(1)).as("cb")),
+          feat.filter(col("cur")).select(col("feature"), col("bin")))
       },
       Some("""WITH cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8)
                   AS BIGINT) AS cut FROM documents),

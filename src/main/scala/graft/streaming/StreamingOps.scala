@@ -695,7 +695,68 @@ object StreamingOps {
               FROM base b
               LEFT JOIN mg ON b.doc_id = mg.doc_id
               LEFT JOIN oov o ON b.doc_id = o.doc_id
-              ORDER BY b.doc_id"""))
+              ORDER BY b.doc_id""")),
+
+    // ---- streaming drift gate (q116): q115's PSI check run where it is
+    // actually deployed — the baseline's binned profile is WRITTEN once
+    // as the frozen artifact, and each arriving micro-batch computes its
+    // own feature counts and scores its PSI against the broadcast
+    // profile before admission. No state store; recurring cost ∝ batch
+    // size (the profile is bins-sized by construction); the baseline
+    // never re-counts. Same melt and share/psi formula as q115
+    // (driftFeatures/psiReport — one rule, two engine paths), so with
+    // the increment arriving as one batch the report equals q115's rows
+    // and shares its oracle verbatim.
+    Q("q116_stream_drift_gate",
+      (s, d) => {
+        import graft.ops.PipelineOps
+        val docs = graft.schema.Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val table = "graft_drift_profile"
+        graft.schema.Tables.resetManagedTable(s, table)
+        PipelineOps.driftFeatures(docs.filter(col("doc_id") < cut)
+            .select(col("text"), col("lang")))
+          .groupBy(col("feature"), col("bin"))
+          .agg(count(lit(1)).as("cb"))
+          .write.mode("overwrite").saveAsTable(table)
+        val store = tempStore("graft_drift_gate_out")
+        runForeachBatch(s, d, "documents")(_.filter(col("doc_id") >= cut)) {
+          (batch, _) =>
+            PipelineOps.psiReport(batch.sparkSession.table(table),
+                PipelineOps.driftFeatures(
+                  batch.select(col("text"), col("lang"))))
+              .write.mode("append").parquet(store)
+        }
+        s.read.parquet(store).orderBy(col("feature"))
+      },
+      Some("""WITH cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8)
+                  AS BIGINT) AS cut FROM documents),
+              feat AS (SELECT doc_id >= cut.cut AS cur,
+                  CAST(least(CAST(floor(
+                    len(regexp_extract_all(lower(text), '[a-z0-9]+')) / 32)
+                    AS BIGINT), 15) AS VARCHAR) AS tok_bin,
+                  lang
+                FROM documents, cut),
+              melted AS (
+                SELECT cur, 'tok_bin' AS feature, tok_bin AS bin FROM feat
+                UNION ALL
+                SELECT cur, 'lang' AS feature, lang AS bin FROM feat),
+              counts AS (SELECT feature, bin,
+                  sum(CASE WHEN cur THEN 0 ELSE 1 END) AS cb,
+                  sum(CASE WHEN cur THEN 1 ELSE 0 END) AS cc
+                FROM melted GROUP BY feature, bin),
+              totals AS (SELECT feature, sum(cb) AS nb, sum(cc) AS nc
+                         FROM counts GROUP BY feature),
+              shares AS (SELECT c.feature,
+                  greatest(c.cb * 1.0 / t.nb, 1e-6) AS p,
+                  greatest(c.cc * 1.0 / t.nc, 1e-6) AS q
+                FROM counts c JOIN totals t ON c.feature = t.feature)
+              SELECT feature, count(*) AS n_bins,
+                floor(sum((q - p) * ln(q / p)) * 10000) / 10000 AS psi,
+                floor(sum((q - p) * ln(q / p)) * 10000) / 10000 > 0.2
+                  AS drifted
+              FROM shares GROUP BY feature ORDER BY feature"""))
   )
 
   /** q66's batch-side rollup over the sinked match stream. */

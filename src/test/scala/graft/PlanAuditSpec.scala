@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "q68_stream_redaction", "q107_stream_rag_chunks",
     "q108_stream_ann_serving", "q109_stream_neardup_gate",
     "q112_stream_cdc_upsert", "q114_stream_bpe_encode",
+    "q116_stream_drift_gate",
     // written-index variants: composing their plan DROPs + rewrites the
     // warehouse index table (q34b/q34c), runs driver-side k-means
     // training (q44b), or rewrites the bucketed events store (q54b) —

@@ -208,6 +208,17 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming drift gate equals the batch PSI report (q116 scores " +
+      "arrivals against the written baseline profile)") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("q116_stream_drift_gate")(spark, sf)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    val batch = SparkEntry.queries("q115_drift_psi")(spark, sf)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("stream ANN serving emits the verified top-k invariants row " +
       "(recall vs exact checked below the gate)") {
     val sf = "/root/testdata/sf0.001"
