@@ -386,6 +386,63 @@ object PipelineOps {
               FROM documents d LEFT JOIN shared s USING (doc_id)
               WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""")),
 
+    // ---- written decontamination index (q117): q78's train-gram set as
+    // a WRITTEN artifact — the q34b/q44b build-once posture for
+    // decontamination. The train corpus's distinct 5-grams land ONCE in
+    // a bucketBy(gram) table; every eval candidate batch then probes it
+    // with a bucket-local semi-join: the train side (the big side at
+    // 100 TB) never re-derives, never re-shuffles — only the eval grams
+    // move, to the bucket layout (PipelineOpsSpec asserts exactly one
+    // gram exchange in the probe plan). q78's broadcast bloom remains
+    // the first-pass filter in front of this at scale; output and
+    // oracle are q78's verbatim.
+    Q("q117_contamination_indexed",
+      (s, d) => {
+        val k = 5
+        val tk = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+        val grams = tk.select(col("doc_id"),
+          explode(when(size(col("tk")) >= k,
+            transform(sequence(lit(1), size(col("tk")) - (k - 1)), i =>
+              concat_ws(" ", (0 until k).map(j =>
+                element_at(col("tk"), i + j)): _*)))
+            .otherwise(array())).as("gram"))
+        val table = "graft_gram_index"
+        Tables.resetManagedTable(s, table)
+        grams.filter(col("doc_id") % 2 === 0)
+          .select(col("gram")).distinct()
+          .write.bucketBy(8, "gram").mode("overwrite").saveAsTable(table)
+        val shared = grams.filter(col("doc_id") % 2 === 1)
+          .join(s.table(table), Seq("gram"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gram")).as("n_shared"))
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"))
+          .join(shared, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents),
+              grams AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4])) AS gram
+                FROM tk WHERE len(t) >= 5),
+              train AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 2 = 0),
+              shared AS (
+                SELECT doc_id, count(DISTINCT gram) AS n_shared
+                FROM grams WHERE doc_id % 2 = 1
+                  AND gram IN (SELECT gram FROM train)
+                GROUP BY doc_id)
+              SELECT d.doc_id, coalesce(s.n_shared, 0) AS n_shared,
+                coalesce(s.n_shared, 0) > 0 AS contaminated
+              FROM documents d LEFT JOIN shared s USING (doc_id)
+              WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""")),
+
     // ---- sequence packing (q79): concat-and-chunk packing of tokenized
     // documents into fixed token-budget bins (context windows) — the
     // standard pretraining batch-prep step. Sharded: the running token

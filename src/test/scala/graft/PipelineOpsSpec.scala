@@ -185,6 +185,50 @@ class PipelineOpsSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("written gram index: identical contamination output; only the " +
+      "eval side exchanges on gram (train side reads bucket-local)") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q78_contamination")(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val indexed = SparkEntry.queries("q117_contamination_indexed")(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(indexed === batch)
+    assert(indexed.nonEmpty)
+    // At fixture scale Spark just BROADCASTS the tiny gram table (no
+    // exchange at all — also correct). The bucket layout's claim is for
+    // the scale where the index CANNOT broadcast: force SMJ and assert
+    // exactly ONE gram exchange (the eval side moving to the bucket
+    // layout) — a second one would mean the written index re-shuffled
+    // and writing it bought nothing.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q117_contamination_indexed")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val gramExchanges = "Exchange hashpartitioning\\(gram".r
+        .findAllIn(plan).size
+      assert(gramExchanges === 1, s"gram exchanges=$gramExchanges\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("BPE encode is batch-size invariant under a frozen merge table " +
+      "(why q114 may encode per micro-batch)") {
+    val docs = graft.schema.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = PipelineOps.trainMerges(
+      docs.filter(col("doc_id") % 5 =!= 0), topN = 20)
+    val whole = PipelineOps.encodeWithMerges(docs, merges)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val halves = PipelineOps.encodeWithMerges(
+        docs.filter(col("doc_id") % 2 === 0), merges)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet ++
+      PipelineOps.encodeWithMerges(
+        docs.filter(col("doc_id") % 2 === 1), merges)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(whole === halves)
+    assert(whole.nonEmpty)
+  }
+
   test("PSI drift report: hand-built baseline/current split, both features") {
     // cut = floor(10 * 0.8) = 8 → baseline docs 0-7, current docs 8-9.
     // lang: baseline en/de 50/50; current en/fr 50/50 → de vanishes, fr

@@ -33,6 +33,7 @@ class PlanAuditSpec extends SparkSpec {
     // training (q44b), or rewrites the bucketed events store (q54b) —
     // real multi-job runs, not pure plans
     "q34b_minhash_lsh_indexed", "q34c_minhash_incremental",
+    "q117_contamination_indexed",
     "q44b_ann_ivf_indexed", "q44c_ann_ivf_incremental",
     "q54b_asof_join_bucketed")
 
