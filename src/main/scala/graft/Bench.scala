@@ -85,11 +85,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calib = (1 to 3).map(_ => calibOnce()).min
+    // Second probe, SHUFFLE-bound (round 11): the pure-codegen loop above
+    // is blind to memory-bandwidth / page-cache / spill-disk contention —
+    // exactly the subsystem the heavier catalog queries lean on. Shuffle
+    // a fixed 40M-row exchange and time it; its floor is separately
+    // committed (min-of-3 idle, same protocol). A run that is CPU-nominal
+    // but IO-elevated labels itself contended too, instead of that state
+    // masquerading as a per-query regression.
+    // min-of-3 idle at cpus=32: 0.71/0.76/0.71 (round 11)
+    val CalibIoFloorSec = 0.71
+    def calibIoOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 40000000L, 1L, 32)
+        .repartition(32, org.apache.spark.sql.functions.col("id"))
+        .selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibIo = (1 to 3).map(_ => calibIoOnce()).min
     // the flag is calibrated for the driver's 32-thread config; at other
-    // cpu counts the measured work still runs 32 slices and the floor
-    // doesn't apply — report null rather than a wrong verdict
+    // cpu counts the measured work still runs 32 slices and the floors
+    // don't apply — report null rather than a wrong verdict. IO gets a
+    // wider band (1.5×): shuffle wall is inherently noisier than ALU.
     val contended =
-      if (cpus == "32") (calib > CalibFloorSec * 1.3).toString else "null"
+      if (cpus == "32")
+        (calib > CalibFloorSec * 1.3 || calibIo > CalibIoFloorSec * 1.5).toString
+      else "null"
 
     // Dev-only subset filter (comma-separated name prefixes); the driver
     // sets no filter and always measures the full sorted catalog.
@@ -155,10 +175,10 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out,
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"contended":$contended,\n"queries":$detail,\n"errors":$errJson}\n""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"calib_io":$calibIo,"contended":$contended,\n"queries":$detail,\n"errors":$errJson}\n""".getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"calib_io":${fmt(calibIo)},"contended":$contended,"sf":"$sfDir"}"""
     // The driver parses the LAST stdout JSON line; BENCH_r2-r4 all recorded
     // "parsed": null because Spark's shutdown logging and sbt's success
     // banner landed after (or interleaved with) the metric line. Defense in
