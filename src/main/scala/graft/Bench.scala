@@ -84,7 +84,13 @@ object Bench {
         .selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calib = (1 to 3).map(_ => calibOnce()).min
+    // probes only run at the driver's cpus=32 config (the one the floors
+    // apply to — the verdict is hardwired null elsewhere, so a dev run at
+    // cpus=4 would pay ~15 s of fixed 32-slice probe work for nothing;
+    // the floor re-derivation protocol sets SPARK_GRAFT_CPUS=32 and is
+    // unaffected). Skipped probes report -1.
+    val calib =
+      if (cpus == "32") (1 to 3).map(_ => calibOnce()).min else -1.0
     // Second probe, SHUFFLE-bound (round 11): the pure-codegen loop above
     // is blind to memory-bandwidth / page-cache / spill-disk contention —
     // exactly the subsystem the heavier catalog queries lean on. Shuffle
@@ -101,7 +107,8 @@ object Bench {
         .selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibIo = (1 to 3).map(_ => calibIoOnce()).min
+    val calibIo =
+      if (cpus == "32") (1 to 3).map(_ => calibIoOnce()).min else -1.0
     // the flag is calibrated for the driver's 32-thread config; at other
     // cpu counts the measured work still runs 32 slices and the floors
     // don't apply — report null rather than a wrong verdict. IO gets a

@@ -212,9 +212,33 @@ object PipelineOps {
       .select(col("doc_id"), col("n_tok"),
         coalesce(col("n_merges"), lit(0L)).as("n_merges"),
         (col("n_tok") - coalesce(col("n_merges"), lit(0L))).as("n_enc"),
+        // floor-quantized, NOT round(): n_oov/n_tok is an exact rational
+        // that can land on a .00005 midpoint where Spark HALF_UP and
+        // DuckDB disagree (the q111 doc-419 class — e.g. 1 OOV in 32
+        // tokens = 0.03125); floor of the identical double is tie-free
         when(col("n_tok") === 0, lit(0.0))
-          .otherwise(round(coalesce(col("n_oov"), lit(0L)) /
-            col("n_tok").cast("double"), 4)).as("oov_rate"))
+          .otherwise(floor(coalesce(col("n_oov"), lit(0L)) /
+            col("n_tok").cast("double") * 10000) / 10000).as("oov_rate"))
+  }
+
+  /** The q76/q112 deterministic changelog derivation from an
+    * orders-shaped (key, price) snapshot — ONE definition so the batch
+    * merge, the streaming versioned-store twin, and both entries' "same
+    * CTE" oracles cannot drift apart: deletes for key%10=0, two
+    * conflicting updates for key%10=1 (latest seq must win), an update
+    * for key%10=2, inserts of fresh keys for key%10=3. */
+  private[graft] def synthOrdersChangelog(snap: DataFrame): DataFrame = {
+    def part(m: Int) = snap.filter(col("key") % 10 === m)
+    part(0)
+      .select(col("key"), col("price"), lit("D").as("op"), lit(1L).as("seq"))
+      .unionByName(part(1).select(col("key"),
+        (col("price") + 500).as("price"), lit("U").as("op"),
+        lit(1L).as("seq")))
+      .unionByName(snap.filter(col("key") % 10 === 1 || col("key") % 10 === 2)
+        .select(col("key"), (col("price") + 1000).as("price"),
+          lit("U").as("op"), lit(2L).as("seq")))
+      .unionByName(part(3).select((col("key") + 100000000L).as("key"),
+        lit(42.0).as("price"), lit("I").as("op"), lit(1L).as("seq")))
   }
 
   /** Melt the drift features — token-count bin (width 32, capped at 15)
@@ -280,16 +304,7 @@ object PipelineOps {
       (s, d) => {
         val snap = Tables.orders(s, d)
           .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
-        def part(m: Int) = snap.filter(col("key") % 10 === m)
-        val changes = part(0)
-          .select(col("key"), col("price"), lit("D").as("op"), lit(1L).as("seq"))
-          .unionByName(part(1).select(col("key"),
-            (col("price") + 500).as("price"), lit("U").as("op"), lit(1L).as("seq")))
-          .unionByName(snap.filter(col("key") % 10 === 1 || col("key") % 10 === 2)
-            .select(col("key"), (col("price") + 1000).as("price"),
-              lit("U").as("op"), lit(2L).as("seq")))
-          .unionByName(part(3).select((col("key") + 100000000L).as("key"),
-            lit(42.0).as("price"), lit("I").as("op"), lit(1L).as("seq")))
+        val changes = synthOrdersChangelog(snap)
         Upsert.applyChangelog(snap, changes, Seq("key"), "op", "seq")
           .agg(count(lit(1)).as("n_rows"),
             round(sum(col("price")), 2).as("total"))
@@ -1145,7 +1160,8 @@ object PipelineOps {
                 CAST(coalesce(mg.n_merges, 0) AS BIGINT) AS n_merges,
                 CAST(b.n_tok - coalesce(mg.n_merges, 0) AS BIGINT) AS n_enc,
                 CASE WHEN b.n_tok = 0 THEN 0.0
-                     ELSE round(coalesce(o.n_oov, 0) * 1.0 / b.n_tok, 4)
+                     ELSE floor(coalesce(o.n_oov, 0) * 1.0 / b.n_tok
+                       * 10000) / 10000
                 END AS oov_rate
               FROM base b
               LEFT JOIN mg ON b.doc_id = mg.doc_id

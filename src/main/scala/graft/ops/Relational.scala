@@ -369,9 +369,12 @@ object Relational {
             min(col("class_size")).as("k_anonymity"),
             sum(when(col("class_size") < k, col("class_size"))
               .otherwise(lit(0L))).as("rows_at_risk"),
-            round(sum(when(col("class_size") < k, col("class_size"))
+            // floor-quantized, not round(): exact-rational ratio, the
+            // q111 midpoint class (see graft-round rounding rule)
+            (floor(sum(when(col("class_size") < k, col("class_size"))
               .otherwise(lit(0L))) /
-              sum(col("class_size")).cast("double"), 4).as("risk_rate"))
+              sum(col("class_size")).cast("double") * 10000) / 10000)
+              .as("risk_rate"))
           .orderBy(col("gid"))
       },
       Some("""WITH cls AS (
@@ -382,9 +385,9 @@ object Relational {
                 CAST(min(class_size) AS BIGINT) AS k_anonymity,
                 CAST(sum(CASE WHEN class_size < 5 THEN class_size
                          ELSE 0 END) AS BIGINT) AS rows_at_risk,
-                round(sum(CASE WHEN class_size < 5 THEN class_size
-                          ELSE 0 END) * 1.0 / sum(class_size), 4)
-                  AS risk_rate
+                floor(sum(CASE WHEN class_size < 5 THEN class_size
+                          ELSE 0 END) * 1.0 / sum(class_size) * 10000)
+                  / 10000 AS risk_rate
               FROM cls GROUP BY gid ORDER BY gid""")),
 
     // ---- scalar-function library: string / date / math / conditional

@@ -100,8 +100,8 @@ object StreamingOps {
   private def runForeachBatch(s: SparkSession, d: String, tableFile: String)(
       prepare: DataFrame => DataFrame)(
       body: (DataFrame, Long) => Unit): Unit = {
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_ckpt_feb").toString
+    val ckpt = cleanedAtExit(java.nio.file.Files
+      .createTempDirectory("graft_ckpt_feb")).toString
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/$tableFile.parquet").schema
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -120,9 +120,20 @@ object StreamingOps {
 
   /** Per-run UNIQUE output store dir (ADVICE r10 #1): the fixed
     * java.io.tmpdir paths let two concurrent sessions clobber each
-    * other's stores; a createTempDirectory per run cannot collide. */
+    * other's stores; a createTempDirectory per run cannot collide.
+    * Registered for JVM-exit deletion — uniqueness without the cleanup
+    * would trade the old clobber hazard for unbounded /tmp growth on a
+    * long-lived host (each bench/verify rep would otherwise leave a
+    * parquet store behind forever). */
   private def tempStore(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    cleanedAtExit(java.nio.file.Files.createTempDirectory(prefix)).toString
+
+  private def cleanedAtExit(p: java.nio.file.Path): java.nio.file.Path = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      catch { case _: Throwable => () }))
+    p
+  }
 
   /** Production append-mode windowed aggregation: emits ONLY watermark-
     * finalized windows (no driver-side complete-mode materialization — the
@@ -579,22 +590,9 @@ object StreamingOps {
             col("o_totalprice").as("price"))
           .write.mode("overwrite").parquet(s"$store/v0")
         runForeachBatch(s, d, "orders")(identity) { (batch, batchId) =>
-          val o = batch.select(col("o_orderkey").as("key"),
-            col("o_totalprice").as("price"))
-          def part(m: Int) = o.filter(col("key") % 10 === m)
-          val changes = part(0)
-            .select(col("key"), col("price"), lit("D").as("op"),
-              lit(1L).as("seq"))
-            .unionByName(part(1).select(col("key"),
-              (col("price") + 500).as("price"), lit("U").as("op"),
-              lit(1L).as("seq")))
-            .unionByName(o.filter(col("key") % 10 === 1 ||
-                col("key") % 10 === 2)
-              .select(col("key"), (col("price") + 1000).as("price"),
-                lit("U").as("op"), lit(2L).as("seq")))
-            .unionByName(part(3).select(
-              (col("key") + 100000000L).as("key"),
-              lit(42.0).as("price"), lit("I").as("op"), lit(1L).as("seq")))
+          val changes = graft.ops.PipelineOps.synthOrdersChangelog(
+            batch.select(col("o_orderkey").as("key"),
+              col("o_totalprice").as("price")))
           Upsert.applyChangelogVersioned(batch.sparkSession, store, changes,
             Seq("key"), "op", "seq", batchId)
         }
@@ -690,7 +688,8 @@ object StreamingOps {
                 CAST(coalesce(mg.n_merges, 0) AS BIGINT) AS n_merges,
                 CAST(b.n_tok - coalesce(mg.n_merges, 0) AS BIGINT) AS n_enc,
                 CASE WHEN b.n_tok = 0 THEN 0.0
-                     ELSE round(coalesce(o.n_oov, 0) * 1.0 / b.n_tok, 4)
+                     ELSE floor(coalesce(o.n_oov, 0) * 1.0 / b.n_tok
+                       * 10000) / 10000
                 END AS oov_rate
               FROM base b
               LEFT JOIN mg ON b.doc_id = mg.doc_id

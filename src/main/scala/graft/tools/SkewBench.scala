@@ -74,14 +74,22 @@ object SkewBench {
       var maxTaskS = 0.0
       (1 to 2).foreach { _ =>
         spark.catalog.clearCache()
-        Thread.sleep(200)
+        Thread.sleep(300)
         meter.reset()
         val t0 = System.nanoTime()
         val r = mk.collect()
         val sec = (System.nanoTime() - t0) / 1e9
-        if (sec < best) { best = sec; row = r.head.toSeq }
-        shuffleMb = meter.shuffleBytes / 1e6
-        maxTaskS = meter.maxTaskMs / 1e3
+        // drain the async listener bus BEFORE reading the meter, and
+        // record shuffle/max-task from the SAME run as the best wall —
+        // otherwise the printed straggler can come from a contended rep
+        // while the wall comes from the clean one
+        Thread.sleep(300)
+        if (sec < best) {
+          best = sec
+          row = r.head.toSeq
+          shuffleMb = meter.shuffleBytes / 1e6
+          maxTaskS = meter.maxTaskMs / 1e3
+        }
       }
       println(f"$name%-28s ${best}%7.2f s ${shuffleMb}%9.2f MB " +
         f"maxTask ${maxTaskS}%6.2f s   result=${row.mkString(",")}")
