@@ -115,5 +115,9 @@ class PlanHygieneSpec extends SparkSpec {
     assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     val bad = cat.filter(q => q.oracle.exists(s => s == null || s.trim.isEmpty))
     assert(bad.isEmpty, s"null/empty oracles: ${bad.map(_.name).mkString(",")}")
+    // the driver's t1 smoke calls entry() directly — pin its rows>0
+    // contract here so a broken delegate (or a bad hardcoded sf path)
+    // fails in CI, not in the driver
+    assert(SparkEntry.entry(spark).count() > 0)
   }
 }
