@@ -132,6 +132,50 @@ object Ingest {
       Some("""SELECT c_custkey, true AS roundtrip, true AS format_ok
               FROM customer ORDER BY c_custkey""")),
 
+    // ---- encryption key rotation (q120): the crypto-ops task the
+    // reference's key-from-.env design eventually forces (README.md:19-23
+    // documents key GENERATION; rotation is its lifecycle sequel). An
+    // encrypted store at rest (name_enc under k1 + deterministic blind
+    // index) is read back and re-encrypted under k2 in ONE map-side pass —
+    // decrypt(k1) → encrypt(k2), no shuffle, each partition rewrites
+    // independently (at 100 TB: partition-parallel rewrite, old-key reads
+    // keep working until cutover because versions/partitions rotate
+    // independently). The blind index is HMAC over the PLAINTEXT, so
+    // rotation must NOT disturb it — equality-search keys survive
+    // re-encryption, which is the whole point of the blind-index design
+    // (SURVEY §2.3 F4). Oracle carries REAL values: the decrypted-under-k2
+    // name must equal lower(trim(c_name)) byte-for-byte — a broken rotate
+    // (wrong key, double-encrypt, truncation) mismatches every row hash;
+    // bidx stability is compared on the actual hex digests.
+    Q("q120_key_rotation",
+      (s, d) => {
+        val k2 = "fedcba9876543210"
+        // per-run unique store dir (ADVICE r10: fixed tmp paths collide
+        // across concurrent sessions)
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_rot_store_").toString
+        Tables.customer(s, d)
+          .select(col("c_custkey"),
+            Crypto.encrypt(Crypto.normalizeEmail(col("c_name")), AesKey)
+              .as("name_enc"),
+            Crypto.blindIndex(col("c_name"), BidxKey).as("name_bidx"))
+          .write.mode("overwrite").parquet(store)
+        val rotated = s.read.parquet(store)
+          .select(col("c_custkey"), col("name_bidx"),
+            Crypto.encrypt(Crypto.decrypt(col("name_enc"), AesKey), k2)
+              .as("name_enc"))
+        rotated
+          .select(col("c_custkey"),
+            Crypto.decrypt(col("name_enc"), k2).as("name_norm"),
+            (col("name_bidx") ===
+              Crypto.blindIndex(Crypto.decrypt(col("name_enc"), k2), BidxKey))
+              .as("bidx_unchanged"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, lower(trim(c_name)) AS name_norm,
+              true AS bidx_unchanged
+              FROM customer ORDER BY c_custkey""")),
+
     // ---- S2/S3 CSV source/sink parity (the reference's store format is
     // headered CSV, `io_utils.py:21,37`): write a slice as CSV, read it
     // back with an EXPLICIT schema (inference is nondeterministic and

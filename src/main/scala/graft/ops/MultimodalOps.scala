@@ -156,7 +156,115 @@ object MultimodalOps {
     })
   }
 
+  /** One perceptual signature per image: 64-byte cell signature + 64-bit
+    * aHash. */
+  final case class ImageSig(media_id: Long, ahash: Long, sig: Array[Byte])
+
+  /** Deterministic "scene" tile value for the q119 pattern images. */
+  private[ops] def tileValue(pattern: Long, idx: Int): Byte =
+    (((pattern * 2654435761L + idx * 40503L) >>> 13) & 0xffL).toByte
+
+  /** Pattern-image table for perceptual dedup (q119): every doc becomes a
+    * P6 PPM whose pixels upscale a deterministic 8×8 tile "scene";
+    * resolution varies per doc (n_chars-derived, ≥16×16) but docs with
+    * doc_id % 97 ∈ {0, 1} share ONE scene (pattern = the group base) — the
+    * same photo saved at two sizes, which is exactly what perceptual
+    * hashing exists to catch and byte-level dedup (q31) cannot.
+    */
+  def patternImageTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val pattern = if (docId % 97 < 2) docId - (docId % 97) else docId
+        val w = (nChars % 64 + 16).toInt
+        val h = (nChars % 48 + 16).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val v = tileValue(pattern, cy * 8 + x * 8 / w)
+            val off = (y * w + x) * 3
+            rgb(off) = v; rgb(off + 1) = v; rgb(off + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(docId, "image", MediaKernels.encodePpm(w, h, rgb),
+          w, h, 3, 0, 1)
+      })
+  }
+
+  /** Decode + 8×8 cell-center downsample + aHash (q119). Center sampling
+    * recovers a block-constant scene's tile values EXACTLY for any
+    * resolution ≥ 15×15 (center of cell c lands inside c because
+    * 0.5 ≥ 15/(2·w)), so the signature — and therefore the aHash — is
+    * resolution-invariant by construction; the aHash bit i is
+    * sig(i) > mean(sig), the standard average-hash. */
+  def imageSignatures(media: Dataset[MediaRow]): Dataset[ImageSig] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val (w, h, px) = MediaKernels.decodePpm(m.payload)
+      val sig = new Array[Byte](64)
+      var i = 0
+      while (i < 64) {
+        val cx = i % 8; val cy = i / 8
+        val x = (2 * cx + 1) * w / 16
+        val y = (2 * cy + 1) * h / 16
+        sig(i) = px((y * w + x) * 3)
+        i += 1
+      }
+      var sum = 0L
+      var j = 0
+      while (j < 64) { sum += (sig(j) & 0xff); j += 1 }
+      val mean = sum / 64.0
+      var hash = 0L
+      j = 0
+      while (j < 64) {
+        if ((sig(j) & 0xff) > mean) hash |= (1L << j)
+        j += 1
+      }
+      ImageSig(m.media_id, hash, sig)
+    })
+  }
+
+  /** Perceptual-hash image dedup (q119): signatures → aHash-equality
+    * bucket join → exact 64-byte signature verify. 72 bytes/asset shuffle
+    * (hash + signature) — payloads never move; candidate cost ∝ hash
+    * collisions, and the signature verify makes the emitted pair set
+    * exact (a 2⁻⁶⁴ aHash collision between different scenes cannot
+    * survive it). Hamming-tolerant matching (crop/noise robustness)
+    * composes from the same signatures via q36's pigeonhole machinery
+    * (TextOps.simHashPairsFromSignatures over (media_id, ahash)). */
+  def perceptualDedupPairs(sigs: Dataset[ImageSig]): DataFrame = {
+    val s = sigs.toDF()
+    s.as("a").join(s.as("b"),
+        col("a.ahash") === col("b.ahash") &&
+          col("a.media_id") < col("b.media_id"))
+      .filter(col("a.sig") === col("b.sig"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+  }
+
   val catalog: Seq[Q] = Seq(
+
+    // ---- perceptual-hash image dedup (q119): the multimodal member of
+    // the dedup pillar — same scene at different resolutions is caught by
+    // the resolution-invariant cell signature, verified exactly. Oracle:
+    // the planted same-scene pairs are pure doc_id arithmetic (group base
+    // +0/+1 per 97-block), and because signature equality ⟺ scene
+    // equality by construction, the emitted set equals the arithmetic set
+    // — no probabilistic hedge.
+    Q("q119_media_dedup",
+      (s, d) => perceptualDedupPairs(imageSignatures(patternImageTable(s, d)))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""SELECT d1.doc_id AS id_a, d2.doc_id AS id_b
+              FROM documents d1 JOIN documents d2
+                ON d2.doc_id = d1.doc_id + 1
+              WHERE d1.doc_id % 97 = 0
+              ORDER BY id_a, id_b""")),
+
 
     // ---- metadata-only scan: payload column pruned at the parquet scan;
     // payload sizes have closed forms per format (PPM = 9 + digits(w) +

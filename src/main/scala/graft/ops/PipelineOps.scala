@@ -289,6 +289,52 @@ object PipelineOps {
       .orderBy(col("feature"))
   }
 
+  /** Shared data-contract rules over an orders batch (q118 batch report /
+    * q126 streaming gate — ONE rule set, two engine paths). Single-table
+    * rules ride one conditional aggregate pass (map-side partials, a 1-row
+    * result); the referential rule broadcast-anti-joins the customer dim.
+    * `includeUnique=false` for per-micro-batch use: key uniqueness is the
+    * one rule that is NOT additive across batches (cross-batch dup pairs
+    * need the q121 written-index posture, not a per-batch count). NULL
+    * semantics: a NULL never counts as an enum/range violation (SQL
+    * three-valued logic, identical in both engines) — nulls are the
+    * not-null rule's job. */
+  private[graft] def orderContractReport(o: DataFrame, customer: DataFrame,
+      includeUnique: Boolean): DataFrame = {
+    val enumPri = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
+      (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+        .as("v_dup"),
+      sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
+        .as("v_enum"),
+      sum(when(col("o_totalprice") <= 0.0 ||
+        col("o_totalprice") > 400000.0, 1L).otherwise(0L)).as("v_price"),
+      sum(when(col("o_orderdate") < lit("1995-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2001-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("v_date"),
+      sum(when(!col("o_orderpriority").isin(enumPri: _*), 1L)
+        .otherwise(0L)).as("v_pri"))
+    val fk = o.join(broadcast(customer.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    val uniqueRow = if (includeUnique) "'orderkey_unique', v_dup," else ""
+    agg.crossJoin(broadcast(fk))
+      .select(col("n"), expr(
+        s"""stack(${if (includeUnique) 7 else 6},
+           'custkey_fk', v_fk,
+           'orderdate_range', v_date,
+           'orderkey_not_null', v_null,
+           $uniqueRow
+           'priority_enum', v_pri,
+           'status_enum', v_enum,
+           'totalprice_range', v_price) as (rule, n_violations)"""))
+      .select(col("rule"), col("n").as("n_checked"),
+        col("n_violations"), (col("n_violations") === 0L).as("pass"))
+  }
+
   val catalog: Seq[Q] = Seq(
 
     // ---- CDC changelog application (q76): MERGE INTO semantics without a
@@ -330,6 +376,105 @@ object PipelineOps {
                 UNION ALL SELECT key, price FROM latest WHERE op <> 'D')
               SELECT count(*) AS n_rows, round(sum(price), 2) AS total
               FROM merged""")),
+
+    // ---- versioned-store time travel + version diff (q122): q112's
+    // versioned store read back AS OF each version, and consecutive
+    // versions diffed — "what did batch B do to the table", the audit /
+    // reproduce-a-training-run query a mutable store cannot answer. Two
+    // changelog batches (batch 0: deletes + first update; batch 1: the
+    // conflicting second update + inserts) apply through
+    // applyChangelogVersioned into v1/v2; versionPathAsOf resolves each
+    // historical read; versionDiff is one full-outer key join + a 1-row
+    // conditional aggregate per transition. The store root is a per-run
+    // temp dir (concurrent sessions can't collide). Oracle: DuckDB replays
+    // both merges as CTEs and diffs them relationally.
+    Q("q122_time_travel",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_timetravel_").toString
+        val snap = Tables.orders(s, d)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+        snap.write.mode("overwrite").parquet(s"$root/v0")
+        def part(m: Int) = snap.filter(col("key") % 10 === m)
+        val batch0 = part(0)
+          .select(col("key"), col("price"), lit("D").as("op"), lit(1L).as("seq"))
+          .unionByName(part(1).select(col("key"),
+            (col("price") + 500).as("price"), lit("U").as("op"),
+            lit(1L).as("seq")))
+        val batch1 = snap
+          .filter(col("key") % 10 === 1 || col("key") % 10 === 2)
+          .select(col("key"), (col("price") + 1000).as("price"),
+            lit("U").as("op"), lit(2L).as("seq"))
+          .unionByName(part(3).select((col("key") + 100000000L).as("key"),
+            lit(42.0).as("price"), lit("I").as("op"), lit(1L).as("seq")))
+        Upsert.applyChangelogVersioned(s, root, batch0, Seq("key"),
+          "op", "seq", batchId = 0L)
+        Upsert.applyChangelogVersioned(s, root, batch1, Seq("key"),
+          "op", "seq", batchId = 1L)
+        def asOf(v: Long) =
+          s.read.parquet(Upsert.versionPathAsOf(s, root, v))
+        val d01 = Upsert.versionDiff(asOf(0), asOf(1), "key", "price")
+          .select(lit(0L).as("from_v"), lit(1L).as("to_v"), col("*"))
+        val d12 = Upsert.versionDiff(asOf(1), asOf(2), "key", "price")
+          .select(lit(1L).as("from_v"), lit(2L).as("to_v"), col("*"))
+        d01.unionByName(d12).orderBy(col("from_v"), col("change"))
+      },
+      Some("""WITH snap AS (SELECT o_orderkey AS key, o_totalprice AS price
+                FROM orders),
+              v1 AS (
+                SELECT key, price FROM snap
+                  WHERE key % 10 <> 0 AND key % 10 <> 1
+                UNION ALL SELECT key, price + 500 FROM snap
+                  WHERE key % 10 = 1),
+              v2 AS (
+                SELECT key, price FROM v1 WHERE key % 10 NOT IN (1, 2)
+                UNION ALL SELECT s.key, s.price + 1000 FROM snap s
+                  WHERE s.key % 10 IN (1, 2)
+                UNION ALL SELECT key + 100000000, 42.0 FROM snap
+                  WHERE key % 10 = 3),
+              d01 AS (
+                SELECT 0 AS from_v, 1 AS to_v, 'added' AS change,
+                  count(*) FILTER (WHERE a.key IS NULL) AS n_keys,
+                  coalesce(sum(b.price) FILTER (WHERE a.key IS NULL), 0)
+                    AS price_delta
+                FROM snap a FULL OUTER JOIN v1 b ON a.key = b.key
+                UNION ALL
+                SELECT 0, 1, 'changed',
+                  count(*) FILTER (WHERE a.key IS NOT NULL
+                    AND b.key IS NOT NULL AND a.price <> b.price),
+                  coalesce(sum(b.price - a.price) FILTER (
+                    WHERE a.key IS NOT NULL AND b.key IS NOT NULL
+                    AND a.price <> b.price), 0)
+                FROM snap a FULL OUTER JOIN v1 b ON a.key = b.key
+                UNION ALL
+                SELECT 0, 1, 'deleted',
+                  count(*) FILTER (WHERE b.key IS NULL),
+                  coalesce(sum(-a.price) FILTER (WHERE b.key IS NULL), 0)
+                FROM snap a FULL OUTER JOIN v1 b ON a.key = b.key),
+              d12 AS (
+                SELECT 1, 2, 'added',
+                  count(*) FILTER (WHERE a.key IS NULL),
+                  coalesce(sum(b.price) FILTER (WHERE a.key IS NULL), 0)
+                FROM v1 a FULL OUTER JOIN v2 b ON a.key = b.key
+                UNION ALL
+                SELECT 1, 2, 'changed',
+                  count(*) FILTER (WHERE a.key IS NOT NULL
+                    AND b.key IS NOT NULL AND a.price <> b.price),
+                  coalesce(sum(b.price - a.price) FILTER (
+                    WHERE a.key IS NOT NULL AND b.key IS NOT NULL
+                    AND a.price <> b.price), 0)
+                FROM v1 a FULL OUTER JOIN v2 b ON a.key = b.key
+                UNION ALL
+                SELECT 1, 2, 'deleted',
+                  count(*) FILTER (WHERE b.key IS NULL),
+                  coalesce(sum(-a.price) FILTER (WHERE b.key IS NULL), 0)
+                FROM v1 a FULL OUTER JOIN v2 b ON a.key = b.key)
+              SELECT CAST(from_v AS BIGINT) AS from_v,
+                CAST(to_v AS BIGINT) AS to_v, change,
+                CAST(n_keys AS BIGINT) AS n_keys,
+                round(price_delta, 2) AS price_delta
+              FROM (SELECT * FROM d01 UNION ALL SELECT * FROM d12)
+              ORDER BY from_v, change""")),
 
     // ---- train/eval contamination check (q78): the decontamination step
     // of an LLM training pipeline — flag eval-split documents sharing any
@@ -1476,6 +1621,50 @@ object PipelineOps {
                 max_jaccard >= 0.5 AS fuzzy_hit
               FROM r
               WHERE n5_shared > 0 OR overlap >= 0.5 OR max_jaccard >= 0.5
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // ---- data-contract validation (q118): the declarative batch-admission
+    // check a pipeline pins for every feed (the Great-Expectations /
+    // dbt-test shape): per named rule — rows checked, violations, verdict.
+    // Rules over `orders`: key not-null + uniqueness, enum membership
+    // (status contract deliberately tighter than the data so the report is
+    // non-vacuous), value range, date range, and a cross-table referential
+    // check (o_custkey ⊆ customer). One scan computes every single-table
+    // rule as conditional partial aggregates (a 1-row aggregate — nothing
+    // row-sized shuffles); the FK rule broadcast-anti-joins the dim and
+    // adds one count. NULL semantics: a NULL never counts as an enum/range
+    // violation (SQL three-valued logic, identical in both engines) — nulls
+    // are the not-null rule's job. At 100 TB this is the cheapest full-scan
+    // query a pipeline runs: every rule rides one pass, map-side.
+    Q("q118_data_contract",
+      (s, d) => orderContractReport(Tables.orders(s, d),
+          Tables.customer(s, d), includeUnique = true)
+        .orderBy(col("rule")),
+      Some("""WITH a AS (SELECT count(*) AS n,
+                count(*) FILTER (WHERE o_orderkey IS NULL) AS v_null,
+                count(o_orderkey) - count(DISTINCT o_orderkey) AS v_dup,
+                count(*) FILTER (WHERE NOT o_orderstatus IN ('O','F'))
+                  AS v_enum,
+                count(*) FILTER (WHERE o_totalprice <= 0.0
+                  OR o_totalprice > 400000.0) AS v_price,
+                count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01'
+                  OR o_orderdate >= TIMESTAMP '2001-01-01') AS v_date,
+                count(*) FILTER (WHERE NOT o_orderpriority IN ('1-URGENT',
+                  '2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')) AS v_pri
+              FROM orders),
+              fk AS (SELECT count(*) AS v_fk FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)),
+              m AS (
+                SELECT 'custkey_fk' AS rule, v_fk AS v FROM fk UNION ALL
+                SELECT 'orderdate_range', v_date FROM a UNION ALL
+                SELECT 'orderkey_not_null', v_null FROM a UNION ALL
+                SELECT 'orderkey_unique', v_dup FROM a UNION ALL
+                SELECT 'priority_enum', v_pri FROM a UNION ALL
+                SELECT 'status_enum', v_enum FROM a UNION ALL
+                SELECT 'totalprice_range', v_price FROM a)
+              SELECT m.rule, a.n AS n_checked,
+                CAST(m.v AS BIGINT) AS n_violations, m.v = 0 AS pass
+              FROM m, a ORDER BY rule"""))
   )
 }

@@ -704,5 +704,87 @@ object Relational {
               CAST(len(flags) AS INTEGER) AS n_flags,
               CAST(list_sum(lines) AS INTEGER) AS line_sum
               FROM g ORDER BY l_orderkey"""))
+  ,
+
+    // ---- ANALYZE-style stats collection (q124): per-column table
+    // statistics — row count, null count, exact NDV, min/max — the input a
+    // cost-based optimizer (join reorder, broadcast thresholds) and a
+    // data-quality dashboard both run on. Shape: melt the profiled columns
+    // map-side into (column_name, value) rows (numeric and string melts
+    // kept separate so no value ever round-trips through a lossy string
+    // cast), then ONE two-phase distinct aggregate per melt — partial
+    // (column, value) dedup before the shuffle, so the exchange carries
+    // the distinct pairs, not the table. The HLL estimate rides alongside
+    // and is checked IN-PLAN against the exact NDV (±5%), reported as data
+    // (`ndv_approx_ok`) the way the ANN oracles report measured recall —
+    // the sketch value itself is engine-specific and cannot hash-compare.
+    // At 100 TB production ANALYZE drops the exact NDV (the sketch is the
+    // point: one pass, constant space); here exact-vs-sketch is what makes
+    // the entry self-verifying.
+    Q("q124_stats_collect",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val num = li.select(expr(
+          """stack(3, 'l_quantity', l_quantity, 'l_discount', l_discount,
+             'l_extendedprice', l_extendedprice) as (column_name, v)"""))
+        val str = li.select(expr(
+          """stack(2, 'l_returnflag', l_returnflag,
+             'l_linestatus', l_linestatus) as (column_name, v)"""))
+        def stats(m: org.apache.spark.sql.DataFrame) =
+          m.groupBy(col("column_name")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col("v")).as("ndv"),
+            approx_count_distinct(col("v"), rsd = 0.01).as("_andv"),
+            min(col("v")).as("_min"), max(col("v")).as("_max"))
+        val numStats = stats(num).select(col("column_name"), col("n_rows"),
+          col("n_nulls"), col("ndv"),
+          col("_min").cast("double").as("min_num"),
+          col("_max").cast("double").as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"),
+          (abs(col("_andv") - col("ndv")) <=
+            greatest(col("ndv") * 0.05, lit(2.0))).as("ndv_approx_ok"))
+        val strStats = stats(str).select(col("column_name"), col("n_rows"),
+          col("n_nulls"), col("ndv"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col("_min").cast("string").as("min_str"),
+          col("_max").cast("string").as("max_str"),
+          (abs(col("_andv") - col("ndv")) <=
+            greatest(col("ndv") * 0.05, lit(2.0))).as("ndv_approx_ok"))
+        numStats.unionByName(strStats).orderBy(col("column_name"))
+      },
+      Some("""SELECT * FROM (
+              SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+                count(*) FILTER (WHERE l_quantity IS NULL) AS n_nulls,
+                count(DISTINCT l_quantity) AS ndv,
+                min(l_quantity) AS min_num, max(l_quantity) AS max_num,
+                CAST(NULL AS VARCHAR) AS min_str,
+                CAST(NULL AS VARCHAR) AS max_str, true AS ndv_approx_ok
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', count(*),
+                count(*) FILTER (WHERE l_discount IS NULL),
+                count(DISTINCT l_discount), min(l_discount), max(l_discount),
+                NULL, NULL, true FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(*),
+                count(*) FILTER (WHERE l_extendedprice IS NULL),
+                count(DISTINCT l_extendedprice), min(l_extendedprice),
+                max(l_extendedprice), NULL, NULL, true FROM lineitem
+              UNION ALL
+              SELECT 'l_returnflag', count(*),
+                count(*) FILTER (WHERE l_returnflag IS NULL),
+                count(DISTINCT l_returnflag), CAST(NULL AS DOUBLE),
+                CAST(NULL AS DOUBLE), min(l_returnflag), max(l_returnflag),
+                true FROM lineitem
+              UNION ALL
+              SELECT 'l_linestatus', count(*),
+                count(*) FILTER (WHERE l_linestatus IS NULL),
+                count(DISTINCT l_linestatus), CAST(NULL AS DOUBLE),
+                CAST(NULL AS DOUBLE), min(l_linestatus), max(l_linestatus),
+                true FROM lineitem)
+              ORDER BY column_name"""))
   )
 }

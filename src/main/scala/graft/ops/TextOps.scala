@@ -214,6 +214,96 @@ object TextOps {
               count(*) AS n_raw
               FROM recrawl GROUP BY lang ORDER BY lang""")),
 
+    // ---- q31's written-index posture (q121): the snapshot's content
+    // hashes persisted ONCE as a hash-bucketed table, today's increment
+    // (plus a simulated re-crawl of every 7th snapshot doc under fresh
+    // ids — re-fetched pages are exactly what an exact-dedup gate exists
+    // to catch) probed against it. Cost ∝ increment: the snapshot text is
+    // never re-read or re-hashed, the probe join shuffles only the
+    // increment's 8-byte hashes (the index side is pre-bucketed by
+    // text_hash), and hash candidates are verified by exact text equality
+    // so a 2^-64 hash collision cannot fabricate a pair. Completes the
+    // build-once / probe-incrementally family (q34b/q34c for LSH,
+    // q44b/q44c for IVF) for the exact-dedup pillar.
+    Q("q121_exact_dedup_indexed",
+      (s, d) => exactDedupIncremental(s, d)
+        .orderBy(col("snap_id"), col("inc_id")),
+      Some("""WITH cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8)
+                AS BIGINT) AS cut FROM documents),
+              n AS (SELECT doc_id,
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM documents),
+              snap AS (SELECT n.doc_id, t FROM n, cut
+                WHERE n.doc_id < cut.cut),
+              inc AS (
+                SELECT n.doc_id, t FROM n, cut WHERE n.doc_id >= cut.cut
+                UNION ALL
+                SELECT doc_id + 1000000, t FROM snap WHERE doc_id % 7 = 0)
+              SELECT s.doc_id AS snap_id, i.doc_id AS inc_id
+              FROM snap s JOIN inc i ON s.t = i.t
+              ORDER BY snap_id, inc_id""")),
+
+    // ---- secret/credential scanning + redaction (q123): the compliance
+    // gate that keeps leaked API keys out of a training corpus (the
+    // detect-secrets / trufflehog shape). Candidate = whitespace token ≥ 20
+    // chars in a key-like charset; flagged = candidate that ALSO mixes
+    // letters+digits and has distinct-char ratio ≥ 0.4 — the verdict is
+    // pure integer arithmetic (counts and lengths), so both engines decide
+    // identically with no float-threshold hazard (the q111 floor lesson,
+    // avoided outright). Redaction rebuilds the doc with flagged tokens
+    // replaced by [SECRET]; the oracle hashes the REDACTED TEXT itself
+    // (md5 — same algorithm both engines), so an over- or under-redaction
+    // of any single token flips that row. Secrets are planted
+    // deterministically (doc_id % 13 → ' sk'+md5(doc_id) appended) so the
+    // check is non-vacuous at every SF. Scale: entirely map-side built-ins
+    // in one projection — no shuffle, no UDF; per-doc cost ∝ token count.
+    Q("q123_secret_scan",
+      (s, d) => {
+        val scanText = when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" sk"),
+            md5(col("doc_id").cast("string")))).otherwise(col("text"))
+        val isCand = (t: Column) =>
+          length(t) >= 20 && t.rlike("^[A-Za-z0-9+/=_-]+$")
+        val isFlagged = (t: Column) => isCand(t) &&
+          t.rlike("[A-Za-z]") && t.rlike("[0-9]") &&
+          size(array_distinct(split(t, ""))) * 10 >= length(t) * 4
+        Tables.documents(s, d)
+          .withColumn("tk", split(trim(scanText), "\\s+"))
+          .select(col("doc_id"),
+            size(filter(col("tk"), isCand)).as("n_candidates"),
+            size(filter(col("tk"), isFlagged)).as("n_flagged"),
+            md5(array_join(transform(col("tk"), t =>
+              when(isFlagged(t), lit("[SECRET]")).otherwise(t)), " "))
+              .as("redact_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0
+                  THEN text || ' sk' || md5(CAST(doc_id AS VARCHAR))
+                  ELSE text END AS text
+              FROM documents),
+              t AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS tk FROM s)
+              SELECT doc_id,
+                CAST(len(list_filter(tk, x -> length(x) >= 20
+                  AND regexp_full_match(x, '[A-Za-z0-9+/=_-]+')))
+                  AS INTEGER) AS n_candidates,
+                CAST(len(list_filter(tk, x -> length(x) >= 20
+                  AND regexp_full_match(x, '[A-Za-z0-9+/=_-]+')
+                  AND regexp_matches(x, '[A-Za-z]')
+                  AND regexp_matches(x, '[0-9]')
+                  AND len(list_distinct(regexp_extract_all(x, '.'))) * 10
+                    >= length(x) * 4)) AS INTEGER) AS n_flagged,
+                md5(array_to_string(list_transform(tk, x ->
+                  CASE WHEN length(x) >= 20
+                    AND regexp_full_match(x, '[A-Za-z0-9+/=_-]+')
+                    AND regexp_matches(x, '[A-Za-z]')
+                    AND regexp_matches(x, '[0-9]')
+                    AND len(list_distinct(regexp_extract_all(x, '.'))) * 10
+                      >= length(x) * 4
+                  THEN '[SECRET]' ELSE x END), ' ')) AS redact_md5
+              FROM t ORDER BY doc_id""")),
+
     // ---- token counting: whitespace words vs BPE-ish regex pieces
     // (letter runs | digit runs | single punctuation)
     Q("q32_token_count",
@@ -1280,6 +1370,52 @@ object TextOps {
         round(max(col("jaccard")), 4).as("max_jaccard"))
       .select(col("id_a").as("doc_id"), col("n_bench_hits"),
         col("max_jaccard"))
+  }
+
+  /** Written exact-dedup hash index + incremental probe (q121).
+    *
+    * Build: the snapshot (doc_id < floor((max+1)·0.8)) writes its
+    * normalized-text xxhash64 per doc into a `bucketBy(text_hash)` managed
+    * table — 16 bytes/doc, built once per corpus snapshot. Probe: the
+    * increment (the remaining docs plus a simulated re-crawl of every 7th
+    * snapshot doc under id+1,000,000) hashes map-side and equi-joins the
+    * index on text_hash; the bucket layout satisfies the join distribution
+    * on the index side, so only increment hashes shuffle. Hash candidates
+    * are then verified by exact normalized-text equality (candidate-sized
+    * text fetch — the verify discipline of q34/q35), making the emitted
+    * pair set collision-proof. At 100 TB the snapshot hash pass never
+    * re-runs; a daily gate costs O(increment) + candidate verification.
+    */
+  def exactDedupIncremental(s: SparkSession, d: String,
+      table: String = "graft_exact_hash_index"): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def norm(c: Column): Column =
+      regexp_replace(lower(trim(c)), "\\s+", " ")
+    val cut = docs.agg(
+      floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+    val snap = docs.crossJoin(broadcast(cut))
+      .filter(col("doc_id") < col("cut")).drop("cut")
+    val inc = docs.crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cut")).drop("cut")
+      .unionByName(snap.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    Tables.resetManagedTable(s, table)
+    snap.select(col("doc_id"), xxhash64(norm(col("text"))).as("text_hash"))
+      .write.bucketBy(8, "text_hash").mode("overwrite").saveAsTable(table)
+    val cand = s.table(table).select(col("doc_id").as("snap_id"),
+        col("text_hash"))
+      .join(inc.select(col("doc_id").as("inc_id"),
+        xxhash64(norm(col("text"))).as("text_hash")), Seq("text_hash"))
+      .select(col("snap_id"), col("inc_id"))
+    // collision-proof verify: fetch the two normalized texts for surviving
+    // candidates only (re-crawl ids map back to their source doc)
+    val snapTxt = docs.select(col("doc_id").as("snap_id"),
+      norm(col("text")).as("_snap_t"))
+    val incTxt = inc.select(col("doc_id").as("inc_id"),
+      norm(col("text")).as("_inc_t"))
+    cand.join(snapTxt, Seq("snap_id")).join(incTxt, Seq("inc_id"))
+      .filter(col("_snap_t") === col("_inc_t"))
+      .select(col("snap_id"), col("inc_id"))
   }
 
   /** SimHash signatures: (doc_id, tk: array<string>) → (doc_id, simhash)

@@ -151,6 +151,47 @@ object Upsert {
       storeRoot: String): String =
     s"$storeRoot/v${versionsOf(spark, storeRoot).max}"
 
+  /** Time-travel read (q122): the newest version ≤ `asOf`. The versioned
+    * store keeps every version directory until a retention rule prunes
+    * them, so "the table as batch B left it" stays addressable — the
+    * audit/debug/reproduce-a-training-run read a mutable store cannot
+    * answer. */
+  def versionPathAsOf(spark: org.apache.spark.sql.SparkSession,
+      storeRoot: String, asOf: Long): String =
+    s"$storeRoot/v${versionsOf(spark, storeRoot).filter(_ <= asOf).max}"
+
+  /** Diff two store versions (q122): per change kind (`added` / `changed`
+    * / `deleted`) the key count and the summed value delta — the audit
+    * primitive behind "what did batch B do to the table". One full-outer
+    * key join (both sides shuffle on the key once; with a key-bucketed
+    * store layout, zero shuffles) + a 1-row conditional aggregate; rows
+    * with equal values on both sides cost nothing downstream of the join.
+    */
+  def versionDiff(va: DataFrame, vb: DataFrame, key: String,
+      valueCol: String): DataFrame = {
+    val a = va.select(col(key).as("_k"), col(valueCol).as("_va"))
+    val b = vb.select(col(key).as("_k"), col(valueCol).as("_vb"))
+    a.join(b, Seq("_k"), "full_outer")
+      .agg(
+        sum(when(col("_va").isNull, 1L).otherwise(0L)).as("n_added"),
+        coalesce(sum(when(col("_va").isNull, col("_vb"))), lit(0.0))
+          .as("d_added"),
+        sum(when(col("_va").isNotNull && col("_vb").isNotNull &&
+          col("_va") =!= col("_vb"), 1L).otherwise(0L)).as("n_changed"),
+        coalesce(sum(when(col("_va").isNotNull && col("_vb").isNotNull &&
+          col("_va") =!= col("_vb"), col("_vb") - col("_va"))), lit(0.0))
+          .as("d_changed"),
+        sum(when(col("_vb").isNull, 1L).otherwise(0L)).as("n_deleted"),
+        coalesce(sum(when(col("_vb").isNull, -col("_va"))), lit(0.0))
+          .as("d_deleted"))
+      .select(expr(
+        """stack(3, 'added', n_added, d_added,
+           'changed', n_changed, d_changed,
+           'deleted', n_deleted, d_deleted) as (change, n_keys, price_delta)"""))
+      .select(col("change"), col("n_keys"),
+        round(col("price_delta"), 2).as("price_delta"))
+  }
+
   private def versionsOf(spark: org.apache.spark.sql.SparkSession,
       storeRoot: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(storeRoot)

@@ -622,6 +622,62 @@ object StreamingOps {
               SELECT count(*) AS n_rows, round(sum(price), 2) AS total
               FROM merged""")),
 
+    // ---- streaming data-contract gate (q126): q118's admission rules ON
+    // A STREAM — every arriving orders micro-batch is scored against the
+    // SAME rule set (PipelineOps.orderContractReport, one rule set, two
+    // engine paths) before anything lands downstream; the customer dim is
+    // static and broadcast per batch (stream-static referential check).
+    // Per-batch reports append into a per-run store keyed by batch id —
+    // batch-sized rows, no state store — and the final read sums them.
+    // The one q118 rule deliberately absent is key UNIQUENESS: it is not
+    // additive across batches (cross-batch dups need the q121
+    // written-index posture), which is exactly the kind of contract a
+    // streaming gate must decline rather than fake. All six remaining
+    // rules are conditional-count additive, so stream ≡ batch and the
+    // oracle is q118's SQL minus the unique rule.
+    Q("q126_stream_contract_gate",
+      (s, d) => {
+        val store = tempStore("graft_contract_gate_out")
+        val customer = graft.schema.Tables.customer(s, d)
+        runForeachBatch(s, d, "orders")(identity) { (batch, batchId) =>
+          graft.ops.PipelineOps
+            .orderContractReport(batch, customer, includeUnique = false)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(store)
+        }
+        s.read.parquet(store)
+          .groupBy(col("rule"))
+          .agg(sum(col("n_checked")).as("n_checked"),
+            sum(col("n_violations")).as("n_violations"))
+          .select(col("rule"), col("n_checked"), col("n_violations"),
+            (col("n_violations") === 0L).as("pass"))
+          .orderBy(col("rule"))
+      },
+      Some("""WITH a AS (SELECT count(*) AS n,
+                count(*) FILTER (WHERE o_orderkey IS NULL) AS v_null,
+                count(*) FILTER (WHERE NOT o_orderstatus IN ('O','F'))
+                  AS v_enum,
+                count(*) FILTER (WHERE o_totalprice <= 0.0
+                  OR o_totalprice > 400000.0) AS v_price,
+                count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01'
+                  OR o_orderdate >= TIMESTAMP '2001-01-01') AS v_date,
+                count(*) FILTER (WHERE NOT o_orderpriority IN ('1-URGENT',
+                  '2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')) AS v_pri
+              FROM orders),
+              fk AS (SELECT count(*) AS v_fk FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)),
+              m AS (
+                SELECT 'custkey_fk' AS rule, v_fk AS v FROM fk UNION ALL
+                SELECT 'orderdate_range', v_date FROM a UNION ALL
+                SELECT 'orderkey_not_null', v_null FROM a UNION ALL
+                SELECT 'priority_enum', v_pri FROM a UNION ALL
+                SELECT 'status_enum', v_enum FROM a UNION ALL
+                SELECT 'totalprice_range', v_price FROM a)
+              SELECT m.rule, a.n AS n_checked,
+                CAST(m.v AS BIGINT) AS n_violations, m.v = 0 AS pass
+              FROM m, a ORDER BY rule""")),
+
     // ---- streaming tokenizer application (q114): the serving posture of
     // the q84→q110 tokenize-train-apply loop — the merge table is trained
     // ONCE on the snapshot (docs below the 80% cut), WRITTEN as the

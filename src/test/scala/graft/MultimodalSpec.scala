@@ -113,4 +113,27 @@ class MultimodalSpec extends SparkSpec {
       assert(byId(m.media_id).forall(_.frame_idx % 4 == 0))
     }
   }
+
+  test("perceptual hash: signature is resolution-invariant for one scene, " +
+      "distinct scenes differ, dedup finds exactly the planted pair (q119)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q119spec").toString
+    // doc 0 and 1 share scene 0 at DIFFERENT resolutions (n_chars drive
+    // w/h); docs 2 and 50 are their own scenes
+    Seq((0L, "a" * 20), (1L, "b" * 333), (2L, "c" * 77), (50L, "d" * 200))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sigs = MultimodalOps.imageSignatures(
+      MultimodalOps.patternImageTable(spark, dir)).collect()
+      .map(s => s.media_id -> s).toMap
+    // different resolutions (20 vs 333 chars → different w/h), same scene
+    assert(sigs(0L).sig.toSeq == sigs(1L).sig.toSeq)
+    assert(sigs(0L).ahash == sigs(1L).ahash)
+    assert(sigs(0L).sig.toSeq != sigs(2L).sig.toSeq)
+    val pairs = SparkEntry.queries("q119_media_dedup")(spark, dir)
+      .as[(Long, Long)].collect().toList
+    assert(pairs == List((0L, 1L)), pairs)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -334,4 +334,64 @@ class TextOpsSpec extends SparkSpec {
       (1L, 1, 16, ts.drop(24).mkString(" ")),
       (2L, 0, 3, "x y z")), out)
   }
+
+  test("secret scan: mixed high-entropy key flagged and redacted; " +
+      "repeated-char and short tokens pass through (q123)") {
+    val dir = java.nio.file.Files.createTempDirectory("q123spec").toString
+    // doc 1: a real-looking key (flagged) + a 22-char all-'a' token
+    // (candidate charset but no digits, ratio 1/22 — NOT flagged) + short
+    // tokens. doc 13: gets the deterministic planted secret appended.
+    Seq((1L, "call Abcdef123456789012345 with aaaaaaaaaaaaaaaaaaaaaa now"),
+        (13L, "plain words only"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q123_secret_scan")(spark, dir)
+      .as[(Long, Int, Int, String)].collect().toList
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val planted = "sk" + md5hex("13")
+    assert(out.map(r => (r._1, r._2, r._3)) ==
+      List((1L, 2, 1), (13L, 1, 1)), out)
+    assert(out(0)._4 ==
+      md5hex("call [SECRET] with aaaaaaaaaaaaaaaaaaaaaa now"))
+    // the planted 34-char hex key must itself be caught and redacted
+    assert(planted.length == 34)
+    assert(out(1)._4 == md5hex("plain words only [SECRET]"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("written exact-dedup hash index: probe finds exactly the " +
+      "text-equal cross pairs, bucket layout is shuffle-free (q121)") {
+    val d = sf
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val cut = math.floor(
+      (docs.agg(max(col("doc_id"))).as[Long].head() + 1) * 0.8).toLong
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(lower(trim(c)), "\\s+", " ")
+    // expected = direct normalized-text equi-join, a different formulation
+    // from the hash-index probe under test
+    val snap = docs.filter(col("doc_id") < cut)
+    val inc = docs.filter(col("doc_id") >= cut)
+      .unionByName(snap.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val expected = snap.select(col("doc_id").as("snap_id"), norm(col("text")).as("t"))
+      .join(inc.select(col("doc_id").as("inc_id"), norm(col("text")).as("t")), "t")
+      .select("snap_id", "inc_id").as[(Long, Long)].collect().toSet
+    // every 7th snapshot doc was re-crawled — its planted pair must exist
+    val planted = snap.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")).as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.nonEmpty && planted.subsetOf(expected))
+    val got = TextOps.exactDedupIncremental(spark, d)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // the index table's hash-bucket layout satisfies a probe-side
+    // aggregation outright — repeated gate runs pay zero index-side shuffle
+    val agg = spark.table("graft_exact_hash_index")
+      .groupBy(col("text_hash")).agg(count(lit(1)))
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"))
+  }
 }

@@ -138,4 +138,38 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.latestVersionPath(spark, root) == s"$root/v2")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("time travel: versionPathAsOf resolves the newest version ≤ asOf " +
+      "and versionDiff reports added/changed/deleted (q122)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tt_spec").toString
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$root/v0")
+    // batch 0: delete 1, change 2; batch 1: insert 9
+    Upsert.applyChangelogVersioned(spark, root,
+      Seq((1L, 0.0, "D", 1L), (2L, 25.0, "U", 1L)).toDF("k", "v", "op", "seq"),
+      Seq("k"), "op", "seq", batchId = 0L)
+    Upsert.applyChangelogVersioned(spark, root,
+      Seq((9L, 90.0, "I", 1L)).toDF("k", "v", "op", "seq"),
+      Seq("k"), "op", "seq", batchId = 1L)
+    // as-of reads: version 0 still shows the pre-batch world; a "gap"
+    // asOf between existing versions resolves downward
+    assert(Upsert.versionPathAsOf(spark, root, 0L) == s"$root/v0")
+    assert(Upsert.versionPathAsOf(spark, root, 1L) == s"$root/v1")
+    assert(spark.read.parquet(Upsert.versionPathAsOf(spark, root, 0L))
+      .count() == 3)
+    val d01 = Upsert.versionDiff(
+      spark.read.parquet(s"$root/v0"), spark.read.parquet(s"$root/v1"),
+      "k", "v").orderBy("change")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(d01 == Seq(("added", 0L, 0.0), ("changed", 1L, 5.0),
+      ("deleted", 1L, -10.0)))
+    val d12 = Upsert.versionDiff(
+      spark.read.parquet(s"$root/v1"), spark.read.parquet(s"$root/v2"),
+      "k", "v").orderBy("change")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(d12 == Seq(("added", 1L, 90.0), ("changed", 0L, 0.0),
+      ("deleted", 0L, 0.0)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
