@@ -11,7 +11,8 @@ object SparkEntry {
     ops.Relational.catalog ++ ops.Ingest.catalog ++ ops.TextOps.catalog ++
       ops.VectorOps.catalog ++ ops.EventOps.catalog ++
       ops.MultimodalOps.catalog ++ ops.PipelineOps.catalog ++
-      ops.RetrievalOps.catalog ++ streaming.StreamingOps.catalog
+      ops.RetrievalOps.catalog ++ ops.LayoutOps.catalog ++
+      streaming.StreamingOps.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-flavor aggregation: scan → pushed filter → partial+final agg.

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.Q
+import graft.schema.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout optimization: Z-order (Morton) clustering for
+  * multi-dimensional scan pruning — the lakehouse `OPTIMIZE ZORDER BY`
+  * capability, built from Spark primitives.
+  *
+  * Why it matters at 100 TB: a table sorted by ONE column prunes scans
+  * only on that column's predicates. Interleaving the bits of two (or
+  * more) columns into one Morton key and range-sorting the files by it
+  * gives every participating column LOCALITY in the file layout — a 2-D
+  * box predicate then touches only the files/row-groups whose min/max
+  * stats overlap the box, and the parquet reader skips the rest via
+  * pushed filters. The z-value is pure built-in bit arithmetic
+  * (whole-stage codegen, no UDF), and the write is one range exchange —
+  * the same cost as any global sort, paid once per snapshot.
+  *
+  * LayoutSpec MEASURES the effect: on a 16-file store, the identical box
+  * scan reads a fraction of the rows from the z-ordered layout vs a
+  * shuffled layout (parquet row-group stats pruning), with result parity.
+  */
+object LayoutOps {
+
+  /** Morton interleave of the low `bits` bits of two non-negative
+    * integral columns: bit i of `a` lands at position 2i, bit i of `b`
+    * at 2i+1. Unrolled into a codegen-friendly OR-reduction of shifts —
+    * no UDF, stays inside whole-stage codegen.
+    */
+  def zOrder2(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** The matching ANSI-SQL expression (DuckDB bit operators), for
+    * oracle twins of z-value computations. */
+  def zOrder2Sql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
+  /** Write `df` as a z-ordered parquet store: Morton key from (`colA`,
+    * `colB`), range-partitioned into `nFiles` files and sorted within
+    * each — so every file covers a compact z-range and its per-column
+    * min/max stats are tight. The key is layout-only and not persisted.
+    */
+  def zOrderWrite(df: DataFrame, colA: String, colB: String, bits: Int,
+      nFiles: Int, path: String): Unit = {
+    val z = "_graft_z"
+    df.withColumn(z, zOrder2(col(colA), col(colB), bits))
+      .repartitionByRange(nFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  val catalog: Seq[Q] = Seq(
+
+    // ---- z-order layout (q125): lineitem written z-ordered on
+    // (l_partkey, l_suppkey), then a 2-D box query served FROM THE
+    // WRITTEN STORE — the layout under test is the artifact, not the
+    // plan. Output carries each group's z-value so the oracle re-derives
+    // the Morton arithmetic bit-for-bit in SQL (DuckDB bit operators);
+    // row/aggregate parity proves the rewrite lost nothing. The pruning
+    // payoff is measured in LayoutSpec (row-group stats skip most of the
+    // store for the identical predicate); at 100 TB the same write makes
+    // both partkey- and suppkey-constrained scans sub-linear without
+    // duplicating the table per sort order.
+    Q("q125_zorder",
+      (s, d) => {
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_zorder_").toString
+        zOrderWrite(Tables.lineitem(s, d)
+            .select(col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+          "l_partkey", "l_suppkey", bits = 16, nFiles = 16, path = store)
+        s.read.parquet(store)
+          .filter(col("l_partkey").between(100, 160) &&
+            col("l_suppkey").between(10, 40))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .withColumn("zval",
+            zOrder2(col("l_partkey"), col("l_suppkey"), 16))
+          .orderBy(col("l_partkey"), col("l_suppkey"))
+      },
+      Some(s"""SELECT l_partkey, l_suppkey, count(*) AS n,
+              round(sum(l_quantity), 2) AS sum_qty,
+              CAST(${zOrder2Sql("l_partkey", "l_suppkey", 16)} AS BIGINT)
+                AS zval
+              FROM lineitem
+              WHERE l_partkey BETWEEN 100 AND 160
+                AND l_suppkey BETWEEN 10 AND 40
+              GROUP BY l_partkey, l_suppkey
+              ORDER BY l_partkey, l_suppkey"""))
+  )
+}
