@@ -12,6 +12,7 @@ object SparkEntry {
       ops.VectorOps.catalog ++ ops.EventOps.catalog ++
       ops.MultimodalOps.catalog ++ ops.PipelineOps.catalog ++
       ops.RetrievalOps.catalog ++ ops.LayoutOps.catalog ++
+      ops.GraphOps.catalog ++ ops.MaterializedViewOps.catalog ++
       streaming.StreamingOps.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

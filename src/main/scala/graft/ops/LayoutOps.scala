@@ -59,7 +59,71 @@ object LayoutOps {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Compact a fragmented parquet store into ~`targetRowsPerFile`-row files
+    * WITHOUT a shuffle: `coalesce` merges existing splits map-side (each
+    * output task concatenates whole input partitions — no exchange, no
+    * sort), which is exactly what maintenance compaction wants: the
+    * dominant cost is the rewrite IO itself. Returns the output file count.
+    *
+    * Scale notes (100 TB): compaction runs per partition-directory (the
+    * unit of small-file accumulation under streaming/CDC ingest), so the
+    * coalesce never spans partitions and parallelism = #partitions being
+    * compacted. For stores whose row-group stats carry a sort/cluster
+    * contract (the q125 z-order layout), compact with
+    * `repartitionByRange` on the cluster key instead — that pays one
+    * exchange to KEEP the min/max tightness that coalesce's arbitrary
+    * concatenation would destroy. Row-count-based sizing here (bytes-based
+    * sizing needs the writer's post-compression feedback; rows are the
+    * deterministic proxy at fixed schema).
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetRowsPerFile: Long, outPath: String): Int = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+      .toInt
+    df.coalesce(nFiles).write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
+  private def parquetFileCount(path: String): Long =
+    new java.io.File(path).listFiles.count(_.getName.endsWith(".parquet"))
+
   val catalog: Seq[Q] = Seq(
+
+    // ---- small-file compaction (q127): the maintenance op every
+    // streaming/CDC store eventually needs — micro-batch sinks (q63/q112)
+    // and dynamic-partition upserts accrete files far below the
+    // scan-efficient size, and at 100 TB "too many files" degrades scans
+    // (task-per-file scheduling, footer reads) before anything else does.
+    // A 64-file fragmented store is rebuilt to ceil(n/20000) files with a
+    // shuffle-free coalesce; the emitted report carries the before/after
+    // file counts plus row and value parity so the oracle can restate
+    // every number arithmetically (files_before is pinned by construction,
+    // files_after by the sizing rule, parity by re-aggregation). LayoutSpec
+    // asserts the compaction plan contains NO exchange.
+    Q("q127_compaction",
+      (s, d) => {
+        val frag = java.nio.file.Files
+          .createTempDirectory("graft_frag_").toString
+        val comp = java.nio.file.Files
+          .createTempDirectory("graft_compact_").toString
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        compactStore(s, frag, targetRowsPerFile = 20000L, outPath = comp)
+        s.read.parquet(comp)
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .select(lit(parquetFileCount(frag)).as("files_before"),
+            lit(parquetFileCount(comp)).as("files_after"),
+            col("n_rows"), col("sum_qty"))
+      },
+      Some("""SELECT 64 AS files_before,
+              CAST(ceil(count(*) / 20000.0) AS BIGINT) AS files_after,
+              count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem""")),
 
     // ---- z-order layout (q125): lineitem written z-ordered on
     // (l_partkey, l_suppkey), then a 2-D box query served FROM THE

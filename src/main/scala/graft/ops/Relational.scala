@@ -786,5 +786,51 @@ object Relational {
                 CAST(NULL AS DOUBLE), min(l_linestatus), max(l_linestatus),
                 true FROM lineitem)
               ORDER BY column_name"""))
+  ,
+
+    // ---- sketch-based heavy hitters (q130): the skew DIAGNOSIS operator
+    // — find every key above a frequency threshold without ever shuffling
+    // the full key set. Two passes: (1) a Misra-Gries mergeable summary
+    // (expr/HeavyHitters, k=64 counters) reduces each map partition to
+    // ≤ k candidates before the exchange — the guarantee (no key above
+    // n/k is ever dropped, for ANY partitioning/merge order) makes the
+    // candidate set a certain superset of everything above the 5%
+    // threshold since 1/64 < 0.05; (2) candidates broadcast back for an
+    // exact recount (aggregation touches only candidate keys), integer
+    // threshold filter. The FINAL answer is deterministic even though the
+    // sketch content is not (HeavyHittersSpec proves both). Hot keys are
+    // planted arithmetically on event_id (negative ids — disjoint from
+    // real user_ids) so the check is non-vacuous at every SF; this is the
+    // operator you run BEFORE choosing q18/q29's salting keys. At 100 TB:
+    // pass 1 shuffles k·partitions counters (constant per task), pass 2
+    // shuffles only candidate-key rows.
+    Q("q130_heavy_hitters",
+      (s, d) => {
+        import graft.expr.HeavyHitters.misraGries
+        val keyed = Tables.events(s, d).select(
+          when(col("event_id") % 5 === 0, -42L)
+            .when(col("event_id") % 7 === 0, -77L)
+            .when(col("event_id") % 11 === 0, -99L)
+            .otherwise(col("user_id")).as("key"))
+        val candidates = keyed
+          .agg(misraGries(64)(col("key")).as("cand"))
+          .select(explode(col("cand")).as("key"))
+        val total = keyed.agg(count(lit(1)).as("n_total"))
+        keyed.join(broadcast(candidates), Seq("key"), "left_semi")
+          .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * 100L >= col("n_total") * 5L)
+          .select(col("key"), col("cnt"), col("n_total"))
+          .orderBy(col("key"))
+      },
+      Some("""WITH k AS (SELECT CASE WHEN event_id % 5 = 0 THEN -42
+                WHEN event_id % 7 = 0 THEN -77
+                WHEN event_id % 11 = 0 THEN -99
+                ELSE user_id END AS key FROM events),
+              n AS (SELECT count(*) AS n_total FROM k)
+              SELECT key, count(*) AS cnt, n.n_total
+              FROM k, n GROUP BY key, n.n_total
+              HAVING count(*) * 100 >= n.n_total * 5
+              ORDER BY key"""))
   )
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.GraphOps
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coPurchaseEdges: symmetric, deduped, no self-loops") {
+    // orders: (o1: p1 p2 p3), (o2: p1 p2) — p1-p2 co-occur twice but must
+    // appear once per direction
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val e = GraphOps.coPurchaseEdges(li)
+      .as[(Long, Long)].collect().toSet
+    assert(e == Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L)))
+    assert(e.forall { case (a, b) => a != b && e((b, a)) })
+  }
+
+  test("pageRankScaled matches a hand-computed integer recurrence on a " +
+      "star-plus-edge graph") {
+    // graph: hub 1 ↔ {2, 3, 4}, plus 2 ↔ 3. N=4, scale=1000 for hand math
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    // deg: 1→3, 2→2, 3→2, 4→1. r0 = 1000/4 = 250 each. base = 150/4 = 37
+    // it1: r(1) = 37 + (250*85)/(100*2) [from 2] + same [from 3]
+    //             + (250*85)/100 [from 4] = 37 + 106 + 106 + 212 = 461
+    //      r(2) = 37 + (250*85)/(100*3) [from 1] + (250*85)/(100*2) [from 3]
+    //           = 37 + 70 + 106 = 213;  r(3) = 213 by symmetry
+    //      r(4) = 37 + 70 = 107
+    val r1 = GraphOps.pageRankScaled(edges, iters = 1, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 461L, 2L -> 213L, 3L -> 213L, 4L -> 107L))
+    // it2 from (461, 213, 213, 107):
+    //  r(1) = 37 + (213*85)/200 + (213*85)/200 + (107*85)/100
+    //       = 37 + 90 + 90 + 90 = 307
+    //  r(2) = 37 + (461*85)/300 + (213*85)/200 = 37 + 130 + 90 = 257
+    //  r(4) = 37 + 130 = 167
+    val r2 = GraphOps.pageRankScaled(edges, iters = 2, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 307L, 2L -> 257L, 3L -> 257L, 4L -> 167L))
+  }
+
+  test("rank mass is conserved up to integer-floor leakage") {
+    val edges = GraphOps.coPurchaseEdges(
+      Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 11L), (3L, 12L))
+        .toDF("l_orderkey", "l_partkey"))
+    val scale = 1000000000L
+    val ranks = GraphOps.pageRankScaled(edges, iters = 5, scale = scale)
+    val mass = ranks.agg(sum("r")).as[Long].head()
+    val n = 3L // nodes 10, 11, 12
+    // every div floors at most 1 per term; per iteration the loss is
+    // < (#edges + N) — after 5 iterations mass sits just under scale
+    assert(mass <= scale && mass >= scale - 5 * (6 + n) - n)
+  }
+
+  test("result is invariant to input partitioning (integer determinism)") {
+    val li = spark.range(0, 2000L)
+      .selectExpr("id div 4 AS l_orderkey", "id % 37 AS l_partkey")
+    def run(parts: Int) =
+      GraphOps.pageRankScaled(
+          GraphOps.coPurchaseEdges(li.repartition(parts)), iters = 3)
+        .as[(Long, Long)].collect().toMap
+    assert(run(1) == run(7))
+  }
+}

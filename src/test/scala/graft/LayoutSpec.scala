@@ -51,4 +51,31 @@ class LayoutSpec extends SparkSpec {
     assert(readZ <= 16384, s"box scan read $readZ rows from the z layout")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("compaction: exact target file count, byte-equal content, and a " +
+      "shuffle-free plan") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_spec").toString
+    val df = spark.range(0, 50000L)
+      .select(col("id"), (col("id") * 7 % 101).as("v"))
+    df.repartition(40).write.mode("overwrite").parquet(s"$dir/frag")
+    def files(p: String) = new java.io.File(p).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(s"$dir/frag") == 40)
+    val n = LayoutOps.compactStore(spark, s"$dir/frag",
+      targetRowsPerFile = 20000L, outPath = s"$dir/tight")
+    assert(n == 3 && files(s"$dir/tight") == 3)
+    // content parity both directions
+    val a = spark.read.parquet(s"$dir/frag")
+    val b = spark.read.parquet(s"$dir/tight")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the compaction plan is coalesce-over-scan: NO exchange anywhere —
+    // the whole point vs a repartition-based rewrite
+    val plan = spark.read.parquet(s"$dir/frag").coalesce(3)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"compaction plan shuffled: $plan")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
