@@ -678,6 +678,61 @@ object StreamingOps {
                 CAST(m.v AS BIGINT) AS n_violations, m.v = 0 AS pass
               FROM m, a ORDER BY rule""")),
 
+    // ---- streaming MV maintenance (q131): q128's state-merge algebra ON
+    // A STREAM — the revenue view is built from the 90% snapshot and
+    // WRITTEN as v0 of a versioned store; each arriving increment
+    // micro-batch aggregates ITSELF into a partial state (batch-sized
+    // work, map-side partial agg) and merges state-to-state into
+    // v(batch+1) — the fact history is NEVER rescanned, the store is
+    // group-count-sized, and a RETRIED batch re-derives its version from
+    // the newest version ≤ its id (q112's replay-idempotence posture,
+    // same versioned-store machinery). Integer-cents sums and mergeable
+    // HLL sketches make merge order irrelevant (q128's discipline), so
+    // stream ≡ batch exactly and the oracle is q128's aggregate-once SQL
+    // verbatim. This completes the build-once / maintain-incrementally /
+    // serve pattern for AGGREGATES, the triangle q34b/q34c/q109 pins for
+    // LSH and q44b/q44c/q108 pins for IVF.
+    Q("q131_stream_mv",
+      (s, d) => {
+        import graft.ops.MaterializedViewOps.{revenueState, mergeStates,
+          serveView}
+        val store = tempStore("graft_mvstream_")
+        val orders = graft.schema.Tables.orders(s, d)
+        revenueState(orders.filter(col("o_orderkey") % 10 =!= 0))
+          .write.mode("overwrite").parquet(s"$store/v0")
+        runForeachBatch(s, d, "orders")(
+            _.filter(col("o_orderkey") % 10 === 0)) { (batch, batchId) =>
+          val ss = batch.sparkSession
+          val cur = ss.read.parquet(
+            Upsert.versionPathAsOf(ss, store, batchId))
+          mergeStates(cur, revenueState(batch))
+            .write.mode("overwrite").parquet(s"$store/v${batchId + 1}")
+        }
+        val exact = orders.groupBy(
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            col("o_orderstatus").as("status"))
+          .agg(countDistinct(col("o_custkey")).as("cust_ndv"))
+        serveView(s.read.parquet(Upsert.latestVersionPath(s, store)))
+          .join(exact, Seq("month", "status"))
+          .select(col("month"), col("status"), col("n"), col("revenue"),
+            col("avg_price"), col("cust_ndv"),
+            (abs(col("cust_ndv_est") - col("cust_ndv")) <=
+              greatest(lit(1.0), col("cust_ndv") * 0.05))
+              .as("ndv_est_ok"))
+          .orderBy(col("month"), col("status"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+              o_orderstatus AS status, count(*) AS n,
+              round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0,
+                2) AS revenue,
+              round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                / (count(*) * 100.0), 2) AS avg_price,
+              count(DISTINCT o_custkey) AS cust_ndv,
+              true AS ndv_est_ok
+              FROM orders
+              GROUP BY 1, 2
+              ORDER BY month, status""")),
+
     // ---- streaming tokenizer application (q114): the serving posture of
     // the q84→q110 tokenize-train-apply loop — the merge table is trained
     // ONCE on the snapshot (docs below the 80% cut), WRITTEN as the

@@ -208,6 +208,19 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming MV maintenance equals the batch incremental merge " +
+      "(q131 serves the same view as q128, exactly)") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("q131_stream_mv")(spark, sf)
+      .as[(String, String, Long, Double, Double, Long, Boolean)]
+      .collect().toSet
+    val batch = SparkEntry.queries("q128_incremental_mv")(spark, sf)
+      .as[(String, String, Long, Double, Double, Long, Boolean)]
+      .collect().toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty && stream.forall(_._7))
+  }
+
   test("streaming drift gate equals the batch PSI report (q116 scores " +
       "arrivals against the written baseline profile)") {
     val sf = "/root/testdata/sf0.001"
