@@ -53,7 +53,9 @@ object ScaleCurve {
       "q99_event_transitions", "q100_source_health", "q101_curriculum",
       "q102_chunk_dedup_clean", "q103_decontam_report", "q104_rag_chunks",
       "q105_embedding_health", "q106_vocab_coverage",
-      "q110_bpe_encode", "q111_quality_logistic", "q115_drift_psi")
+      "q110_bpe_encode", "q111_quality_logistic", "q115_drift_psi",
+      "q127_compaction", "q128_incremental_mv", "q129_pagerank",
+      "q130_heavy_hitters")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running
