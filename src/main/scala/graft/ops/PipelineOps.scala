@@ -968,6 +968,47 @@ object PipelineOps {
               SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
               FROM r WHERE rk <= 10 ORDER BY source, rk""")),
 
+    // ---- weighted sample without replacement (q132): Efraimidis-
+    // Spirakis A-ES — q89's reproducible-draw discipline GENERALIZED to
+    // weights (sample docs ∝ length, the standard curriculum/eval-draw
+    // shape). Each doc gets a deterministic uniform u ∈ (0,1] from md5
+    // (the only numeric hash both engines share bit-exact: first 8 hex
+    // chars → BIGINT), and the k docs with the LARGEST key ln(u)/w are
+    // the weighted sample — provably equivalent to sequential weighted
+    // draws without replacement (Efraimidis & Spirakis 2006). The key is
+    // rounded at 9 dp BEFORE ranking so both engines rank identical
+    // doubles (ln differs in the last ulp across libms; the q43 float
+    // discipline), ties broken by doc_id. Execution is ONE PASS through
+    // the bounded TopKByScore aggregate: every map task reduces its
+    // slice to ≤ k candidates before the exchange — no window, no global
+    // sort, shuffle = k·partitions rows at any corpus size. No seed
+    // coordination: same corpus → same sample on any engine, any
+    // partitioning, any day.
+    Q("q132_weighted_sample",
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(col("doc_id"),
+            col("n_chars"),
+            ((conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+              16, 10).cast("long") + 1L) / 4294967297.0).as("u"))
+          .select(col("doc_id"), col("n_chars"),
+            round(log(col("u")) / greatest(col("n_chars"), lit(1L)), 9)
+              .as("key"))
+        scored.agg(graft.expr.TopKAgg.topK(50)(col("key"), col("doc_id"))
+            .as("sel"))
+          .select(explode(col("sel")).as("s"))
+          .select(col("s.id").as("doc_id"), col("s.score").as("key"))
+          .join(scored.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .orderBy(col("key").desc, col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id, n_chars,
+                round(ln((CAST('0x' ||
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    + 1) / 4294967297.0)
+                  / greatest(n_chars, 1), 9) AS key
+              FROM documents)
+              SELECT doc_id, key, n_chars FROM s
+              ORDER BY key DESC, doc_id LIMIT 50""")),
+
     // ---- vocabulary building (tokenizer training's first pass): corpus-
     // wide token frequencies, top 100 by count. One explode → partial+final
     // count agg (the shuffle carries (token, partial count), not text) →

@@ -278,4 +278,34 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 2L, 0L, 2L, 1.0),
       (3L, 2L, 0L, 2L, 0.5)), out)
   }
+
+  test("weighted sample (q132): the single-pass TopK aggregate selects " +
+      "exactly the A-ES keys a reference implementation computes") {
+    // replicate the formula off-Spark: md5-hex[0,8) → uniform → ln(u)/w,
+    // rounded 9 dp, top-5 by (key desc, id asc)
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1L) / 4294967297.0
+      BigDecimal(math.log(u) / math.max(w, 1L))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val docs = (1L to 200L).map(i => (i, if (i % 10 == 0) 5000L else 50L))
+    val expected = docs.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(5)
+    val got = docs.toDF("doc_id", "n_chars")
+      .select(col("doc_id"), col("n_chars"),
+        round(log((conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+            16, 10).cast("long") + lit(1L)) / 4294967297.0)
+          / greatest(col("n_chars"), lit(1L)), 9).as("key"))
+      .agg(graft.expr.TopKAgg.topK(5)(col("key"), col("doc_id")).as("sel"))
+      .select(explode(col("sel")).as("s"))
+      .select(col("s.id"), col("s.score"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got === expected)
+    // weight skew shows: heavy docs (10% of corpus) dominate the sample
+    assert(got.count(_._1 % 10 == 0) >= 3,
+      s"heavy docs underrepresented: $got")
+  }
 }
