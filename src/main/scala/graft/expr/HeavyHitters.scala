@@ -71,14 +71,66 @@ final class MisraGries(k: Int)
     HeavyHitters.seqEncoder
 }
 
+/** One surviving counter of a Misra-Gries summary. */
+final case class MGEntry(key: Long, cnt: Long)
+
+/** [[MisraGries]] with the COUNTERS exposed (not just the keys): the form
+  * a maintained/streaming summary needs, since cross-batch merging
+  * operates on (key, lower-bound count) pairs. Same reduce/merge. */
+final class MisraGriesSummary(k: Int)
+    extends Aggregator[Long, Map[Long, Long], Seq[MGEntry]] {
+  private val inner = new MisraGries(k)
+  override def zero: Map[Long, Long] = inner.zero
+  override def reduce(b: Map[Long, Long], key: Long): Map[Long, Long] =
+    inner.reduce(b, key)
+  override def merge(b1: Map[Long, Long], b2: Map[Long, Long])
+      : Map[Long, Long] = inner.merge(b1, b2)
+  override def finish(buf: Map[Long, Long]): Seq[MGEntry] =
+    buf.toSeq.sortBy(_._1).map { case (x, c) => MGEntry(x, c) }
+  override def bufferEncoder: Encoder[Map[Long, Long]] =
+    HeavyHitters.mapEncoder
+  override def outputEncoder: Encoder[Seq[MGEntry]] =
+    HeavyHitters.entrySeqEncoder
+}
+
 object HeavyHitters {
   private[expr] lazy val mapEncoder: Encoder[Map[Long, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
   private[expr] lazy val seqEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  private[expr] lazy val entrySeqEncoder: Encoder[Seq[MGEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[MGEntry]]()
 
   /** misra_gries(key) as a Column: returns array<bigint> of candidate
     * keys — every key with frequency > n/k is guaranteed present. */
   def misraGries(k: Int)(key: Column): Column =
     udaf(new MisraGries(k), Encoders.scalaLong).apply(key)
+
+  /** misra_gries_summary(key): array<struct<key,cnt>> — counters kept. */
+  def misraGriesSummary(k: Int)(key: Column): Column =
+    udaf(new MisraGriesSummary(k), Encoders.scalaLong).apply(key)
+
+  /** The Agarwal/Cormode summary merge expressed RELATIONALLY, for
+    * merging a stored summary with a new batch's summary (the streaming
+    * maintenance path, q134): sum counters per key, then subtract the
+    * (k+1)-th largest total from every counter and keep the positive
+    * ones (≤ k survive; when ≤ k keys exist the cut is 0 and nothing is
+    * lost). Input: (key, cnt) rows from any number of summaries; both
+    * the cut and the subtraction are integer-exact, and error bounds add
+    * across merges exactly as in the in-JVM merge, so any key above
+    * n_total/k still survives an arbitrary merge tree.
+    */
+  def mergeSummaries(summaries: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val summed = summaries.groupBy(col("key"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val cut = summed.select(col("cnt")).orderBy(col("cnt").desc)
+      .limit(k + 1)
+      .agg(when(count(lit(1)) === k + 1, min(col("cnt")))
+        .otherwise(lit(0L)).as("cut"))
+    summed.crossJoin(broadcast(cut))
+      .select(col("key"), (col("cnt") - col("cut")).as("cnt"))
+      .filter(col("cnt") > 0L)
+  }
 }

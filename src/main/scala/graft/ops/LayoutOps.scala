@@ -89,6 +89,75 @@ object LayoutOps {
   private def parquetFileCount(path: String): Long =
     new java.io.File(path).listFiles.count(_.getName.endsWith(".parquet"))
 
+  /** Partition width for [[zOrderWriteBucketed]] stores: a FIXED constant
+    * (not data-derived), so increments assign to partitions without any
+    * frozen-boundary metadata — the same reason auto-increment keys make
+    * range partitioning maintenance-friendly. */
+  val ZPartWidth = 256L
+
+  /** Z-ordered store with a coarse range-partition directory layer — the
+    * lakehouse layout (`PARTITIONED BY (range) ... ZORDER BY (a, b)`):
+    * rows land in `part_range = partCol div ZPartWidth` directories and
+    * are z-sorted WITHIN each, so scans prune twice (directory pruning on
+    * the range predicate, then row-group stats inside). This is the
+    * layout that makes z-order MAINTAINABLE: new data touches only its
+    * key-range partitions.
+    */
+  def zOrderWriteBucketed(df: DataFrame, partCol: String, colA: String,
+      colB: String, bits: Int, path: String): Unit = {
+    val z = "_graft_z"
+    val withCols = df
+      .withColumn("part_range", expr(s"$partCol div $ZPartWidth"))
+      .withColumn(z, zOrder2(col(colA), col(colB), bits))
+    withCols.repartition(col("part_range"))
+      .sortWithinPartitions(col("part_range"), col(z))
+      .drop(z)
+      .write.partitionBy("part_range").mode("overwrite").parquet(path)
+  }
+
+  /** Incremental OPTIMIZE-ZORDER: merge `increment` into a
+    * [[zOrderWriteBucketed]] store, re-clustering ONLY the partitions the
+    * increment touches (partition-pruned read + dynamic partition
+    * overwrite — untouched directories are never read OR written, the
+    * q21 upsert posture applied to layout maintenance). The touched-value
+    * collect is bounded by construction: ≤ key-range/ZPartWidth values,
+    * never rows (the `Upsert.partitionedUpsert` precedent). At 100 TB
+    * with sequentially-allocated keys an increment touches a handful of
+    * ranges, so maintenance cost ∝ increment + its partitions — the
+    * property a full-rewrite OPTIMIZE lacks.
+    */
+  def zOrderMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+      increment: DataFrame, partCol: String, colA: String, colB: String,
+      bits: Int): Unit = {
+    val inc = increment
+      .withColumn("part_range", expr(s"$partCol div $ZPartWidth"))
+    val touched = inc.select(col("part_range")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // partition-dir inference types part_range as INT; cast back to the
+    // increment's LONG so the union resolves without a widening surprise
+    val slice = spark.read.parquet(path)
+      .filter(col("part_range").isin(touched: _*))
+      .withColumn("part_range", col("part_range").cast("long"))
+      .select(inc.columns.map(col): _*)
+    val z = "_graft_z"
+    val merged = slice.unionByName(inc)
+      .withColumn(z, zOrder2(col(colA), col(colB), bits))
+      .repartition(col("part_range"))
+      .sortWithinPartitions(col("part_range"), col(z))
+      .drop(z)
+    val prev = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("part_range")
+      .parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   val catalog: Seq[Q] = Seq(
 
     // ---- small-file compaction (q127): the maintenance op every
@@ -159,6 +228,50 @@ object LayoutOps {
               FROM lineitem
               WHERE l_partkey BETWEEN 100 AND 160
                 AND l_suppkey BETWEEN 10 AND 40
+              GROUP BY l_partkey, l_suppkey
+              ORDER BY l_partkey, l_suppkey""")),
+
+    // ---- incremental z-order maintenance (q133): the layout family's
+    // build-once / maintain-incrementally twin (the q44c/q121/q131
+    // posture applied to q125). The store is range-partitioned on
+    // l_partkey (width 256, a frozen constant) and z-ordered within each
+    // partition; the "arriving products" increment is a CONTIGUOUS key
+    // range [100, 355] — the shape sequentially-allocated keys always
+    // produce — so maintenance partition-prunes to ranges 0-1, re-clusters
+    // just those, and dynamic-overwrites them while every other directory
+    // stays byte-identical (LayoutSpec proves both the byte-stability and
+    // that the maintained store's box scan still prunes). The served box
+    // query straddles maintained and untouched partitions, so parity
+    // catches a maintenance bug on either side; the oracle restates the
+    // full-table answer plus the Morton arithmetic.
+    Q("q133_zorder_maintain",
+      (s, d) => {
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_zmaint_").toString
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        val isInc = col("l_partkey").between(100, 355)
+        zOrderWriteBucketed(li.filter(!isInc), "l_partkey", "l_partkey",
+          "l_suppkey", bits = 16, path = store)
+        zOrderMaintain(s, store, li.filter(isInc), "l_partkey",
+          "l_partkey", "l_suppkey", bits = 16)
+        s.read.parquet(store)
+          .filter(col("l_partkey").between(200, 600) &&
+            col("l_suppkey").between(5, 35))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .withColumn("zval",
+            zOrder2(col("l_partkey"), col("l_suppkey"), 16))
+          .orderBy(col("l_partkey"), col("l_suppkey"))
+      },
+      Some(s"""SELECT l_partkey, l_suppkey, count(*) AS n,
+              round(sum(l_quantity), 2) AS sum_qty,
+              CAST(${zOrder2Sql("l_partkey", "l_suppkey", 16)} AS BIGINT)
+                AS zval
+              FROM lineitem
+              WHERE l_partkey BETWEEN 200 AND 600
+                AND l_suppkey BETWEEN 5 AND 35
               GROUP BY l_partkey, l_suppkey
               ORDER BY l_partkey, l_suppkey"""))
   )

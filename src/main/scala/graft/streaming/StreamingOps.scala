@@ -733,6 +733,63 @@ object StreamingOps {
               GROUP BY 1, 2
               ORDER BY month, status""")),
 
+    // ---- streaming heavy-hitter maintenance (q134): q130's skew
+    // diagnosis ON A STREAM — each arriving events micro-batch reduces
+    // itself to a ≤ k-counter Misra-Gries summary (batch-sized work,
+    // partial-aggregated), which merges RELATIONALLY into the stored
+    // summary (HeavyHitters.mergeSummaries — the Agarwal/Cormode merge as
+    // a groupBy + (k+1)-th-largest cut; summary-sized work) under the
+    // q112 versioned-store replay rule. The summary CONTENT depends on
+    // batch boundaries, but the guarantee does not: error bounds add
+    // across merges, so every key above n_total/k survives ANY merge
+    // tree — and the serve step recounts candidates exactly and
+    // thresholds at 5% ≫ 1/64, making the FINAL answer deterministic and
+    // equal to batch q130's (same oracle verbatim, StreamingSpec asserts
+    // the equality). This is the monitoring shape at scale: the summary
+    // store stays k-sized forever while the stream is unbounded.
+    Q("q134_stream_heavy_hitters",
+      (s, d) => {
+        import graft.expr.HeavyHitters.{misraGriesSummary, mergeSummaries}
+        val store = tempStore("graft_hh_")
+        def keyed(df: DataFrame) = df.select(
+          when(col("event_id") % 5 === 0, -42L)
+            .when(col("event_id") % 7 === 0, -77L)
+            .when(col("event_id") % 11 === 0, -99L)
+            .otherwise(col("user_id")).as("key"))
+        s.range(0).select(col("id").as("key"), col("id").as("cnt"))
+          .write.mode("overwrite").parquet(s"$store/v0")
+        runForeachBatch(s, d, "events")(identity) { (batch, batchId) =>
+          val ss = batch.sparkSession
+          val batchSumm = keyed(batch)
+            .agg(misraGriesSummary(64)(col("key")).as("s"))
+            .select(explode(col("s")).as("e"))
+            .select(col("e.key").as("key"), col("e.cnt").as("cnt"))
+          val cur = ss.read.parquet(
+            Upsert.versionPathAsOf(ss, store, batchId))
+          mergeSummaries(cur.unionByName(batchSumm), 64)
+            .write.mode("overwrite").parquet(s"$store/v${batchId + 1}")
+        }
+        val cand = s.read.parquet(Upsert.latestVersionPath(s, store))
+          .select(col("key"))
+        val static = keyed(graft.schema.Tables.events(s, d))
+        val total = static.agg(count(lit(1)).as("n_total"))
+        static.join(broadcast(cand), Seq("key"), "left_semi")
+          .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * 100L >= col("n_total") * 5L)
+          .select(col("key"), col("cnt"), col("n_total"))
+          .orderBy(col("key"))
+      },
+      Some("""WITH k AS (SELECT CASE WHEN event_id % 5 = 0 THEN -42
+                WHEN event_id % 7 = 0 THEN -77
+                WHEN event_id % 11 = 0 THEN -99
+                ELSE user_id END AS key FROM events),
+              n AS (SELECT count(*) AS n_total FROM k)
+              SELECT key, count(*) AS cnt, n.n_total
+              FROM k, n GROUP BY key, n.n_total
+              HAVING count(*) * 100 >= n.n_total * 5
+              ORDER BY key""")),
+
     // ---- streaming tokenizer application (q114): the serving posture of
     // the q84→q110 tokenize-train-apply loop — the merge table is trained
     // ONCE on the snapshot (docs below the 80% cut), WRITTEN as the

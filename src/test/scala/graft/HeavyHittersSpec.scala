@@ -42,6 +42,29 @@ class HeavyHittersSpec extends SparkSpec {
     assert(run(1) == expected && run(4) == expected && run(13) == expected)
   }
 
+  test("relational mergeSummaries: bounds hold across an arbitrary " +
+      "merge tree and the result stays ≤ k counters") {
+    import graft.expr.HeavyHitters.{misraGriesSummary, mergeSummaries}
+    val k = 16
+    def summarize(parts: Int, mod: Int, keep: Int) = stream
+      .filter(expr(s"key % $mod = $keep OR key < 100")) // slice w/ heavies
+      .repartition(parts)
+      .agg(misraGriesSummary(k)(col("key")).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.key").as("key"), col("e.cnt").as("cnt"))
+    // three slices covering the stream (key<100 heavies in each on
+    // purpose; tail split 3 ways) merged relationally
+    val merged = mergeSummaries(
+      summarize(3, 3, 0).unionByName(summarize(5, 3, 1))
+        .unionByName(summarize(2, 3, 2)), k)
+      .as[(Long, Long)].collect().toMap
+    assert(merged.size <= k)
+    // heavies were triplicated by the slicing (3 × 2000 and 3 × 1000 of
+    // 3 × 3000 heavy rows + 7000 tail = 16000 total); n/k = 1000
+    assert(merged.contains(1L) && merged.contains(2L))
+    assert(merged(1L) >= 6000L - 16000L / k && merged(1L) <= 6000L)
+  }
+
   test("merge preserves the additive error bound (counter ≥ true − n/k)") {
     val mg = new MisraGries(8)
     // two slices with a shared heavy key and disjoint noise

@@ -78,4 +78,40 @@ class LayoutSpec extends SparkSpec {
     assert(exchanges.isEmpty, s"compaction plan shuffled: $plan")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("incremental z-order maintenance rewrites ONLY touched range " +
+      "partitions (others byte-identical) with full-content parity") {
+    val dir = java.nio.file.Files.createTempDirectory("zmaint_spec").toString
+    val grid = spark.range(0, 4096L)
+      .selectExpr("id % 1024 AS k", "id div 7 % 64 AS v")
+    val isInc = col("k") < 256 // increment = key range [0, 256) → part 0
+    LayoutOps.zOrderWriteBucketed(grid.filter(!isInc), "k", "k", "v",
+      bits = 10, path = s"$dir/store")
+    def dirDigests(): Map[String, Seq[(String, String)]] =
+      new java.io.File(s"$dir/store").listFiles.filter(_.isDirectory)
+        .map { d =>
+          d.getName -> d.listFiles.filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).toSeq.map { f =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              f.getName -> md.digest(
+                java.nio.file.Files.readAllBytes(f.toPath))
+                .map("%02x".format(_)).mkString
+            }
+        }.toMap
+    val before = dirDigests()
+    assert(before.keySet == Set("part_range=1", "part_range=2",
+      "part_range=3"))
+    LayoutOps.zOrderMaintain(spark, s"$dir/store", grid.filter(isInc),
+      "k", "k", "v", bits = 10)
+    val after = dirDigests()
+    // new partition materialized; every pre-existing one untouched
+    assert(after.keySet ==
+      Set("part_range=0", "part_range=1", "part_range=2", "part_range=3"))
+    for (p <- before.keySet)
+      assert(after(p) == before(p), s"$p was rewritten by maintenance")
+    // content parity with the source, both directions
+    val got = spark.read.parquet(s"$dir/store").select(col("k"), col("v"))
+    assert(got.exceptAll(grid).isEmpty && grid.exceptAll(got).isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -221,6 +221,17 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty && stream.forall(_._7))
   }
 
+  test("streaming heavy-hitter maintenance serves exactly the batch " +
+      "answer (q134 ≡ q130 after exact recount + threshold)") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("q134_stream_heavy_hitters")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q130_heavy_hitters")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming drift gate equals the batch PSI report (q116 scores " +
       "arrivals against the written baseline profile)") {
     val sf = "/root/testdata/sf0.001"
