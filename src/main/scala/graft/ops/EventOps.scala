@@ -433,6 +433,45 @@ object EventOps {
               SELECT c.from_type, c.to_type, c.n,
                 round(c.n * 1.0 / t.tot, 4) AS p
               FROM c JOIN t USING (from_type)
-              ORDER BY from_type, to_type"""))
+              ORDER BY from_type, to_type""")),
+
+    // ---- built-in session windows (q135): Spark's `session_window`
+    // aggregate — the idiomatic sessionization (q53's lag+cumsum islands
+    // formulation re-expressed as ONE merging-window aggregation). Why
+    // both exist: the window formulation needs a per-user SORT of all
+    // events; session_window is an AGGREGATE — partial session fragments
+    // merge map-side before the exchange, and the same expression runs
+    // unchanged under Structured Streaming state (q136 proves it on the
+    // stream). Session end = last event + gap (Spark's semantics, the
+    // oracle restates it as floor(epoch(max ts)) + gap). 6-hour gap ≈
+    // the corpus's median inter-event spacing, so the session structure
+    // is non-trivial at every SF.
+    Q("q135_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start"),
+          unix_timestamp(col("w.end")).as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH x AS (SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              g AS (SELECT *, sum(brk) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+              SELECT user_id,
+                CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                CAST(floor(epoch(max(ts))) AS BIGINT) + 21600
+                  AS session_end,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+              FROM g GROUP BY user_id, sid
+              ORDER BY user_id, session_start"""))
   )
 }

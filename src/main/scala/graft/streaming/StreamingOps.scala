@@ -790,6 +790,52 @@ object StreamingOps {
               HAVING count(*) * 100 >= n.n_total * 5
               ORDER BY key""")),
 
+    // ---- streaming session windows, APPEND mode (q136): q135's
+    // `session_window` aggregate running under Structured Streaming state
+    // — sessions merge in the state store as fragments arrive and are
+    // emitted EXACTLY ONCE when the watermark passes their end (the
+    // production sink contract: append-only, no retraction). This entry
+    // puts the append path itself under the driver's oracle (q60/q61
+    // demo complete mode; windowAggAppend was spec-only until now): with
+    // delay 0 the final watermark is the global max event time, so the
+    // emitted set is precisely the sessions whose end (last event + gap)
+    // ≤ max(ts) — each user's still-open trailing session is correctly
+    // HELD BACK, and the oracle states the finalization rule as a HAVING
+    // clause. At scale: state is per-open-session and bounded by the
+    // watermark; emitted rows leave state immediately.
+    Q("q136_stream_session_window",
+      (s, d) => {
+        val out = runToMemory(s, d, "append")(df =>
+          df.withWatermark("ts", "0 seconds")
+            .groupBy(col("user_id"),
+              session_window(col("ts"), "6 hours").as("w"))
+            .agg(count(lit(1)).as("n_events"),
+              round(sum(col("value")), 2).as("sum_value")))
+        out.select(col("user_id"),
+            unix_timestamp(col("w.start")).as("session_start"),
+            unix_timestamp(col("w.end")).as("session_end"),
+            col("n_events"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              g AS (SELECT *, sum(brk) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+              SELECT user_id,
+                CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                CAST(floor(epoch(max(ts))) AS BIGINT) + 21600
+                  AS session_end,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+              FROM g GROUP BY user_id, sid
+              HAVING max(ts) + INTERVAL 6 HOUR <=
+                (SELECT max(ts) FROM events)
+              ORDER BY user_id, session_start""")),
+
     // ---- streaming tokenizer application (q114): the serving posture of
     // the q84→q110 tokenize-train-apply loop — the merge table is trained
     // ONCE on the snapshot (docs below the 80% cut), WRITTEN as the

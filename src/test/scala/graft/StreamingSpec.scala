@@ -221,6 +221,25 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty && stream.forall(_._7))
   }
 
+  test("append-mode session windows emit exactly the finalized subset " +
+      "of the batch sessions (q136 vs q135)") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q135_session_window")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val stream = SparkEntry.queries("q136_stream_session_window")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(stream.nonEmpty && stream.subsetOf(batch))
+    val maxTs = graft.schema.Tables.events(spark, sf)
+      .agg(max(unix_timestamp(col("ts")))).as[Long].head()
+    // everything held back is a session still open at the final
+    // watermark; everything comfortably closed was emitted
+    (batch -- stream).foreach { case (_, _, end, _, _) =>
+      assert(end >= maxTs, s"finalized session held back (end=$end)")
+    }
+    batch.filter(_._3 < maxTs).foreach(sess =>
+      assert(stream(sess), s"closed session not emitted: $sess"))
+  }
+
   test("streaming heavy-hitter maintenance serves exactly the batch " +
       "answer (q134 ≡ q130 after exact recount + threshold)") {
     val sf = "/root/testdata/sf0.001"
