@@ -730,13 +730,22 @@ object Relational {
         val str = li.select(expr(
           """stack(2, 'l_returnflag', l_returnflag,
              'l_linestatus', l_linestatus) as (column_name, v)"""))
-        def stats(m: org.apache.spark.sql.DataFrame) =
-          m.groupBy(col("column_name")).agg(
+        // the exact NDV runs as its OWN aggregation leg, joined back on
+        // the 5-row result: countDistinct mixed into the same agg as
+        // min/max/HLL makes Catalyst plan the Expand-based multi-distinct
+        // shape, recomputing every plain aggregate over the expanded rows
+        // (measured 10.8 s vs 1-2 s per separated leg at sf0.1 — the
+        // combined form was 5× the sum of its parts)
+        def stats(m: org.apache.spark.sql.DataFrame) = {
+          val basic = m.groupBy(col("column_name")).agg(
             count(lit(1)).as("n_rows"),
             sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
-            countDistinct(col("v")).as("ndv"),
             approx_count_distinct(col("v"), rsd = 0.01).as("_andv"),
             min(col("v")).as("_min"), max(col("v")).as("_max"))
+          val ndv = m.groupBy(col("column_name"))
+            .agg(countDistinct(col("v")).as("ndv"))
+          basic.join(ndv, "column_name")
+        }
         val numStats = stats(num).select(col("column_name"), col("n_rows"),
           col("n_nulls"), col("ndv"),
           col("_min").cast("double").as("min_num"),

@@ -55,6 +55,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(mass <= scale && mass >= scale - 5 * (6 + n) - n)
   }
 
+  test("iterations are exchange-free on the dst-clustered layout: " +
+      "5 iterations shuffle no more bytes than 1") {
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      @volatile var bytes = 0L
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes += e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    val li = spark.range(0, 20000L)
+      .selectExpr("id div 4 AS l_orderkey", "id % 211 AS l_partkey")
+    def run(iters: Int): Long = {
+      spark.catalog.clearCache()
+      spark.sparkContext.addSparkListener(meter)
+      meter.bytes = 0L
+      GraphOps.pageRankScaled(GraphOps.coPurchaseEdges(li), iters)
+        .write.mode("overwrite").format("noop").save()
+      Thread.sleep(500) // let listener events drain (ScaleCurve's idiom)
+      val b = meter.bytes
+      spark.sparkContext.removeSparkListener(meter)
+      b
+    }
+    val one = run(1)
+    val five = run(5)
+    assert(one > 0L) // the edge build does shuffle (once)
+    assert(five <= one * 11 / 10,
+      s"iterations shuffled: 1-iter=$one bytes, 5-iter=$five bytes")
+  }
+
   test("result is invariant to input partitioning (integer determinism)") {
     val li = spark.range(0, 2000L)
       .selectExpr("id div 4 AS l_orderkey", "id % 37 AS l_partkey")
