@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    // Dev-only subset filter (comma-separated name prefixes), mirroring
+    // Bench's SPARK_GRAFT_ONLY; the driver sets no env, so its runs always
+    // dump the full catalog.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.keys.toSeq.sorted.filter(selected).foreach { name =>
       // clear per query: persists built inside one query serve its own
       // write, then never accumulate across the 60+-query session
       spark.catalog.clearCache()
@@ -41,6 +48,7 @@ object Verify {
     // Some(null), round 9) must degrade ONE query to a rows-only check,
     // never NPE the escaper and zero the whole round's compare.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .filter { case (k, v) =>
         val ok = v != null && v.trim.nonEmpty
         if (!ok) System.err.println(s"[verify] $k: null/empty oracle, skipped")

@@ -1389,8 +1389,6 @@ object TextOps {
   def exactDedupIncremental(s: SparkSession, d: String,
       table: String = "graft_exact_hash_index"): DataFrame = {
     val docs = Tables.documents(s, d)
-    def norm(c: Column): Column =
-      regexp_replace(lower(trim(c)), "\\s+", " ")
     val cut = docs.agg(
       floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
     val snap = docs.crossJoin(broadcast(cut))
@@ -1399,24 +1397,46 @@ object TextOps {
       .filter(col("doc_id") >= col("cut")).drop("cut")
       .unionByName(snap.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    writeExactHashIndex(s, snap, table)
+    probeExactHashIndex(s, inc, docs, table)
+  }
+
+  /** The q121 snapshot's normalized-text hash index, written once as a
+    * `bucketBy(text_hash)` managed table — 16 bytes/doc. */
+  def writeExactHashIndex(s: SparkSession, snap: DataFrame,
+      table: String): Unit = {
     Tables.resetManagedTable(s, table)
-    snap.select(col("doc_id"), xxhash64(norm(col("text"))).as("text_hash"))
+    snap.select(col("doc_id"),
+        xxhash64(normText(col("text"))).as("text_hash"))
       .write.bucketBy(8, "text_hash").mode("overwrite").saveAsTable(table)
+  }
+
+  /** Probe the written hash index with an increment: map-side hash,
+    * bucket-satisfied equi-join (only increment hashes shuffle), then the
+    * collision-proof exact normalized-text verify against the snapshot
+    * source docs (candidate-sized fetch — the q34/q35 verify discipline).
+    * Output: (snap_id, inc_id) exact-duplicate pairs. */
+  def probeExactHashIndex(s: SparkSession, inc: DataFrame,
+      snapSource: DataFrame, table: String): DataFrame = {
     val cand = s.table(table).select(col("doc_id").as("snap_id"),
         col("text_hash"))
       .join(inc.select(col("doc_id").as("inc_id"),
-        xxhash64(norm(col("text"))).as("text_hash")), Seq("text_hash"))
+        xxhash64(normText(col("text"))).as("text_hash")), Seq("text_hash"))
       .select(col("snap_id"), col("inc_id"))
     // collision-proof verify: fetch the two normalized texts for surviving
     // candidates only (re-crawl ids map back to their source doc)
-    val snapTxt = docs.select(col("doc_id").as("snap_id"),
-      norm(col("text")).as("_snap_t"))
+    val snapTxt = snapSource.select(col("doc_id").as("snap_id"),
+      normText(col("text")).as("_snap_t"))
     val incTxt = inc.select(col("doc_id").as("inc_id"),
-      norm(col("text")).as("_inc_t"))
+      normText(col("text")).as("_inc_t"))
     cand.join(snapTxt, Seq("snap_id")).join(incTxt, Seq("inc_id"))
       .filter(col("_snap_t") === col("_inc_t"))
       .select(col("snap_id"), col("inc_id"))
   }
+
+  /** The exact-dedup normalization all q31/q121-family paths share. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
 
   /** SimHash signatures: (doc_id, tk: array<string>) → (doc_id, simhash)
     * with a 64-bit signature per doc (8 bytes — the whole index for a

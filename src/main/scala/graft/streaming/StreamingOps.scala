@@ -564,6 +564,64 @@ object StreamingOps {
              WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5
              ORDER BY id_a, id_b""")),
 
+    // ---- streaming EXACT-dedup gate (q137): q121's written hash index
+    // probed by arriving docs per micro-batch — the third streaming probe
+    // of a written index (LSH q109, IVF q108), completing the
+    // batch / written-index / streaming triangle for the EXACT-dedup
+    // pillar (q31 / q121 / q137) exactly as it exists for near-dup text
+    // and ANN. Static side: the snapshot (docs below the 80% cut) hashes
+    // ONCE into the bucketed index. Stream side: the increment — the
+    // remaining docs plus q121's simulated re-crawl (every 7th snapshot
+    // doc re-arriving under id+1,000,000), both expressed INSIDE the
+    // stream projection so the re-fetched pages flow through the same
+    // micro-batches a crawler would deliver them in — hashes map-side,
+    // equi-joins the index on text_hash (bucket layout satisfies the
+    // index side: only the batch's 8-byte hashes shuffle), and every
+    // candidate is verified by exact normalized-text equality against the
+    // snapshot source, so a hash collision cannot admit a false pair.
+    // Per-batch cost ∝ arrival rate; the snapshot is never re-hashed. No
+    // state store: the index IS the state, which is what lets the gate
+    // restart from nothing. Output = q121's pair set, same oracle.
+    Q("q137_stream_exact_dedup_gate",
+      (s, d) => {
+        import graft.ops.TextOps
+        val docs = graft.schema.Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val table = "graft_exact_gate_index"
+        TextOps.writeExactHashIndex(s,
+          docs.filter(col("doc_id") < cut), table)
+        val store = tempStore("graft_exact_gate_out")
+        runForeachBatch(s, d, "documents")(df =>
+          // the increment, as the stream delivers it: fresh docs plus the
+          // re-crawled every-7th snapshot page under its re-fetch id
+          df.filter(col("doc_id") >= cut || col("doc_id") % 7 === 0)
+            .withColumn("doc_id",
+              when(col("doc_id") < cut, col("doc_id") + lit(1000000L))
+                .otherwise(col("doc_id")))) { (batch, _) =>
+          TextOps.probeExactHashIndex(batch.sparkSession, batch,
+              docs.filter(col("doc_id") < cut), table)
+            .write.mode("append").parquet(store)
+          ()
+        }
+        s.read.parquet(store).orderBy(col("snap_id"), col("inc_id"))
+      },
+      // q121's oracle verbatim: one increment derivation, two engine paths
+      Some("""WITH cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8)
+                AS BIGINT) AS cut FROM documents),
+              n AS (SELECT doc_id,
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM documents),
+              snap AS (SELECT n.doc_id, t FROM n, cut
+                WHERE n.doc_id < cut.cut),
+              inc AS (
+                SELECT n.doc_id, t FROM n, cut WHERE n.doc_id >= cut.cut
+                UNION ALL
+                SELECT doc_id + 1000000, t FROM snap WHERE doc_id % 7 = 0)
+              SELECT s.doc_id AS snap_id, i.doc_id AS inc_id
+              FROM snap s JOIN inc i ON s.t = i.t
+              ORDER BY snap_id, inc_id""")),
+
     // ---- streaming CDC upsert WITH DELETES (q112, VERDICT r10 #7): q63
     // streams insert-if-absent and q76 batch-merges D/I/U — this closes
     // the gap between them: a changelog STREAM (synthesized from orders

@@ -180,6 +180,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows("q109_stream_neardup_gate").nonEmpty)
   }
 
+  test("streaming exact-dedup gate emits exactly the batch q121 pairs, " +
+      "including every planted re-crawl (one index, two probe paths)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("snap_id", "inc_id")
+      .as[(Long, Long)].collect().toSet
+    val stream = rows("q137_stream_exact_dedup_gate")
+    assert(stream === rows("q121_exact_dedup_indexed"))
+    // non-vacuous by construction: every 7th snapshot doc re-arrives under
+    // id+1,000,000 and MUST be caught by the gate
+    val docs = graft.schema.Tables.documents(spark, sf)
+    val cut = math.floor((docs.agg(org.apache.spark.sql.functions
+      .max($"doc_id")).head.getLong(0) + 1) * 0.8).toLong
+    val planted = docs.filter($"doc_id" < cut && $"doc_id" % 7 === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(planted.nonEmpty)
+    assert(planted.map(id => (id, id + 1000000L)).subsetOf(stream))
+  }
+
   test("streaming CDC upsert with deletes equals the batch CDC merge " +
       "(q112 replays q76's changelog through the versioned store)") {
     val sf = "/root/testdata/sf0.001"

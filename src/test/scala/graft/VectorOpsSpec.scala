@@ -336,4 +336,36 @@ class VectorOpsSpec extends SparkSpec {
     assert(out === List((1, 2L, 2, 2, 1L, 2.5), (2, 2L, 2, 3, 0L, 3.0)),
       out)
   }
+
+  test("embed classifier: one-hot vectors read the weight pattern back, " +
+      "keep is the logit sign, scoring plan shuffles only for the sort") {
+    // w_i = (((i*37) % 19) - 9) / 10 → w_0 = -0.9, w_1 = 0.9, w_2 = 0.8;
+    // a one-hot at i scores exactly w_i, a 2× one-hot exactly 2·w_i.
+    def oneHot(i: Int, scale: Float = 1f) =
+      Array.tabulate(64)(j => if (j == i) scale else 0f)
+    val rows = Seq(
+      (1L, 0, oneHot(1)), // logit  0.9 → keep
+      (2L, 0, oneHot(0)), // logit -0.9 → drop
+      (3L, 1, oneHot(2, 2f))) // logit 1.6 → keep
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("q138spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = SparkEntry.queries("q138_embed_classifier")(spark, dir)
+    val out = df.as[(Long, Int, Double, Double, Boolean)].collect().toList
+    def probQ(logit: Double) =
+      math.floor(10000.0 / (1.0 + math.exp(-logit))) / 10000
+    assert(out === List(
+      (1L, 0, 0.9, probQ(0.9), true),
+      (2L, 0, -0.9, probQ(-0.9), false),
+      (3L, 1, 1.6, probQ(1.6), true)), out)
+    // the map-side claim, measured: the only shuffle in the executed plan
+    // is the final orderBy's range partitioning — scoring itself adds none
+    // (AQE plan strings carry Initial AND Final plans; inspect Final only)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1, plan)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
