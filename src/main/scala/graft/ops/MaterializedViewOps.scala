@@ -66,6 +66,135 @@ object MaterializedViewOps {
       round(col("cents") / (col("n") * 100.0), 2).as("avg_price"),
       hll_sketch_estimate(col("cust_hll")).as("cust_ndv_est"))
 
+  /** Histogram bin width in cents ($100): the quantile view's resolution
+    * knob. Integer-division binning (`div`) keeps the whole structure in
+    * exact BIGINT arithmetic — no float boundary can disagree between
+    * engines or between increments. */
+  private val BinW = 10000L
+
+  /** Mergeable quantile state: per-(month, status) FIXED-BIN integer
+    * histogram, stored relationally as (month, status, bin, cnt) rows.
+    * This is the missing member of the mergeable-stat family (count/sum
+    * merge by addition, NDV by HLL union — quantiles by ADDING BIN
+    * COUNTS): constant-space per group (≤ domain/BinW bins), and
+    * split-then-merge equals aggregate-once EXACTLY, not approximately,
+    * because the bins are fixed a priori — unlike a t-digest, whose
+    * merge drifts with input order. Estimation error is bounded by one
+    * bin width by construction. */
+  def priceHistogramState(orders: DataFrame): DataFrame =
+    orders.groupBy(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus").as("status"),
+        expr(s"CAST(round(o_totalprice * 100) AS BIGINT) div $BinW")
+          .as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge histogram-state slices: bins add. Associative + commutative. */
+  def mergeHistogramStates(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("month"), col("status"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Serve p50/p95/p99 from the merged histogram: the type-1 estimate is
+    * the lower edge of the bin where the cumulative count first reaches
+    * ceil(q·n) — every step integer arithmetic (`div` for the ceiling),
+    * so both engines and any increment split derive the identical bin.
+    * The window is per-group over OCCUPIED BINS (≤ domain/BinW rows), not
+    * over raw data — serving cost is view-sized at any fact scale. */
+  def serveQuantiles(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = state.groupBy(col("month"), col("status"))
+      .agg(sum(col("cnt")).as("n"))
+    val cum = state.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("month"), col("status"))
+        .orderBy(col("bin"))))
+      .join(tot, Seq("month", "status"))
+    def estBin(pct: Int) =
+      min(when(col("cum") >= expr(s"(n * $pct + 99) div 100"), col("bin")))
+        .as(s"b$pct")
+    cum.groupBy(col("month"), col("status"), col("n"))
+      .agg(estBin(50), estBin(95), estBin(99))
+  }
+
+  /** Serve the quantile view with its in-plan error-bound proof: the
+    * exact type-1 percentile (verification-only linear pass over the
+    * fact table, q128's exact-NDV discipline) must land in the estimated
+    * bin — `pXX_ok` states it as integer bin equality. Shared by batch
+    * (q139) and streaming (q140) maintenance, so the proof runs on both
+    * engine paths. */
+  def serveQuantilesVerified(state: DataFrame, orders: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = serveQuantiles(state)
+    val ranked = orders.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus").as("status"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("month"), col("status"))
+          .orderBy(col("cents"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("month"), col("status"))))
+    def exactAt(pct: Int) =
+      min(when(col("rn") === expr(s"(n * $pct + 99) div 100"),
+        col("cents"))).as(s"c$pct")
+    val exact = ranked.groupBy(col("month"), col("status"))
+      .agg(exactAt(50), exactAt(95), exactAt(99))
+    est.join(exact, Seq("month", "status"))
+      .select(
+        col("month") +: col("status") +: col("n") +:
+          Seq(50, 95, 99).flatMap(p => Seq(
+            (col(s"b$p") * (BinW / 100.0)).as(s"p${p}_est"),
+            round(col(s"c$p") / 100.0, 2).as(s"p${p}_exact"),
+            (expr(s"c$p div $BinW") === col(s"b$p")).as(s"p${p}_ok"))): _*)
+      .orderBy(col("month"), col("status"))
+  }
+
+  /** q139/q140's shared aggregate-once oracle. */
+  val quantileMvOracle: String =
+    """WITH b AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                o_orderstatus AS status,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+              h AS (SELECT month, status, cents // 10000 AS bin,
+                count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+              tot AS (SELECT month, status, CAST(sum(cnt) AS BIGINT) AS n
+                FROM h GROUP BY 1, 2),
+              cum AS (SELECT h.month, h.status, h.bin, tot.n,
+                sum(cnt) OVER (PARTITION BY h.month, h.status
+                  ORDER BY h.bin) AS cum
+                FROM h JOIN tot USING (month, status)),
+              est AS (SELECT month, status, any_value(n) AS n,
+                min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END)
+                  AS b50,
+                min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END)
+                  AS b95,
+                min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END)
+                  AS b99
+                FROM cum GROUP BY 1, 2),
+              r AS (SELECT month, status, cents,
+                row_number() OVER (PARTITION BY month, status
+                  ORDER BY cents) AS rn,
+                count(*) OVER (PARTITION BY month, status) AS n
+                FROM b),
+              ex AS (SELECT month, status,
+                min(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END)
+                  AS c50,
+                min(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END)
+                  AS c95,
+                min(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END)
+                  AS c99
+                FROM r GROUP BY 1, 2)
+              SELECT month, status, n,
+                b50 * 100.0 AS p50_est, round(c50 / 100.0, 2) AS p50_exact,
+                c50 // 10000 = b50 AS p50_ok,
+                b95 * 100.0 AS p95_est, round(c95 / 100.0, 2) AS p95_exact,
+                c95 // 10000 = b95 AS p95_ok,
+                b99 * 100.0 AS p99_est, round(c99 / 100.0, 2) AS p99_exact,
+                c99 // 10000 = b99 AS p99_ok
+              FROM est JOIN ex USING (month, status)
+              ORDER BY month, status"""
+
   val catalog: Seq[Q] = Seq(
 
     // ---- incremental MV maintenance (q128): the orders revenue view is
@@ -117,6 +246,37 @@ object MaterializedViewOps {
               true AS ndv_est_ok
               FROM orders
               GROUP BY 1, 2
-              ORDER BY month, status"""))
+              ORDER BY month, status""")),
+
+    // ---- incremental QUANTILE view maintenance (q139): p50/p95/p99 of
+    // order value per (month, status), maintained without rescanning
+    // history — the mergeable-stat family's missing member (q128 merges
+    // counts/sums/HLL; medians don't sum). State = fixed-$100-bin integer
+    // histogram rows; built from 90% of the fact table, the remaining 10%
+    // merges in as pure bin-count addition, and the served estimate is
+    // IDENTICAL to the build-once histogram — exact merge of an
+    // approximate summary (the t-digest trade, without its order-drift).
+    // Every arithmetic step is BIGINT (`div` binning, `div` ceiling
+    // targets), so Spark, DuckDB, and any increment split agree bit-for-
+    // bit. The estimate's one-bin error bound is PROVEN in-plan: the
+    // exact type-1 percentile (row_number over the full group — the
+    // verification-only linear pass, q128's exact-NDV discipline) must
+    // land in the estimated bin; `pXX_ok` states it as integer bin
+    // equality, data the oracle re-derives. Scale: state is
+    // (groups × occupied bins) rows; serving windows over bins, never
+    // rows; maintenance reads increment + view only.
+    Q("q139_quantile_mv",
+      (s, d) => {
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_qmv_").toString
+        val orders = Tables.orders(s, d)
+        val base = orders.filter(col("o_orderkey") % 10 =!= 0)
+        val increment = orders.filter(col("o_orderkey") % 10 === 0)
+        priceHistogramState(base).write.mode("overwrite").parquet(store)
+        val maintained = mergeHistogramStates(
+          s.read.parquet(store), priceHistogramState(increment))
+        serveQuantilesVerified(maintained, orders)
+      },
+      Some(quantileMvOracle))
   )
 }

@@ -791,6 +791,39 @@ object StreamingOps {
               GROUP BY 1, 2
               ORDER BY month, status""")),
 
+    // ---- streaming QUANTILE view maintenance (q140): q139's fixed-bin
+    // histogram state maintained per micro-batch — each arriving orders
+    // batch reduces itself to its own bin counts (batch-sized work) and
+    // ADDS into the stored histogram under the q112/q131 versioned-store
+    // replay rule. Because bins are fixed a priori and counts are BIGINT,
+    // the merged state is bit-identical to the build-once histogram for
+    // ANY batch split or arrival order — the property a t-digest stream
+    // cannot give — so stream ≡ batch exactly and the oracle is q139's
+    // aggregate-once SQL verbatim. The store stays (groups × occupied
+    // bins)-sized while the stream is unbounded: the latency-monitoring /
+    // price-distribution shape at scale (p50/p95/p99 served from a
+    // constant-space state that never rescans history).
+    Q("q140_stream_quantile_mv",
+      (s, d) => {
+        import graft.ops.MaterializedViewOps.{priceHistogramState,
+          mergeHistogramStates, serveQuantilesVerified}
+        val store = tempStore("graft_qmvstream_")
+        val orders = graft.schema.Tables.orders(s, d)
+        priceHistogramState(orders.filter(col("o_orderkey") % 10 =!= 0))
+          .write.mode("overwrite").parquet(s"$store/v0")
+        runForeachBatch(s, d, "orders")(
+            _.filter(col("o_orderkey") % 10 === 0)) { (batch, batchId) =>
+          val ss = batch.sparkSession
+          val cur = ss.read.parquet(
+            Upsert.versionPathAsOf(ss, store, batchId))
+          mergeHistogramStates(cur, priceHistogramState(batch))
+            .write.mode("overwrite").parquet(s"$store/v${batchId + 1}")
+        }
+        serveQuantilesVerified(
+          s.read.parquet(Upsert.latestVersionPath(s, store)), orders)
+      },
+      Some(graft.ops.MaterializedViewOps.quantileMvOracle)),
+
     // ---- streaming heavy-hitter maintenance (q134): q130's skew
     // diagnosis ON A STREAM — each arriving events micro-batch reduces
     // itself to a ≤ k-counter Misra-Gries summary (batch-sized work,

@@ -180,6 +180,15 @@ class StreamingSpec extends SparkSpec {
     assert(rows("q109_stream_neardup_gate").nonEmpty)
   }
 
+  test("streaming quantile-view maintenance equals the batch q139 view " +
+      "(fixed bins make the merged state split-invariant)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(rows("q140_stream_quantile_mv") === rows("q139_quantile_mv"))
+    assert(rows("q140_stream_quantile_mv").nonEmpty)
+  }
+
   test("streaming exact-dedup gate emits exactly the batch q121 pairs, " +
       "including every planted re-crawl (one index, two probe paths)") {
     val sf = "/root/testdata/sf0.001"
