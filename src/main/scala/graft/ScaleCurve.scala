@@ -55,7 +55,8 @@ object ScaleCurve {
       "q105_embedding_health", "q106_vocab_coverage",
       "q110_bpe_encode", "q111_quality_logistic", "q115_drift_psi",
       "q127_compaction", "q128_incremental_mv", "q129_pagerank",
-      "q130_heavy_hitters", "q132_weighted_sample", "q133_zorder_maintain")
+      "q130_heavy_hitters", "q132_weighted_sample", "q133_zorder_maintain",
+      "q138_embed_classifier", "q139_quantile_mv")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running
