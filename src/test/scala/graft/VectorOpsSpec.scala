@@ -337,6 +337,30 @@ class VectorOpsSpec extends SparkSpec {
       out)
   }
 
+  test("semantic decontam flags a scaled-copy paraphrase, spares the " +
+      "orthogonal doc, and counts multi-benchmark hits") {
+    // bench: two orthogonal axes; train: a scaled copy of bench axis 0
+    // (cos = 1 — the paraphrase no n-gram rule can see), a 45° vector
+    // between both axes (cos ≈ 0.707 to each), and an orthogonal vector.
+    val rows = Seq(
+      (0L, 0, Array.tabulate(64)(j => if (j == 0) 1f else 0f)),
+      (1L, 0, Array.tabulate(64)(j => if (j == 1) 1f else 0f)),
+      (10L, 0, Array.tabulate(64)(j => if (j == 0) 3f else 0f)),
+      (11L, 0, Array.tabulate(64)(j =>
+        if (j == 0 || j == 1) 1f else 0f)),
+      (12L, 0, Array.tabulate(64)(j => if (j == 5) 2f else 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("q141spec").toString
+    rows.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q141_semantic_decontam")(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().toList
+    assert(out === List(
+      (10L, 1L, 1.0, true), // scaled copy: caught
+      (11L, 2L, 0.707107, true), // near both benchmarks: 2 hits
+      (12L, 0L, 0.0, false)), out) // orthogonal: clean
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("embed classifier: one-hot vectors read the weight pattern back, " +
       "keep is the logit sign, scoring plan shuffles only for the sort") {
     // w_i = (((i*37) % 19) - 9) / 10 → w_0 = -0.9, w_1 = 0.9, w_2 = 0.8;
