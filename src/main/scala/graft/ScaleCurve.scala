@@ -56,7 +56,8 @@ object ScaleCurve {
       "q110_bpe_encode", "q111_quality_logistic", "q115_drift_psi",
       "q127_compaction", "q128_incremental_mv", "q129_pagerank",
       "q130_heavy_hitters", "q132_weighted_sample", "q133_zorder_maintain",
-      "q138_embed_classifier", "q139_quantile_mv", "q141_semantic_decontam")
+      "q138_embed_classifier", "q139_quantile_mv", "q141_semantic_decontam",
+      "q142_shard_manifest")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running

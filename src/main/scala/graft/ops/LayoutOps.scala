@@ -273,6 +273,52 @@ object LayoutOps {
               WHERE l_partkey BETWEEN 200 AND 600
                 AND l_suppkey BETWEEN 5 AND 35
               GROUP BY l_partkey, l_suppkey
-              ORDER BY l_partkey, l_suppkey"""))
+              ORDER BY l_partkey, l_suppkey""")),
+
+    // ---- shard manifest (q142): the reproducibility artifact every
+    // dataset RELEASE ships — per-shard row counts, char sizes, id
+    // ranges, and an ORDER-INVARIANT content signature (bit_xor of a
+    // per-row md5-derived 60-bit value over doc_id:text), so a consumer
+    // can verify a shard without sorting it and a producer can re-derive
+    // the manifest under any task ordering. The demo WRITES the corpus
+    // as a shard-partitioned store and manifests the WRITTEN ARTIFACT
+    // (read back), while the oracle manifests the INPUT table — their
+    // equality is the write-path integrity proof: any row dropped,
+    // duplicated, or corrupted between input and artifact flips the
+    // shard's signature. Everything reduces map-side (count/sum/xor are
+    // all partial-aggregable); the signature algebra is the same
+    // any-split-merges reasoning as q139's bins — xor is associative,
+    // commutative, self-inverse. Scale: the manifest is shard-count-
+    // sized; per-row cost one md5; no shuffle beyond the shard-keyed
+    // partial-aggregate merge.
+    Q("q142_shard_manifest",
+      (s, d) => {
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_release_").toString
+        Tables.documents(s, d)
+          .withColumn("shard", col("doc_id") % 8)
+          .write.mode("overwrite").partitionBy("shard").parquet(store)
+        s.read.parquet(store)
+          // partition-dir column reads back as INT; manifest keys are
+          // BIGINT in both engines
+          .withColumn("shard", col("shard").cast("long"))
+          .withColumn("sig",
+            expr("CAST(conv(substr(md5(concat(doc_id, ':', text)), 1, 15)," +
+              " 16, 10) AS BIGINT)"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(length(col("text"))).as("n_chars"),
+            expr("bit_xor(sig)").as("content_sig"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("shard"))
+      },
+      Some("""SELECT doc_id % 8 AS shard, count(*) AS n_rows,
+              CAST(sum(length(text)) AS BIGINT) AS n_chars,
+              bit_xor(('0x' ||
+                substr(md5(doc_id || ':' || text), 1, 15))::BIGINT)
+                AS content_sig,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+              FROM documents GROUP BY 1 ORDER BY shard"""))
   )
 }

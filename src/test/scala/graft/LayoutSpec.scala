@@ -79,6 +79,41 @@ class LayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("shard manifest: signature is order-invariant, and any dropped or " +
+      "corrupted row flips exactly its shard's signature") {
+    val docs = (0L until 64L).map(i => (i, s"doc text number $i"))
+      .toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("shard", col("doc_id") % 8)
+      .withColumn("sig",
+        expr("CAST(conv(substr(md5(concat(doc_id, ':', text)), 1, 15)," +
+          " 16, 10) AS BIGINT)"))
+      .groupBy(col("shard"))
+      .agg(expr("bit_xor(sig)").as("content_sig"),
+        count(lit(1)).as("n_rows"))
+    val base = manifest(docs).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // order/partitioning invariance: xor needs no sort to reproduce
+    val shuffled = manifest(docs.repartition(7, col("text"))
+      .orderBy(col("text"))).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(shuffled === base)
+    // corruption: one flipped char in doc 9 → ONLY shard 1's sig changes
+    val tampered = manifest(docs.withColumn("text",
+      when(col("doc_id") === 9L, lit("doc text number X"))
+        .otherwise(col("text")))).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tampered(1L)._1 !== base(1L)._1)
+    assert((0L until 8L).filter(_ != 1L)
+      .forall(sh => tampered(sh) === base(sh)))
+    // drop: losing doc 10 changes shard 2's count AND signature
+    val dropped = manifest(docs.filter(col("doc_id") =!= 10L))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dropped(2L)._2 === base(2L)._2 - 1)
+    assert(dropped(2L)._1 !== base(2L)._1)
+  }
+
   test("incremental z-order maintenance rewrites ONLY touched range " +
       "partitions (others byte-identical) with full-content parity") {
     val dir = java.nio.file.Files.createTempDirectory("zmaint_spec").toString
