@@ -1227,7 +1227,7 @@ object TextOps {
 
   /** Candidate generation + exact verify over a banded index relation
     * (freshly derived or read back from a written index table). */
-  private def pairsFromBandedIndex(banded: DataFrame, docs: DataFrame,
+  private[graft] def pairsFromBandedIndex(banded: DataFrame, docs: DataFrame,
       jaccardThreshold: Double): DataFrame = {
     // Bucket-pair expansion as ONE aggregation instead of a self-join: the
     // join formulation computed the signature aggregate once PER SIDE (the

@@ -1060,7 +1060,33 @@ object StreamingOps {
                 floor(sum((q - p) * ln(q / p)) * 10000) / 10000 AS psi,
                 floor(sum((q - p) * ln(q / p)) * 10000) / 10000 > 0.2
                   AS drifted
-              FROM shares GROUP BY feature ORDER BY feature"""))
+              FROM shares GROUP BY feature ORDER BY feature""")),
+
+    // ---- streaming SEMANTIC decontamination (q145): q141 ON A STREAM —
+    // arriving training vectors are scored against the static benchmark
+    // side per micro-batch, the embedding complement of q66's n-gram
+    // stream gate (paraphrased leakage has no shared n-grams; its
+    // embedding still sits next to the source). The per-vector verdict
+    // depends only on the vector and the broadcast benchmark, so the
+    // SAME [[graft.ops.VectorOps.semanticDecontam]] runs batch-side per
+    // micro-batch (one rule, two engine paths) and stream ≡ batch exactly,
+    // whatever the batch boundaries — no state store, verdicts append
+    // batch-sized. Recurring cost ∝ arrival rate × |bench|; the corpus
+    // never re-scores. Shares q141's exact-cross-score oracle.
+    Q("q145_stream_semantic_decontam",
+      (s, d) => {
+        import graft.ops.VectorOps
+        val bench = graft.schema.Tables.embeddings(s, d)
+          .filter(col("vec_id") < 10)
+        val store = tempStore("graft_semdecontam_gate_out")
+        runForeachBatch(s, d, "embeddings")(
+          _.filter(col("vec_id") >= 10)) { (batch, _) =>
+          VectorOps.semanticDecontam(batch, bench, tau = 0.4)
+            .write.mode("append").parquet(store)
+        }
+        s.read.parquet(store).orderBy(col("vec_id"))
+      },
+      Some(graft.ops.VectorOps.SemanticDecontamSql))
   )
 
   /** q66's batch-side rollup over the sinked match stream. */

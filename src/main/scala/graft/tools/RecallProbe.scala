@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 object RecallProbe {
   val AnnQueries = Seq("q41_ann_lsh", "q44_ann_ivf", "q44b_ann_ivf_indexed",
     "q44c_ann_ivf_incremental", "q74_ann_pq", "q81_ann_ivfpq",
-    "q108_stream_ann_serving")
+    "q143_ann_sq8", "q108_stream_ann_serving")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

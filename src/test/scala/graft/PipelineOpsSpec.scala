@@ -44,6 +44,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("incremental cluster maintenance equals from-scratch clustering " +
+      "(q144 ≡ q45) on the real tables") {
+    val d = "/root/testdata/sf0.001"
+    val full = SparkEntry.queries("q45_dup_clusters")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val inc = SparkEntry.queries("q144_incremental_clusters")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
+  test("incremental cluster maintenance handles every merge shape: " +
+      "extend, bridge-singleton, inc-only, untouched") {
+    import graft.ops.{PipelineOps, TextOps}
+    def doc(id: Long, sh: Seq[String]) = (id, sh)
+    val s1 = Seq("a b c", "b c d", "c d e")
+    val s2 = Seq("f g h", "g h i", "h i j")
+    val s3 = Seq("k l m", "l m n", "m n o")
+    val s4 = Seq("p q r", "q r s", "r s t")
+    val junk = Seq("z z one", "z z two", "z z three")
+    val snap = Seq(
+      doc(0L, s1), doc(1L, s1),     // untouched cluster {0,1}
+      doc(2L, s2), doc(3L, s2),     // cluster {2,3}, extended by inc 10
+      doc(4L, junk),                // stays a singleton
+      doc(5L, s3)                   // snapshot singleton, joined by inc 13
+    ).toDF("doc_id", "sh")
+    val inc = Seq(
+      doc(10L, s2),                 // extends {2,3} -> {2,3,10}
+      doc(11L, s4), doc(12L, s4),   // inc-only new cluster {11,12}
+      doc(13L, s3)                  // bridges singleton 5 -> {5,13}
+    ).toDF("doc_id", "sh")
+    val got = PipelineOps.incrementalDupClustersFrom(spark, snap, inc,
+        jaccardThreshold = 0.5, dfCap = 16, table = "graft_test_inc_clusters")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 2L, 2L -> 3L, 5L -> 2L, 11L -> 2L))
+    // cross-check against a from-scratch run over the union
+    val fullPairs = TextOps.minHashLshPairs(snap.unionByName(inc), 0.5, 16)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val full = PipelineOps.connectedComponents(fullPairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === full)
+  }
+
   test("leakage-safe split never separates a near-dup pair (q86 invariant)") {
     val d = "/root/testdata/sf0.001"
     val pairs = SparkEntry.queries("q35_ngram_jaccard")(spark, d)

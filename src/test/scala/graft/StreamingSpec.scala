@@ -140,6 +140,16 @@ class StreamingSpec extends SparkSpec {
     assert(rows("q66_stream_decontam").nonEmpty)
   }
 
+  test("stream semantic decontam emits exactly the batch q141 verdicts") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("vec_id", "n_bench_hits", "max_bench_cos", "contaminated")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(rows("q145_stream_semantic_decontam") ===
+      rows("q141_semantic_decontam"))
+    assert(rows("q145_stream_semantic_decontam").nonEmpty)
+  }
+
   test("stream quality filter emits exactly the batch q47 verdicts") {
     val sf = "/root/testdata/sf0.001"
     def rows(name: String) = SparkEntry.queries(name)(spark, sf)

@@ -148,6 +148,55 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("SQ8 (shortlist + rerank) recall >= 0.9 on clustered data") {
+    val rng = new scala.util.Random(7)
+    val rows = for { c <- 0 until 20; m <- 0 until 10 } yield {
+      val theta = c * (2 * math.Pi / 20) + (rng.nextDouble() - 0.5) * 0.035
+      ((c * 10 + m).toLong,
+        Array.tabulate(8)(i => (math.cos(theta * (i + 1)) / 2.0).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    val corpus = df.filter(col("vec_id") % 10 =!= 0)
+    val exact = VectorOps.cosineTopK(queries, corpus, 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val sq = VectorOps.sq8TopKReranked(queries, corpus, k = 3,
+      shortlist = 15)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("SQ8 codes honor the int8 range and the <= scale/2 " +
+    "reconstruction error bound") {
+    val rng = new scala.util.Random(11)
+    val df = (0 until 50).map(i =>
+        (i.toLong, Array.fill(8)((rng.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    // recompute the unit-normalized source the same way sq8Encode does,
+    // then check |code*scale - x| <= scale/2 per component and code range
+    val enc = VectorOps.sq8Encode(df)
+    val normed = df
+      .withColumn("_n", sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x)))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("_n"))
+          .as("x"))
+    val checked = enc.join(normed, "vec_id")
+      .select(col("vec_id"), col("scale"),
+        array_max(transform(col("codes"), c => abs(c))).as("max_code"),
+        array_max(transform(arrays_zip(col("codes"), col("x")), p =>
+          abs(p.getField("codes").cast("double") * col("scale") -
+            p.getField("x")))).as("max_err"))
+      .as[(Long, Double, Int, Double)].collect()
+    checked.foreach { case (id, scale, maxCode, maxErr) =>
+      assert(maxCode <= 127, s"vec $id code out of int8 range: $maxCode")
+      assert(maxErr <= scale / 2 + 1e-12,
+        s"vec $id reconstruction err $maxErr > scale/2 ${scale / 2}")
+    }
+  }
+
   test("IVF-PQ recall >= 0.9 on clustered data; candidates = probed-cell occupancy") {
     val rng = new scala.util.Random(7)
     val rows = for { c <- 0 until 20; m <- 0 until 10 } yield {
