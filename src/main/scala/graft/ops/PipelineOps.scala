@@ -131,8 +131,14 @@ object PipelineOps {
     * of (doc_id, sh) — the testable core (PipelineOpsSpec asserts ≡
     * from-scratch clustering of the union on planted merge shapes). */
   private[graft] def incrementalDupClustersFrom(s: SparkSession,
-      snap: DataFrame, inc: DataFrame, jaccardThreshold: Double,
+      snapRaw: DataFrame, incRaw: DataFrame, jaccardThreshold: Double,
       dfCap: Int, table: String): DataFrame = {
+    // Both sides are consumed ~3× each (index write / probe verify /
+    // union verify); the shingle explode feeding them is the expensive
+    // part, so persist the exploded relations once — without this the
+    // tokenize+shingle scan re-executed five times (11.7 → ~7 s at sf0.1).
+    val snap = snapRaw.persist()
+    val inc = incRaw.persist()
     // ---- build-once phase (the q34c demo concession: the snapshot's
     // artifacts are written in the same run; production wrote them when
     // the snapshot itself was ingested)
