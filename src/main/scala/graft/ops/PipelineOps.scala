@@ -200,6 +200,114 @@ object PipelineOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** Snapshot build phase shared by q146's entry and its spec: write the
+    * banded LSH index + frozen hot list for `snap`, cluster the snapshot
+    * from its own index, and record the labels as version 0 of the
+    * versioned label store (q112's store layout). */
+  private[graft] def buildClusterSnapshotStore(s: SparkSession,
+      snap: DataFrame, dfCap: Int, table: String, labelStore: String,
+      jaccardThreshold: Double): Unit = {
+    TextOps.writeSnapshotLshIndex(s, snap, dfCap, table)
+    connectedComponents(TextOps
+        .pairsFromBandedIndex(s.table(table), snap, jaccardThreshold)
+        .select(col("id_a").as("a"), col("id_b").as("b")))
+      .write.mode("overwrite").parquet(s"$labelStore/v0")
+  }
+
+  /** One micro-batch of cluster-label maintenance — q144's maintain phase
+    * as the STREAMING fold (q146). Differences from the one-shot
+    * incremental path, both forced by unbounded arrival:
+    *
+    *  - the "corpus so far" is the snapshot index PLUS every EARLIER
+    *    batch's bands, so a batch-B doc that near-dups a batch-A doc
+    *    (A < B) still pairs up: each batch appends its own bands to the
+    *    band store (partition `b<batchId>`, overwritten on replay) after
+    *    probing everything before it;
+    *  - labels live in a q112-style VERSIONED store: batch B contracts
+    *    its delta graph through the newest labels version ≤ B and writes
+    *    the fully-merged map as v(B+1), so a retried batch re-derives
+    *    from the same base and rewrites its own version instead of
+    *    double-merging.
+    *
+    * The contraction-preserves-min argument (see
+    * [[incrementalDupClusters]]) applies inductively batch over batch, so
+    * after the last batch the served labels equal a from-scratch
+    * clustering of snapshot ∪ all batches EXACTLY — q45's whole-corpus
+    * oracle, verbatim, is the correctness statement. Per-batch cost:
+    * banding + probe ∝ batch, closure ∝ delta edges, relabel ∝ touched
+    * clusters; candidate texts are point-looked-up from the corpus
+    * relation (`allSh`) by semi-join, never scanned wholesale.
+    */
+  private[graft] def foldBatchIntoClusterStore(s: SparkSession,
+      bdocs: DataFrame, allSh: DataFrame, table: String, bandStore: String,
+      labelStore: String, batchId: Long, jaccardThreshold: Double): Unit = {
+    val bands = TextOps
+      .bandedSignaturesFrozenHot(bdocs, s.table(s"${table}_hot"))
+      .persist() // three consumers: cross probe, self pairs, store append
+    val prior = s.table(table)
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id"))
+      .unionByName(streamBandsBefore(s, bandStore, batchId))
+    val crossCand = prior
+      .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id").as("id_b")), Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val candIds = crossCand.select(col("id_a").as("doc_id"))
+      .union(crossCand.select(col("id_b"))).distinct()
+    val crossEdges = TextOps.verifyJaccardCandidates(crossCand,
+        allSh.join(candIds, Seq("doc_id"), "left_semi"), jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val selfEdges = TextOps
+      .pairsFromBandedIndex(bands, bdocs, jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val base = Upsert.versionsOf(s, labelStore).filter(_ <= batchId).max
+    val lbl = s.read.parquet(s"$labelStore/v$base")
+    val contracted = crossEdges
+      .join(lbl.withColumnRenamed("node", "id_a"), Seq("id_a"), "left_outer")
+      .select(coalesce(col("cluster_id"), col("id_a")).as("a"),
+        col("id_b").as("b"))
+      .unionByName(selfEdges
+        .select(col("id_a").as("a"), col("id_b").as("b")))
+    val relabel = connectedComponents(contracted)
+      .select(col("node"), col("cluster_id").as("nlbl"))
+    val fromOld = lbl
+      .join(relabel.withColumnRenamed("node", "olbl"),
+        col("cluster_id") === col("olbl"), "left_outer")
+      .select(col("node"),
+        coalesce(col("nlbl"), col("cluster_id")).as("cluster_id"))
+    val fromNew = relabel
+      .join(lbl.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("nlbl").as("cluster_id"))
+    fromOld.unionByName(fromNew)
+      .write.mode("overwrite").parquet(s"$labelStore/v${batchId + 1}")
+    bands.select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id"))
+      .write.mode("overwrite").parquet(s"$bandStore/b$batchId")
+    bands.unpersist()
+    ()
+  }
+
+  /** Bands appended by batches strictly before `batchId` (empty relation
+    * when none) — the replay rule: a retried batch never sees its own
+    * earlier append. */
+  private def streamBandsBefore(s: SparkSession, bandStore: String,
+      batchId: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(bandStore)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("b\\d+")).filter(_.drop(1).toLong < batchId)
+      .map(n => s"$bandStore/$n")
+    if (dirs.isEmpty)
+      s.range(0).select(lit(0).as("band"), lit(0L).as("bucket"),
+        lit(0L).as("doc_id"))
+    else
+      s.read.parquet(dirs: _*)
+        .select(col("band").cast("int").as("band"), col("bucket"),
+          col("doc_id"))
+  }
+
   /** Gopher-style per-doc quality verdicts (token-count bounds, mean word
     * length, stopword presence, symbol ratio) + the composed keep flag.
     * Pure map-side built-ins over (doc_id, text) — safe on a stream (no
@@ -481,6 +589,97 @@ object PipelineOps {
                       FROM tc GROUP BY a)
               SELECT cluster_id, count(*) AS n_docs
               FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""
+
+  /** q111's fixed-weight logistic quality head, factored so q147 can rank
+    * by the same score: per doc (doc_id, source, n_tok, logit) with the
+    * RAW logit — every feature a ratio of integer counts, the linear form
+    * left-associated, so the double is bit-identical cross-engine;
+    * callers quantize (floor, never round — the q111 midpoint lesson). */
+  private[graft] def qualityLogitRaw(docs: DataFrame): DataFrame = docs
+    .withColumn("tk", TextOps.toks(col("text")))
+    .withColumn("n_tok", size(col("tk")).cast("long"))
+    .withColumn("f_len",
+      least(col("n_tok"), lit(500L)) / lit(500.0))
+    .withColumn("f_mwl",
+      length(array_join(col("tk"), "")) /
+        greatest(col("n_tok"), lit(1L)).cast("double"))
+    .withColumn("f_stop",
+      size(filter(col("tk"), t =>
+        t === "the" || t === "a" || t === "of" || t === "and")) /
+        greatest(col("n_tok"), lit(1L)).cast("double"))
+    .withColumn("f_sym",
+      when(length(col("text")) === 0, lit(0.0))
+        .otherwise(
+          length(regexp_replace(col("text"), "[\\sa-zA-Z0-9]", "")) /
+            length(col("text")).cast("double")))
+    .withColumn("logit",
+      lit(-2.0) + lit(2.5) * col("f_len") + lit(0.3) * col("f_mwl") +
+        lit(4.0) * col("f_stop") - lit(8.0) * col("f_sym"))
+
+  /** Token-budget selection (q147): keep each source's best docs — by the
+    * q111 quality head — until the source's token budget is spent. The
+    * selection RULE is a prefix: order a source's docs by (logit desc,
+    * doc_id asc) and keep a doc iff the running token sum through it is
+    * ≤ budget (monotone, so the kept set is a prefix — deterministic, no
+    * knapsack search).
+    *
+    * The IMPLEMENTATION is not a per-source global sort (the q79/q101
+    * lesson — a 100-TB source cannot sort on one partition): scores
+    * histogram into 128 fixed bins (bin is a monotone function of the
+    * quantized logit, so bin-major order IS score order), the
+    * (source × bin) token table — tiny, sources × 128 rows — locates each
+    * source's boundary bin, bins strictly inside the budget keep
+    * everything with no ordering at all, and ONLY the boundary bin's
+    * occupants rank within themselves to finish the budget. Work:
+    * map-side scoring + one (source,bin) aggregate + a sort bounded by
+    * one bin's occupancy per source. */
+  private[graft] def tokenBudgetSelect(docs: DataFrame,
+      budgetShare: Double): DataFrame = {
+    val scored = qualityLogitRaw(docs)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (floor(col("logit") * 10000) / 10000).as("logit"))
+      // logit ∈ (-10, 4.8] by the weight bounds; 128 bins over [-10, 6)
+      .withColumn("bin",
+        least(greatest(floor((col("logit") + lit(10.0)) * lit(8.0))
+          .cast("int"), lit(0)), lit(127)))
+      .persist() // consumers: budget agg, bin agg, full-bin keep, boundary
+    val budgets = scored.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("total_tokens"),
+        ceil(sum(col("n_tok")) * lit(budgetShare)).cast("long").as("budget"),
+        count(lit(1)).as("n_total_docs"))
+    val wdesc = Window.partitionBy(col("source")).orderBy(col("bin").desc)
+    val cum = scored.groupBy(col("source"), col("bin"))
+      .agg(sum(col("n_tok")).as("btok"))
+      .withColumn("cum_before",
+        coalesce(sum(col("btok")).over(
+          wdesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(budgets.select(col("source"), col("budget")), Seq("source"))
+    val keptFull = scored
+      .join(cum.filter(col("cum_before") + col("btok") <= col("budget"))
+        .select(col("source"), col("bin")), Seq("source", "bin"),
+        "left_semi")
+      .select(col("source"), col("doc_id"), col("n_tok"))
+    val wb = Window.partitionBy(col("source"), col("bin"))
+      .orderBy(col("logit").desc, col("doc_id").asc)
+    val keptBoundary = scored
+      .join(cum.filter(col("cum_before") <= col("budget") &&
+          col("cum_before") + col("btok") > col("budget"))
+        .select(col("source"), col("bin"), col("cum_before"),
+          col("budget")), Seq("source", "bin"))
+      .withColumn("cum_in",
+        sum(col("n_tok")).over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_before") + col("cum_in") <= col("budget"))
+      .select(col("source"), col("doc_id"), col("n_tok"))
+    keptFull.unionByName(keptBoundary)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+      .join(budgets, Seq("source"))
+      .select(col("source"), col("n_total_docs"), col("total_tokens"),
+        col("budget"), col("n_kept"), col("kept_tokens"),
+        (floor(col("kept_tokens") * lit(10000.0) / col("total_tokens")) /
+          10000).as("kept_share"))
+      .orderBy(col("source"))
+  }
 
   val catalog: Seq[Q] = Seq(
 
@@ -1481,26 +1680,7 @@ object PipelineOps {
     // logit and the keep decision (logit > 0). No shuffle anywhere; at
     // 100 TB this scores wherever the scan runs.
     Q("q111_quality_logistic",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("tk", TextOps.toks(col("text")))
-        .withColumn("n_tok", size(col("tk")).cast("long"))
-        .withColumn("f_len",
-          least(col("n_tok"), lit(500L)) / lit(500.0))
-        .withColumn("f_mwl",
-          length(array_join(col("tk"), "")) /
-            greatest(col("n_tok"), lit(1L)).cast("double"))
-        .withColumn("f_stop",
-          size(filter(col("tk"), t =>
-            t === "the" || t === "a" || t === "of" || t === "and")) /
-            greatest(col("n_tok"), lit(1L)).cast("double"))
-        .withColumn("f_sym",
-          when(length(col("text")) === 0, lit(0.0))
-            .otherwise(
-              length(regexp_replace(col("text"), "[\\sa-zA-Z0-9]", "")) /
-                length(col("text")).cast("double")))
-        .withColumn("logit",
-          lit(-2.0) + lit(2.5) * col("f_len") + lit(0.3) * col("f_mwl") +
-            lit(4.0) * col("f_stop") - lit(8.0) * col("f_sym"))
+      (s, d) => qualityLogitRaw(Tables.documents(s, d))
         // floor-quantized to 4dp, NOT round(): the logit is an exact
         // rational whose decimal expansion can land exactly on a .00005
         // midpoint (sf0.01 doc 419 does), where Spark's HALF_UP and
@@ -1536,6 +1716,55 @@ object PipelineOps {
                 floor(10000.0 / (1.0 + exp(-logit))) / 10000 AS prob,
                 logit > 0 AS keep
               FROM l ORDER BY doc_id""")),
+
+    // ---- token-budget selection (q147): the curation step after scoring
+    // — "spend this many training tokens per domain, best docs first"
+    // (the mixture papers' budget knob made operational). Selection rule
+    // and scale shape in [[tokenBudgetSelect]]; the oracle states the
+    // rule in its naive form (per-source window cumsum over score order,
+    // keep while ≤ budget), which the histogram-threshold implementation
+    // must reproduce EXACTLY — bin-major order is score order because the
+    // bin is a monotone function of the quantized logit.
+    Q("q147_token_budget",
+      (s, d) => tokenBudgetSelect(Tables.documents(s, d),
+        budgetShare = 0.3),
+      Some("""WITH t AS (SELECT doc_id, source, text,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+              f AS (SELECT doc_id, source,
+                CAST(len(tk) AS BIGINT) AS n_tok,
+                least(len(tk), 500) / 500.0 AS f_len,
+                length(array_to_string(tk, '')) /
+                  CAST(greatest(len(tk), 1) AS DOUBLE) AS f_mwl,
+                len(list_filter(tk, x -> x IN ('the','a','of','and'))) /
+                  CAST(greatest(len(tk), 1) AS DOUBLE) AS f_stop,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE length(regexp_replace(text,
+                         '[\sa-zA-Z0-9]', '', 'g')) /
+                       CAST(length(text) AS DOUBLE) END AS f_sym
+              FROM t),
+              l AS (SELECT doc_id, source, n_tok,
+                floor((-2.0 + 2.5 * f_len + 0.3 * f_mwl + 4.0 * f_stop
+                  - 8.0 * f_sym) * 10000) / 10000 AS logit
+              FROM f),
+              b AS (SELECT source,
+                CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                CAST(ceil(sum(n_tok) * 0.3) AS BIGINT) AS budget,
+                count(*) AS n_total_docs
+              FROM l GROUP BY source),
+              c AS (SELECT l.*, sum(n_tok) OVER (PARTITION BY l.source
+                  ORDER BY logit DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM l),
+              k AS (SELECT c.source, count(*) AS n_kept,
+                  CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+                FROM c JOIN b ON b.source = c.source
+                WHERE cum <= budget GROUP BY c.source)
+              SELECT b.source, b.n_total_docs, b.total_tokens, b.budget,
+                k.n_kept, k.kept_tokens,
+                floor(k.kept_tokens * 10000.0 / b.total_tokens) / 10000
+                  AS kept_share
+              FROM b JOIN k ON b.source = k.source ORDER BY b.source""")),
 
     // ---- per-source corpus health report (q100): the one-screen summary
     // a pipeline team watches per ingest batch — per source: doc count,

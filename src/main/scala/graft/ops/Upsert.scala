@@ -192,7 +192,7 @@ object Upsert {
         round(col("price_delta"), 2).as("price_delta"))
   }
 
-  private def versionsOf(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def versionsOf(spark: org.apache.spark.sql.SparkSession,
       storeRoot: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(storeRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

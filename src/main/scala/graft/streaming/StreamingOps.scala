@@ -1086,7 +1086,52 @@ object StreamingOps {
         }
         s.read.parquet(store).orderBy(col("vec_id"))
       },
-      Some(graft.ops.VectorOps.SemanticDecontamSql))
+      Some(graft.ops.VectorOps.SemanticDecontamSql)),
+
+    // ---- streaming cluster-label maintenance (q146): q144's maintain
+    // phase ON A STREAM, completing the clustering pillar's triangle
+    // (batch q45b / incremental q144 / streaming q146 — the same shape
+    // LSH pairs close with q34/q34c/q109 and IVF with q44/q44c/q108).
+    // Beyond q144, each batch must also see EARLIER batches' docs (a
+    // batch-B near-dup of a batch-A doc must merge), so batches append
+    // their bands to a band store after probing it, and labels live in a
+    // q112-style versioned store so retries re-derive instead of
+    // double-merging — see [[graft.ops.PipelineOps.foldBatchIntoClusterStore]].
+    // The oracle is q45's from-scratch whole-corpus closure, verbatim:
+    // stream-maintained labels ≡ re-clustering everything, exactly.
+    Q("q146_stream_cluster_maintain",
+      (s, d) => {
+        import graft.ops.{PipelineOps, TextOps}
+        val allSh = TextOps.docsWithShingles(s, d).persist()
+        val cut = math.floor(
+          (allSh.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val table = "graft_stream_cluster_index"
+        val labelStore = tempStore("graft_cluster_labels")
+        val bandStore = tempStore("graft_cluster_bands")
+        PipelineOps.buildClusterSnapshotStore(s,
+          allSh.filter(col("doc_id") < cut), dfCap = 16, table, labelStore,
+          jaccardThreshold = 0.5)
+        runForeachBatch(s, d, "documents")(_.filter(col("doc_id") >= cut)) {
+          (batch, batchId) =>
+            val bdocs = batch
+              .repartition(graft.schema.Tables.minSplits(batch.sparkSession),
+                col("doc_id"))
+              .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+              .select(col("doc_id"), TextOps.shingles(col("tk")).as("sh"))
+              .persist()
+            PipelineOps.foldBatchIntoClusterStore(batch.sparkSession, bdocs,
+              allSh, table, bandStore, labelStore, batchId,
+              jaccardThreshold = 0.5)
+            bdocs.unpersist()
+            ()
+        }
+        val out = s.read.parquet(Upsert.latestVersionPath(s, labelStore))
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("cluster_id"))
+        allSh.unpersist()
+        out
+      },
+      Some(graft.ops.PipelineOps.DupClustersSql))
   )
 
   /** q66's batch-side rollup over the sinked match stream. */

@@ -88,6 +88,97 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === full)
   }
 
+  test("streaming cluster fold: cross-batch pairs merge, replay is " +
+      "idempotent, final labels equal from-scratch (q146 core)") {
+    import graft.ops.{PipelineOps, TextOps}
+    def doc(id: Long, sh: Seq[String]) = (id, sh)
+    val s1 = Seq("a b c", "b c d", "c d e")
+    val s2 = Seq("f g h", "g h i", "h i j")
+    val s3 = Seq("k l m", "l m n", "m n o")
+    val s4 = Seq("p q r", "q r s", "r s t")
+    val snap = Seq(
+      doc(0L, s1), doc(1L, s1),    // untouched cluster {0,1}
+      doc(2L, s2), doc(3L, s2),    // extended by batch-0 doc 10
+      doc(4L, Seq("z z one", "z z two", "z z three")), // stays singleton
+      doc(5L, s3)                  // bridged by batch-1 doc 13
+    ).toDF("doc_id", "sh")
+    val b0 = Seq(doc(10L, s2), doc(11L, s4)).toDF("doc_id", "sh")
+    // doc 12 pairs with BATCH-0's doc 11 — only discoverable through the
+    // band store appended by the earlier batch, not the snapshot index
+    val b1 = Seq(doc(12L, s4), doc(13L, s3)).toDF("doc_id", "sh")
+    val allSh = snap.unionByName(b0).unionByName(b1)
+    val table = "graft_test_stream_clusters"
+    val labelStore = java.nio.file.Files
+      .createTempDirectory("graft_test_lbls").toString
+    val bandStore = java.nio.file.Files
+      .createTempDirectory("graft_test_bands").toString
+    try {
+      PipelineOps.buildClusterSnapshotStore(spark, snap, dfCap = 16, table,
+        labelStore, jaccardThreshold = 0.5)
+      PipelineOps.foldBatchIntoClusterStore(spark, b0, allSh, table,
+        bandStore, labelStore, batchId = 0, jaccardThreshold = 0.5)
+      PipelineOps.foldBatchIntoClusterStore(spark, b1, allSh, table,
+        bandStore, labelStore, batchId = 1, jaccardThreshold = 0.5)
+      def served = spark.read
+        .parquet(graft.ops.Upsert.latestVersionPath(spark, labelStore))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+        .as[(Long, Long)].collect().toMap
+      val got = served
+      assert(got === Map(0L -> 2L, 2L -> 3L, 5L -> 2L, 11L -> 2L))
+      // from-scratch over the union must agree
+      val fullPairs = TextOps.minHashLshPairs(allSh, 0.5, 16)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val full = PipelineOps.connectedComponents(fullPairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === full)
+      // replay batch 1: same base version re-derived, store unchanged
+      PipelineOps.foldBatchIntoClusterStore(spark, b1, allSh, table,
+        bandStore, labelStore, batchId = 1, jaccardThreshold = 0.5)
+      assert(served === got)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(labelStore))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(bandStore))
+    }
+  }
+
+  test("token-budget selection equals the naive per-source prefix rule " +
+      "(q147 histogram-threshold ≡ window cumsum)") {
+    import graft.ops.PipelineOps
+    val docs = graft.schema.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = PipelineOps.tokenBudgetSelect(docs, budgetShare = 0.3)
+      .select("source", "n_kept", "kept_tokens")
+      .as[(String, Long, Long)].collect()
+        .map { case (s, a, b) => (s, (a, b)) }.toMap
+    // naive reference: one window cumsum over (logit desc, doc_id) per
+    // source — the formulation that cannot scale but defines the rule
+    val scored = PipelineOps.qualityLogitRaw(docs)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (floor(col("logit") * 10000) / 10000).as("logit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("logit").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val budgets = scored.groupBy(col("source"))
+      .agg(ceil(sum(col("n_tok")) * lit(0.3)).cast("long").as("budget"))
+    val ref = scored.withColumn("cum", sum(col("n_tok")).over(w))
+      .join(budgets, Seq("source"))
+      .filter(col("cum") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+      .as[(String, Long, Long)].collect()
+        .map { case (s, a, b) => (s, (a, b)) }.toMap
+    assert(got === ref)
+    assert(got.nonEmpty)
+    // degenerate budget: share 1.0 keeps every doc in every source
+    val all = PipelineOps.tokenBudgetSelect(docs, budgetShare = 1.0)
+      .filter(col("n_kept") =!= col("n_total_docs")).count()
+    assert(all === 0L)
+  }
+
   test("leakage-safe split never separates a near-dup pair (q86 invariant)") {
     val d = "/root/testdata/sf0.001"
     val pairs = SparkEntry.queries("q35_ngram_jaccard")(spark, d)

@@ -150,6 +150,14 @@ class StreamingSpec extends SparkSpec {
     assert(rows("q145_stream_semantic_decontam").nonEmpty)
   }
 
+  test("stream cluster maintenance serves exactly the batch q45 clusters") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("cluster_id", "n_docs").as[(Long, Long)].collect().toSet
+    assert(rows("q146_stream_cluster_maintain") === rows("q45_dup_clusters"))
+    assert(rows("q146_stream_cluster_maintain").nonEmpty)
+  }
+
   test("stream quality filter emits exactly the batch q47 verdicts") {
     val sf = "/root/testdata/sf0.001"
     def rows(name: String) = SparkEntry.queries(name)(spark, sf)
