@@ -57,7 +57,9 @@ object ScaleCurve {
       "q127_compaction", "q128_incremental_mv", "q129_pagerank",
       "q130_heavy_hitters", "q132_weighted_sample", "q133_zorder_maintain",
       "q138_embed_classifier", "q139_quantile_mv", "q141_semantic_decontam",
-      "q142_shard_manifest")
+      "q142_shard_manifest", "q143_ann_sq8", "q144_incremental_clusters",
+      "q147_token_budget", "q148_crawl_delta",
+      "q149_semantic_dedup_incremental")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running

@@ -168,36 +168,52 @@ object PipelineOps {
       .pairsFromBandedIndex(incBands, inc, jaccardThreshold)
       .select(col("id_a"), col("id_b"))
 
-    // ---- contraction: snapshot endpoints collapse to their stored label
-    // (or themselves when previously unclustered); the closure then runs
-    // on the tiny contracted delta graph
-    val lbl = s.table(s"${table}_labels") // (node, cluster_id)
+    // ---- contraction + serve: the shared delta-merge algebra — see
+    // [[mergeDeltaIntoLabels]]. Untouched clusters pass through
+    // label-stable; at scale the merged label table is the upsert applied
+    // back to `table`_labels.
+    mergeDeltaIntoLabels(s.table(s"${table}_labels"), crossEdges, incEdges)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** The delta-merge algebra shared by every maintain-incrementally
+    * clustering member (q144 one-shot text, q146 streaming text, q149
+    * embedding groups): CONTRACT the delta edges through the stored
+    * labels — each old endpoint collapses to its cluster label (or
+    * itself when previously unclustered), so the closure's node set is
+    * {touched labels ∪ touched singletons ∪ new docs}, delta-sized,
+    * never corpus-sized — run min-label closure on the contracted graph
+    * only, then emit the fully merged (node, cluster_id) table: old
+    * members ride their (possibly re-mapped) label, nodes new to the
+    * table take their closure label. Labels are min member ids and
+    * contraction preserves component minima (an old label IS its
+    * cluster's min; singleton/new nodes stand for themselves), so the
+    * merged table equals a from-scratch clustering EXACTLY.
+    *
+    * @param lbl        stored labels (node, cluster_id)
+    * @param crossEdges (id_a = old-corpus endpoint, id_b = new endpoint)
+    * @param selfEdges  (id_a, id_b) both new
+    */
+  private[graft] def mergeDeltaIntoLabels(lbl: DataFrame,
+      crossEdges: DataFrame, selfEdges: DataFrame): DataFrame = {
     val contracted = crossEdges
       .join(lbl.withColumnRenamed("node", "id_a"), Seq("id_a"), "left_outer")
       .select(coalesce(col("cluster_id"), col("id_a")).as("a"),
         col("id_b").as("b"))
-      .unionByName(incEdges
+      .unionByName(selfEdges
         .select(col("id_a").as("a"), col("id_b").as("b")))
     val relabel = connectedComponents(contracted)
       .select(col("node"), col("cluster_id").as("nlbl"))
-
-    // ---- serve the merged (cluster_id, n_docs): old cluster sizes ride
-    // under their (possibly re-mapped) label; nodes NEW to the label table
-    // (touched snapshot singletons + clustered increment docs) count 1
-    // each. Untouched clusters pass through label-stable — at scale this
-    // union is the upsert applied back to `table`_labels.
-    val oldSizes = lbl.groupBy(col("cluster_id").as("olbl"))
-      .agg(count(lit(1)).as("n"))
-    val fromOld = oldSizes
-      .join(relabel.withColumnRenamed("node", "olbl"), Seq("olbl"),
-        "left_outer")
-      .select(coalesce(col("nlbl"), col("olbl")).as("cluster_id"), col("n"))
-    val newDocs = relabel
+    val fromOld = lbl
+      .join(relabel.withColumnRenamed("node", "olbl"),
+        col("cluster_id") === col("olbl"), "left_outer")
+      .select(col("node"),
+        coalesce(col("nlbl"), col("cluster_id")).as("cluster_id"))
+    val fromNew = relabel
       .join(lbl.select(col("node")), Seq("node"), "left_anti")
-      .select(col("nlbl").as("cluster_id"), lit(1L).as("n"))
-    fromOld.unionByName(newDocs)
-      .groupBy(col("cluster_id")).agg(sum(col("n")).as("n_docs"))
-      .orderBy(col("cluster_id"))
+      .select(col("node"), col("nlbl").as("cluster_id"))
+    fromOld.unionByName(fromNew)
   }
 
   /** Snapshot build phase shared by q146's entry and its spec: write the
@@ -264,23 +280,7 @@ object PipelineOps {
       .select(col("id_a"), col("id_b"))
     val base = Upsert.versionsOf(s, labelStore).filter(_ <= batchId).max
     val lbl = s.read.parquet(s"$labelStore/v$base")
-    val contracted = crossEdges
-      .join(lbl.withColumnRenamed("node", "id_a"), Seq("id_a"), "left_outer")
-      .select(coalesce(col("cluster_id"), col("id_a")).as("a"),
-        col("id_b").as("b"))
-      .unionByName(selfEdges
-        .select(col("id_a").as("a"), col("id_b").as("b")))
-    val relabel = connectedComponents(contracted)
-      .select(col("node"), col("cluster_id").as("nlbl"))
-    val fromOld = lbl
-      .join(relabel.withColumnRenamed("node", "olbl"),
-        col("cluster_id") === col("olbl"), "left_outer")
-      .select(col("node"),
-        coalesce(col("nlbl"), col("cluster_id")).as("cluster_id"))
-    val fromNew = relabel
-      .join(lbl.select(col("node")), Seq("node"), "left_anti")
-      .select(col("node"), col("nlbl").as("cluster_id"))
-    fromOld.unionByName(fromNew)
+    mergeDeltaIntoLabels(lbl, crossEdges, selfEdges)
       .write.mode("overwrite").parquet(s"$labelStore/v${batchId + 1}")
     bands.select(col("band").cast("int").as("band"), col("bucket"),
         col("doc_id"))

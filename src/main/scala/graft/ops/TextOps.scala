@@ -243,6 +243,129 @@ object TextOps {
               FROM snap s JOIN inc i ON s.t = i.t
               ORDER BY snap_id, inc_id""")),
 
+    // ---- crawl-delta report (q148): the first question a recurring
+    // crawl pipeline asks of a new shard — "how much of this is actually
+    // new?" Each increment doc (q121's increment construction: the top-
+    // 20% slice plus a simulated re-crawl of every 7th snapshot doc)
+    // classifies against the SNAPSHOT into exact-dup (q121's hash-index
+    // probe, collision-proof text verify), near-dup (q34c's banded probe
+    // under the frozen hot list, exact-jaccard ≥ 0.5 verify — exact dups
+    // take precedence), or novel. Everything is existing build-once /
+    // probe-incrementally machinery composed: both probes cost
+    // ∝ increment, the snapshot never re-hashes or re-bands, and the
+    // report is one increment-sized classification aggregate. The useful
+    // output downstream: novel_share decides whether the shard is worth
+    // processing; exact+near shares meter crawl redundancy over time.
+    Q("q148_crawl_delta",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val snap = docs.filter(col("doc_id") < cut)
+        val inc = docs.filter(col("doc_id") >= cut)
+          .unionByName(snap.filter(col("doc_id") % 7 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        writeExactHashIndex(s, snap, "graft_delta_hash_index")
+        val exactIds = probeExactHashIndex(s, inc, docs,
+            "graft_delta_hash_index")
+          .select(col("inc_id").as("doc_id")).distinct()
+        val toSh = (df: DataFrame) => df
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .select(col("doc_id"), shingles(col("tk")).as("sh"))
+        val snapSh = toSh(snap).persist()
+        val incSh = toSh(inc).persist()
+        writeSnapshotLshIndex(s, snapSh, dfCap = 16, "graft_delta_lsh_index")
+        val crossCand = s.table("graft_delta_lsh_index")
+          .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+          .join(bandedSignaturesFrozenHot(incSh,
+              s.table("graft_delta_lsh_index_hot"))
+            .select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+            Seq("band", "bucket"))
+          .select(col("id_a"), col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        val nearIds = verifyJaccardCandidates(crossCand,
+            snapSh.unionByName(incSh), 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        inc.select(col("doc_id"))
+          .join(exactIds.withColumn("is_exact", lit(true)),
+            Seq("doc_id"), "left_outer")
+          .join(nearIds.withColumn("is_near", lit(true)),
+            Seq("doc_id"), "left_outer")
+          .select(
+            coalesce(col("is_exact"), lit(false)).as("ex"),
+            coalesce(col("is_near"), lit(false)).as("nr"))
+          .agg(count(lit(1)).as("n_inc"),
+            sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact_dup"),
+            sum(when(!col("ex") && col("nr"), 1L).otherwise(0L))
+              .as("n_near_dup"),
+            sum(when(!col("ex") && !col("nr"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("n_inc"), col("n_exact_dup"), col("n_near_dup"),
+            col("n_novel"),
+            (floor(col("n_exact_dup") * 10000.0 / col("n_inc")) / 10000)
+              .as("exact_share"),
+            (floor(col("n_near_dup") * 10000.0 / col("n_inc")) / 10000)
+              .as("near_share"),
+            (floor(col("n_novel") * 10000.0 / col("n_inc")) / 10000)
+              .as("novel_share"))
+      },
+      Some("""WITH cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8)
+                AS BIGINT) AS cut FROM documents),
+              nrm AS (SELECT doc_id,
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+                text
+              FROM documents),
+              snap AS (SELECT nrm.doc_id, t, text FROM nrm, cut
+                WHERE nrm.doc_id < cut.cut),
+              inc AS (
+                SELECT nrm.doc_id, t, text FROM nrm, cut
+                  WHERE nrm.doc_id >= cut.cut
+                UNION ALL
+                SELECT doc_id + 1000000, t, text FROM snap
+                  WHERE doc_id % 7 = 0),
+              ex AS (SELECT DISTINCT i.doc_id FROM inc i
+                JOIN snap sp ON sp.t = i.t),
+              ssh AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+                k -> regexp_extract_all(lower(text), '[a-z0-9]+')[k] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[k+1] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[k+2])) AS sh
+              FROM snap),
+              ish AS (SELECT doc_id, list_distinct(list_transform(
+                range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+                k -> regexp_extract_all(lower(text), '[a-z0-9]+')[k] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[k+1] || ' ' ||
+                     regexp_extract_all(lower(text), '[a-z0-9]+')[k+2])) AS sh
+              FROM inc),
+              se AS (SELECT doc_id, unnest(sh) AS sg FROM ssh),
+              ie AS (SELECT doc_id, unnest(sh) AS sg FROM ish),
+              ssz AS (SELECT doc_id, len(sh) AS sz FROM ssh),
+              isz AS (SELECT doc_id, len(sh) AS sz FROM ish),
+              inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM se a JOIN ie b ON a.sg = b.sg GROUP BY 1, 2),
+              near AS (SELECT DISTINCT id_b AS doc_id FROM inter
+                JOIN ssz sa ON sa.doc_id = id_a
+                JOIN isz sb ON sb.doc_id = id_b
+                WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5),
+              cls AS (SELECT i.doc_id,
+                  i.doc_id IN (SELECT doc_id FROM ex) AS ex,
+                  i.doc_id IN (SELECT doc_id FROM near) AS nr
+                FROM inc i),
+              agg AS (SELECT
+                CAST(count(*) AS BIGINT) AS n_inc,
+                CAST(count(*) FILTER (WHERE ex) AS BIGINT) AS n_exact_dup,
+                CAST(count(*) FILTER (WHERE NOT ex AND nr) AS BIGINT)
+                  AS n_near_dup,
+                CAST(count(*) FILTER (WHERE NOT ex AND NOT nr) AS BIGINT)
+                  AS n_novel
+              FROM cls)
+              SELECT n_inc, n_exact_dup, n_near_dup, n_novel,
+                floor(n_exact_dup * 10000.0 / n_inc) / 10000 AS exact_share,
+                floor(n_near_dup * 10000.0 / n_inc) / 10000 AS near_share,
+                floor(n_novel * 10000.0 / n_inc) / 10000 AS novel_share
+              FROM agg""")),
+
     // ---- secret/credential scanning + redaction (q123): the compliance
     // gate that keeps leaked API keys out of a training corpus (the
     // detect-secrets / trufflehog shape). Candidate = whitespace token ≥ 20

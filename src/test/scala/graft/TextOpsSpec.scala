@@ -8,6 +8,30 @@ class TextOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("crawl-delta classes tie out to the q121 and q34c probes and " +
+      "partition the increment (q148)") {
+    val row = SparkEntry.queries("q148_crawl_delta")(spark, sf)
+      .collect().head
+    val nInc = row.getAs[Long]("n_inc")
+    val nEx = row.getAs[Long]("n_exact_dup")
+    val nNear = row.getAs[Long]("n_near_dup")
+    val nNovel = row.getAs[Long]("n_novel")
+    assert(nEx + nNear + nNovel === nInc)
+    assert(nEx > 0 && nNovel > 0, "re-crawl and novel classes must exist")
+    // exact class = q121's probe (identical increment construction)
+    val exactIds = SparkEntry.queries("q121_exact_dedup_indexed")(spark, sf)
+      .select(col("inc_id")).distinct().count()
+    assert(nEx === exactIds)
+    // near class = q34c's cross pairs (same split, no re-crawl docs)
+    // minus anything already exact
+    val exSet = SparkEntry.queries("q121_exact_dedup_indexed")(spark, sf)
+      .select(col("inc_id").as("doc_id")).distinct()
+    val nearOnly = SparkEntry.queries("q34c_minhash_incremental")(spark, sf)
+      .select(col("id_b").as("doc_id")).distinct()
+      .join(exSet, Seq("doc_id"), "left_anti").count()
+    assert(nNear === nearOnly)
+  }
+
   private def shingled(rows: Seq[(Long, String)]) = {
     val df = rows.toDF("doc_id", "text")
     df.select(col("doc_id"), expr(

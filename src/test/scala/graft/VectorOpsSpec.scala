@@ -295,6 +295,17 @@ class VectorOpsSpec extends SparkSpec {
     assert(!labels.contains(20L) && !labels.contains(21L))
   }
 
+  test("incremental semantic dedup equals the from-scratch batch groups " +
+      "(q149 ≡ q87) on the real tables") {
+    val d = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, d)
+      .select("cluster_id", "n_members", "n_removed")
+      .as[(Long, Long, Long)].collect().toSet
+    val inc = rows("q149_semantic_dedup_incremental")
+    assert(inc === rows("q87_semantic_dedup"))
+    assert(inc.nonEmpty)
+  }
+
   test("soft assignment rescues a near-dup pair straddling a cell boundary") {
     // Hand-picked centroids (axis-aligned) make the straddle exact: the
     // pair sits at 44° and 46° — cosine cos(2°) ≈ 0.9994 ≥ 0.99, but each
