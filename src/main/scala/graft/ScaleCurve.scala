@@ -59,7 +59,8 @@ object ScaleCurve {
       "q138_embed_classifier", "q139_quantile_mv", "q141_semantic_decontam",
       "q142_shard_manifest", "q143_ann_sq8", "q144_incremental_clusters",
       "q147_token_budget", "q148_crawl_delta",
-      "q149_semantic_dedup_incremental")
+      "q149_semantic_dedup_incremental", "q150_length_buckets",
+      "q151_heldout_lm")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running

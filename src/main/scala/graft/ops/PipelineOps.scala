@@ -1766,6 +1766,67 @@ object PipelineOps {
                   AS kept_share
               FROM b JOIN k ON b.source = k.source ORDER BY b.source""")),
 
+    // ---- length-bucket batching report (q150): the training-efficiency
+    // twin of q79's packing — instead of concatenating docs into fixed
+    // windows, group them into power-of-2 length buckets (the dynamic-
+    // batching / bucketed-sampler shape every trainer ships) and meter
+    // what each bucket pays in padding: per bucket, docs, real tokens,
+    // padded slots (docs × bucket length, over-long docs truncate to the
+    // 1024 cap), waste share — plus the naive everything-to-max baseline
+    // the report exists to beat. Bucket choice is a CASE over fixed
+    // integer boundaries (no float log2 — cross-engine exact at the
+    // 2^k edges by construction); the whole thing is one map-side
+    // projection + a 7-row aggregate, scoring wherever the scan runs.
+    Q("q150_length_buckets",
+      (s, d) => {
+        val nTok = size(TextOps.toks(col("text"))).cast("long")
+        val bucket = when(nTok <= 16L, 16L).when(nTok <= 32L, 32L)
+          .when(nTok <= 64L, 64L).when(nTok <= 128L, 128L)
+          .when(nTok <= 256L, 256L).when(nTok <= 512L, 512L)
+          .otherwise(1024L)
+        val per = Tables.documents(s, d)
+          .select(nTok.as("n_tok"), bucket.as("bucket_len"))
+          .select(col("bucket_len"),
+            least(col("n_tok"), col("bucket_len")).as("kept_tok"))
+        per.groupBy(col("bucket_len"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept_tok")).as("real_tokens"))
+          .select(col("bucket_len"), col("n_docs"), col("real_tokens"),
+            (col("n_docs") * col("bucket_len")).as("padded_slots"),
+            (floor((col("n_docs") * col("bucket_len") - col("real_tokens"))
+              * 10000.0 / (col("n_docs") * col("bucket_len"))) / 10000)
+              .as("waste_share"),
+            (floor((col("n_docs") * lit(1024L) - col("real_tokens"))
+              * 10000.0 / (col("n_docs") * lit(1024L))) / 10000)
+              .as("naive_waste_share"))
+          .orderBy(col("bucket_len"))
+      },
+      Some("""WITH t AS (SELECT
+                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS n_tok
+              FROM documents),
+              b AS (SELECT n_tok,
+                CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+                     WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+                     WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+                     ELSE 1024 END AS bucket_len,
+                least(n_tok, CASE WHEN n_tok <= 16 THEN 16
+                     WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+                     WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256
+                     WHEN n_tok <= 512 THEN 512 ELSE 1024 END) AS kept_tok
+              FROM t),
+              g AS (SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+                count(*) AS n_docs,
+                CAST(sum(kept_tok) AS BIGINT) AS real_tokens
+              FROM b GROUP BY 1)
+              SELECT bucket_len, n_docs, real_tokens,
+                n_docs * bucket_len AS padded_slots,
+                floor((n_docs * bucket_len - real_tokens) * 10000.0 /
+                  (n_docs * bucket_len)) / 10000 AS waste_share,
+                floor((n_docs * 1024 - real_tokens) * 10000.0 /
+                  (n_docs * 1024)) / 10000 AS naive_waste_share
+              FROM g ORDER BY bucket_len""")),
+
     // ---- per-source corpus health report (q100): the one-screen summary
     // a pipeline team watches per ingest batch — per source: doc count,
     // distinct languages, mean token length, and the exact-dup rate

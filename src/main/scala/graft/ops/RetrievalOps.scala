@@ -352,6 +352,94 @@ object RetrievalOps {
               JOIN uni u1 ON bif.t = u1.t
               JOIN uni u2 ON bif.t2 = u2.t
               CROSS JOIN total
-              GROUP BY bif.doc_id ORDER BY bif.doc_id"""))
+              GROUP BY bif.doc_id ORDER BY bif.doc_id""")),
+
+    // ---- HELD-OUT bigram-LM scoring (q151): q94 trains and scores on
+    // the same corpus — fine for in-corpus outlier ranking, but the
+    // deployed perplexity gate trains on YESTERDAY's snapshot and scores
+    // TODAY's arrivals, where unseen tokens/bigrams are the norm, not the
+    // exception. Model: snapshot-only unigram/bigram counts (the q121
+    // 80% cut); score: Jelinek-Mercer over the snapshot bigram plus a
+    // Laplace-floored unigram back-off — p(t2|t1) = 0.7·c(t1t2)/c(t1)
+    // + 0.3·(c(t2)+1)/(N+V) — so an increment bigram the snapshot never
+    // saw still gets positive mass (coalesce(0) on the missing joins)
+    // and every probability stays a ratio of integer counts, IEEE-exact
+    // cross-engine. Scale: the models are vocabulary-shaped aggregates
+    // built ONCE per snapshot (at web scale: written tables, the scoring
+    // joins degrade from broadcast to shuffled hash on the token pair —
+    // same plan); per-shard scoring cost ∝ increment bigrams. The score
+    // is the gate most large pipelines actually run on arriving shards.
+    Q("q151_heldout_lm",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val t = docs.select(col("doc_id"), TextOps.toks(col("text")).as("ts"))
+        val snapTok = t.filter(col("doc_id") < cut)
+          .select(explode(col("ts")).as("t"))
+        val uni = snapTok.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+        val bim = t.filter(col("doc_id") < cut)
+          .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("t1"),
+              element_at(col("ts"), (i + 1).cast("int")).as("t2"))))
+            .as("b"))
+          .groupBy(col("b.t1").as("t1"), col("b.t2").as("t2"))
+          .agg(count(lit(1)).as("c12"))
+        val totals = snapTok.agg(count(lit(1)).as("n_total"),
+          countDistinct(col("t")).as("vocab"))
+        val incBi = t.filter(col("doc_id") >= cut)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("ts")) - 1),
+              i => struct(element_at(col("ts"), i).as("t1"),
+                element_at(col("ts"), (i + 1).cast("int")).as("t2"))))
+              .as("b"))
+          .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+        incBi
+          .join(bim, Seq("t1", "t2"), "left_outer")
+          .join(uni.select(col("t").as("t1"), col("c1")), Seq("t1"),
+            "left_outer")
+          .join(uni.select(col("t").as("t2"), col("c1").as("c2")),
+            Seq("t2"), "left_outer")
+          .crossJoin(broadcast(totals))
+          .select(col("doc_id"),
+            (lit(0.7) * coalesce(col("c12") / col("c1"), lit(0.0)) +
+              lit(0.3) * (coalesce(col("c2"), lit(0L)) + lit(1L)) /
+                (col("n_total") + col("vocab"))).as("p"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("int").as("n_bi"),
+            round(avg(-log(col("p"))), 6).as("avg_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8)
+                AS BIGINT) AS cut FROM documents),
+              t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                FROM documents),
+              stok AS (SELECT unnest(ts) AS t FROM t, cut
+                WHERE doc_id < cut.cut),
+              uni AS (SELECT t, count(*) AS c1 FROM stok GROUP BY t),
+              sbi AS (SELECT unnest(list_transform(range(1, len(ts)),
+                  i -> struct_pack(t1 := ts[i], t2 := ts[i+1]))) AS b
+                FROM t, cut WHERE doc_id < cut.cut),
+              bim AS (SELECT b.t1 AS t1, b.t2 AS t2, count(*) AS c12
+                FROM sbi GROUP BY 1, 2),
+              totals AS (SELECT count(*) AS n_total,
+                  count(DISTINCT t) AS vocab FROM stok),
+              ibi AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                  i -> struct_pack(t1 := ts[i], t2 := ts[i+1]))) AS b
+                FROM t, cut WHERE doc_id >= cut.cut),
+              ib AS (SELECT doc_id, b.t1 AS t1, b.t2 AS t2 FROM ibi),
+              scored AS (SELECT ib.doc_id,
+                  0.7 * coalesce(bim.c12 * 1.0 / u1.c1, 0.0) +
+                  0.3 * (coalesce(u2.c1, 0) + 1) * 1.0 /
+                    (totals.n_total + totals.vocab) AS p
+                FROM ib
+                LEFT JOIN bim ON ib.t1 = bim.t1 AND ib.t2 = bim.t2
+                LEFT JOIN uni u1 ON ib.t1 = u1.t
+                LEFT JOIN uni u2 ON ib.t2 = u2.t
+                CROSS JOIN totals)
+              SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bi,
+                round(avg(-ln(p)), 6) AS avg_nll
+              FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

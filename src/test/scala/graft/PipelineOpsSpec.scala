@@ -179,6 +179,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(all === 0L)
   }
 
+  test("length-bucket report: buckets partition the corpus and waste " +
+      "accounting is internally consistent (q150)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q150_length_buckets")(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.schema.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum === nDocs, "buckets must partition the corpus")
+    rows.foreach { case (bl, n, real, padded, waste, naive) =>
+      assert(padded === n * bl)
+      assert(real <= padded, s"bucket $bl: real $real > padded $padded")
+      assert(waste >= 0 && waste < 1)
+      // bucketing can never waste more than padding everything to max
+      assert(waste <= naive + 1e-9, s"bucket $bl: $waste > naive $naive")
+    }
+  }
+
   test("leakage-safe split never separates a near-dup pair (q86 invariant)") {
     val d = "/root/testdata/sf0.001"
     val pairs = SparkEntry.queries("q35_ngram_jaccard")(spark, d)

@@ -1,9 +1,43 @@
 package graft
 
 import graft.ops.RetrievalOps
+import org.apache.spark.sql.functions._
 
 class RetrievalOpsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("held-out LM floors unseen bigrams and ranks a gibberish arrival " +
+      "above in-distribution text (q151)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q151_heldout_lm")(spark, sf)
+      .as[(Long, Int, Double)].collect()
+    assert(out.nonEmpty)
+    // Laplace floor: every probability positive -> every nll finite, > 0
+    out.foreach { case (id, nBi, nll) =>
+      assert(nBi > 0, s"doc $id has no bigram positions")
+      assert(nll > 0 && !nll.isInfinite && !nll.isNaN,
+        s"doc $id avg_nll=$nll")
+    }
+    // scoring covers exactly the increment docs with >= 2 tokens
+    val docs = graft.schema.Tables.documents(spark, sf)
+    val cut = math.floor(
+      (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+    val expected = docs.filter(col("doc_id") >= cut)
+      .filter(size(graft.ops.TextOps.toks(col("text"))) >= 2).count()
+    assert(out.length.toLong === expected)
+    // a doc of tokens the snapshot never saw must out-nll every scored
+    // doc: its bigram term is 0 and its unigram back-off is the floor
+    val worstSeen = out.map(_._3).max
+    val floorNll = {
+      val totals = docs.filter(col("doc_id") < cut)
+        .select(explode(graft.ops.TextOps.toks(col("text"))).as("t"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("v"))
+        .as[(Long, Long)].head()
+      -math.log(0.3 * 1.0 / (totals._1 + totals._2))
+    }
+    assert(floorNll > worstSeen,
+      s"floor $floorNll should exceed max observed $worstSeen")
+  }
 
   test("bigram quality matches the hand-computed interpolated LM") {
     // Corpus: d1 = "x y x", d2 = "x y".
