@@ -1034,7 +1034,40 @@ object TextOps {
     Q("q104_rag_chunks",
       (s, d) => ragChunks(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_idx")),
-      Some(RagChunksSql))
+      Some(RagChunksSql)),
+
+    // ---- canonical text normalization (q153): the cleaning pass that
+    // RUNS BEFORE every hash-keyed operator — exact dedup (q31), shingle
+    // MinHash (q34), winnowing (q37) all key on bytes, and crawl text
+    // arrives with uncomposed Unicode (e + U+0301 vs é), C0 extraction
+    // residue, and CRLF/whitespace noise that defeats byte-keying. The
+    // kernel is the custom codegen'd [[graft.expr.TextNormalize]]
+    // expression (NFC → strip C0/DEL keeping \t\n → collapse space runs →
+    // trim); see its Scaladoc for the expression-vs-UDF argument. Purely
+    // map-side at any SF — the one shuffle below is the presentation sort.
+    //
+    // Differential-oracle design: the testdata text is clean ASCII (the
+    // normalizer would be an identity on it, proving nothing), so the
+    // query DIRTIES each doc deterministically in-plan — decomposed
+    // accent, BEL, CRLF, tab and space runs, built identically in both
+    // engines (Scala \u escapes here; chr() codepoints in DuckDB, whose
+    // chr is full-Unicode while Spark's is ASCII-bounded) — and the two
+    // independent NFC + regex implementations (ICU/RE2 in DuckDB, JDK in
+    // the expression) must then agree byte-for-byte on every row.
+    Q("q153_text_normalize",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.expr.TextNormalize.textNormalize(
+            concat(lit("e\u0301 \t"), col("text"),
+              lit("  A\u0007B\r\n end "))).as("clean_text"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source,
+                trim(regexp_replace(regexp_replace(nfc_normalize(
+                  'e' || chr(769) || ' ' || chr(9) || text ||
+                  '  A' || chr(7) || 'B' || chr(13) || chr(10) || ' end '),
+                  '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                  '[ \t]+', ' ', 'g')) AS clean_text
+              FROM documents ORDER BY doc_id"""))
   )
 
   /** q104's chunking Column tree, factored so the streaming twin (q107)

@@ -418,4 +418,41 @@ class TextOpsSpec extends SparkSpec {
     assert(!agg.queryExecution.executedPlan.toString
       .contains("Exchange hashpartitioning"))
   }
+
+  test("TextNormalize: NFC composes, controls strip (tab/newline survive), " +
+      "space runs collapse, trim is space-only, plan stays codegen") {
+    // chars built with toChar, not escapes, so the intent is unambiguous
+    val acute = 0x0301.toChar   // combining acute: "e"+acute NFC→ é
+    val eAcute = 0x00e9.toChar  // composed é
+    val bel = 7.toChar; val del = 0x7f.toChar; val cr = 13.toChar
+    val nl = 10.toChar; val tab = 9.toChar
+    val rows = Seq(
+      (1L, s"caf e$acute"),                         // NFC composition
+      (2L, s"  ab $tab  c$bel$del$cr${nl}d  "),     // strip + collapse + trim
+      (3L, s"${nl}x$tab${tab}y$nl"),                // \n survives untrimmed
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val out = rows
+      .select(col("id"),
+        graft.expr.TextNormalize.textNormalize(col("s")).as("n"))
+      .orderBy("id").as[(Long, String)].collect().toList
+    assert(out == List(
+      (1L, s"caf $eAcute"),
+      (2L, s"ab c${nl}d"),
+      (3L, s"${nl}x y$nl"),
+      (4L, null)),
+      out.map { case (i, v) => (i, Option(v).map(_.map(_.toInt))) })
+    // native expression, not a UDF: no ScalaUDF node, projection stays
+    // inside whole-stage codegen (repartition first — a bare select over a
+    // LocalRelation is eagerly folded by ConvertToLocalRelation and would
+    // assert nothing)
+    val ndf = rows.repartition(2)
+      .select(graft.expr.TextNormalize.textNormalize(col("s")))
+    ndf.collect() // materialize so AQE finalizes and codegen spans render
+    val qe = ndf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!qe.contains("ScalaUDF"), qe)
+    // the tree string renders whole-stage-codegen spans as "*(n) "
+    assert("""\*\(\d+\) Project""".r.findFirstIn(qe).isDefined, qe)
+  }
 }

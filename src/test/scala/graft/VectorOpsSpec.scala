@@ -452,4 +452,56 @@ class VectorOpsSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1, plan)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("JL projection: sign matrix is deterministic, norm distortion is " +
+      "bounded, and top-1 neighbors survive projection on clustered data") {
+    // determinism + shape of the portable sign matrix
+    val s1 = VectorOps.jlSigns(16, 64)
+    assert(s1 == VectorOps.jlSigns(16, 64))
+    assert(s1.size == 16 && s1.forall(_.size == 64))
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    // signs are ~balanced (md5 nibble parity): a degenerate all-+1 matrix
+    // would still "pass" norm checks on axis-aligned data, so pin balance
+    val plus = s1.flatten.count(_ == 1.0)
+    assert(plus > 400 && plus < 624, plus) // 1024 total, expect ~512
+
+    // clustered corpus: 20 random near-orthogonal unit centers (pairwise
+    // |cos| ~ 1/8 in 64-d) with tight jitter — the separation regime a 4x
+    // JL compression provably preserves (the cos-pattern ANN corpus has
+    // 0.95-similar neighbors, inside JL's distortion radius by design)
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(20)(Array.fill(64)(rng.nextGaussian()))
+    val rows = for { c <- 0 until 20; m <- 0 until 10 } yield {
+      val v = centers(c).map(_ + rng.nextGaussian() * 0.02)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      ((c * 10 + m).toLong, v.map(x => (x / n).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = VectorOps.jlProject(df, kOut = 16, dim = 64)
+      .withColumn("fn", graft.expr.VectorExprs.l2Norm(col("embedding")))
+      .withColumn("pn", sqrt(VectorOps.dot(col("proj"), col("proj"))))
+      .withColumn("ratio", col("pn") / (lit(4.0) * col("fn")))
+    // JL norm-distortion at k=16: ratio² ~ χ²₁₆/16, whose 0.1%-tails sit
+    // near 0.45/1.7 — the HARD bound here is the coarse sanity rail; the
+    // statistically meaningful checks are the mean below and the
+    // neighborhood preservation after it
+    val ratios = proj.select("ratio").as[Double].collect()
+    assert(ratios.forall(r => r > 0.4 && r < 1.75), ratios.min -> ratios.max)
+    // E[ratio] ~ 1
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.15, mean)
+
+    // neighborhood preservation: project, then for one query per cluster
+    // the top-1 neighbor under projected cosine stays in the same cluster
+    // for >= 80% of queries (exact would be 100%; JL at 4x compression on
+    // 1-degree-tight clusters loses at most a straggler or two)
+    val projF = proj.select(col("vec_id"),
+      col("proj").cast("array<float>").as("embedding"))
+    val queries = projF.filter(col("vec_id") % 10 === 0)
+    val corpus = projF.filter(col("vec_id") % 10 =!= 0)
+    val top1 = VectorOps.cosineTopK(queries, corpus, 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    val same = top1.count { case (q, n) => q / 10 == n / 10 }
+    assert(same >= 16, s"$same/20 top-1 neighbors in-cluster")
+  }
 }
