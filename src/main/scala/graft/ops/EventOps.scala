@@ -472,6 +472,102 @@ object EventOps {
                   AS session_end,
                 count(*) AS n_events, round(sum(value), 2) AS sum_value
               FROM g GROUP BY user_id, sid
-              ORDER BY user_id, session_start"""))
+              ORDER BY user_id, session_start""")),
+
+    // ---- histogram winsorization (q156): robust numeric cleaning for a
+    // telemetry column — clamp each event_type's `value` to its [p05,
+    // p95) band so sensor glitches / bot spikes stop dominating means.
+    // The quantile is located on a 128-bin FIXED-GRID histogram (the q147
+    // boundary-bin discipline): a percentile_cont formulation would SORT
+    // every group's raw values; this plan shuffles only (type × ≤128) bin
+    // partials, finds each type's boundary bins on that tiny relation
+    // (windows partitioned by type over ≤128 rows — PlanAuditSpec-clean),
+    // and broadcast-joins the two clamp scalars back for a second map-side
+    // pass. Two scans of events by design: persisting the binned rows
+    // would hold row-sized state; the histogram pass reduces map-side.
+    // Cross-engine exactness: bin = floor((v-mn)/(mx-mn)·128) and edge =
+    // mn + bin·((mx-mn)/128) use only IEEE ops with power-of-2 scaling —
+    // bit-identical in both engines, no rounding discipline needed until
+    // the winsorized mean, which averages floor-quantized BIGINTs (the
+    // q152 integer-avg rule).
+    Q("q156_winsorize",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), col("value"))
+        val mm = ev.groupBy(col("event_type"))
+          .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        val binned = ev.join(broadcast(mm), Seq("event_type"))
+          .withColumn("bin", when(col("mx") > col("mn"),
+            least(floor((col("value") - col("mn")) /
+              (col("mx") - col("mn")) * 128), lit(127.0)))
+            .otherwise(lit(0.0)).cast("int"))
+        val hist = binned.groupBy(col("event_type"), col("bin"))
+          .agg(min(col("mn")).as("mn"), min(col("mx")).as("mx"),
+            count(lit(1)).as("cnt"))
+        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+        val cum = hist
+          .withColumn("cum", sum(col("cnt")).over(wOrd))
+          .withColumn("n",
+            sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+        val bounds = cum.groupBy(col("event_type"))
+          .agg(min(col("mn")).as("mn"), min(col("mx")).as("mx"),
+            min(when(col("cum") >= col("n") * 0.05, col("bin")))
+              .as("lo_bin"),
+            min(when(col("cum") >= col("n") * 0.95, col("bin")))
+              .as("hi_bin"))
+          .select(col("event_type"),
+            (col("mn") + col("lo_bin") *
+              ((col("mx") - col("mn")) / 128)).as("lo"),
+            (col("mn") + (col("hi_bin") + 1) *
+              ((col("mx") - col("mn")) / 128)).as("hi"))
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .withColumn("cl",
+            least(greatest(col("value"), col("lo")), col("hi")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("lo")), 6).as("clamp_lo"),
+            round(min(col("hi")), 6).as("clamp_hi"),
+            sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+              .as("n_clamped_lo"),
+            sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+              .as("n_clamped_hi"),
+            round(avg(floor(col("cl") * 10000).cast("long")) / 10000, 6)
+              .as("mean_winsorized"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type, value FROM events
+                WHERE value IS NOT NULL),
+              mm AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+                FROM ev GROUP BY 1),
+              b AS (SELECT e.event_type, value, mn, mx,
+                CAST(CASE WHEN mx > mn
+                  THEN least(floor((value - mn) / (mx - mn) * 128), 127)
+                  ELSE 0 END AS INTEGER) AS bin
+                FROM ev e JOIN mm USING (event_type)),
+              h AS (SELECT event_type, bin, min(mn) AS mn, min(mx) AS mx,
+                count(*) AS cnt FROM b GROUP BY 1, 2),
+              c AS (SELECT *, sum(cnt) OVER
+                  (PARTITION BY event_type ORDER BY bin) AS cum,
+                sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+              bd AS (SELECT event_type, min(mn) AS mn, min(mx) AS mx,
+                min(CASE WHEN cum >= n * 0.05 THEN bin END) AS lo_bin,
+                min(CASE WHEN cum >= n * 0.95 THEN bin END) AS hi_bin
+                FROM c GROUP BY 1),
+              bounds AS (SELECT event_type,
+                mn + lo_bin * ((mx - mn) / 128) AS lo,
+                mn + (hi_bin + 1) * ((mx - mn) / 128) AS hi FROM bd),
+              r AS (SELECT e.event_type, value, lo, hi,
+                least(greatest(value, lo), hi) AS cl
+                FROM ev e JOIN bounds USING (event_type))
+              SELECT event_type, count(*) AS n,
+                round(min(lo), 6) AS clamp_lo,
+                round(min(hi), 6) AS clamp_hi,
+                CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clamped_lo,
+                CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clamped_hi,
+                round(avg(CAST(floor(cl * 10000) AS BIGINT)) / 10000, 6)
+                  AS mean_winsorized
+              FROM r GROUP BY 1 ORDER BY 1"""))
   )
 }

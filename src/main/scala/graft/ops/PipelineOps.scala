@@ -2100,6 +2100,64 @@ object PipelineOps {
                 SELECT 'totalprice_range', v_price FROM a)
               SELECT m.rule, a.n AS n_checked,
                 CAST(m.v AS BIGINT) AS n_violations, m.v = 0 AS pass
-              FROM m, a ORDER BY rule"""))
+              FROM m, a ORDER BY rule""")),
+
+    // ---- dataset card (q155): the release-documentation artifact every
+    // published training set ships (composition tables à la datasheets /
+    // data cards) — the CONTENT complement of q142's shard manifests
+    // (integrity) and q100's source health (operations). Per (lang,
+    // source) cell: docs, chars, whitespace tokens (q32's tokenizer),
+    // exact-dup rate under q31's normalization, and the cell's share of
+    // corpus chars. One pass over documents: per-doc features derive
+    // map-side (the md5 dup key shuffles as 32 hex chars, never text),
+    // then one cell-count-sized aggregate; the corpus-total for the share
+    // column re-aggregates the PERSISTED card (cells, not rows) and
+    // broadcast-joins back — not a partition-less window (PlanAuditSpec
+    // forbids those repo-wide) and not a second documents scan. Ratios
+    // floor-quantized (midpoint discipline).
+    Q("q155_dataset_card",
+      (s, d) => {
+        val perDoc = Tables.documents(s, d).select(
+          col("lang"), col("source"),
+          length(col("text")).cast("long").as("chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+            .as("h"))
+        val cells = perDoc.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("chars")).as("total_chars"),
+            sum(col("toks")).as("total_tokens"),
+            countDistinct(col("h")).as("n_distinct"))
+          .persist()
+        val total = cells.agg(sum(col("total_chars")).as("corpus_chars"))
+        cells.crossJoin(broadcast(total))
+          .select(col("lang"), col("source"), col("n_docs"),
+            col("total_chars"), col("total_tokens"),
+            (floor((lit(1.0) - col("n_distinct") /
+              col("n_docs").cast("double")) * 10000) / 10000)
+              .as("dup_rate"),
+            (floor(col("total_chars") /
+              col("corpus_chars").cast("double") * 10000) / 10000)
+              .as("char_share"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH perdoc AS (SELECT lang, source,
+                length(text) AS chars,
+                len(string_split_regex(trim(text), '\s+')) AS toks,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+              FROM documents),
+              cells AS (SELECT lang, source, count(*) AS n_docs,
+                sum(chars) AS total_chars, sum(toks) AS total_tokens,
+                count(DISTINCT h) AS n_distinct
+              FROM perdoc GROUP BY lang, source)
+              SELECT lang, source, n_docs,
+                CAST(total_chars AS BIGINT) AS total_chars,
+                CAST(total_tokens AS BIGINT) AS total_tokens,
+                floor((1.0 - n_distinct * 1.0 / n_docs) * 10000) / 10000
+                  AS dup_rate,
+                floor(total_chars * 1.0 /
+                  (sum(total_chars) OVER ()) * 10000) / 10000
+                  AS char_share
+              FROM cells ORDER BY lang, source"""))
   )
 }

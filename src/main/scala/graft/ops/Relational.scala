@@ -390,6 +390,50 @@ object Relational {
                   / 10000 AS risk_rate
               FROM cls GROUP BY gid ORDER BY gid""")),
 
+    // ---- differentially-private count release (q154): the governance
+    // family's RELEASE mechanism — q113 measures re-identification risk,
+    // q123 finds leaked credentials, this is the standard way to publish
+    // aggregate statistics about a private table with a proof: per-group
+    // counts + Laplace(1/ε) noise give ε-DP for count queries (sensitivity
+    // 1). The noise draw is the inverse-CDF transform of ONE deterministic
+    // uniform u ∈ (0,1] from the q132 portable-md5 discipline (seeded by a
+    // release tag + group key, so re-running the release never re-draws —
+    // releasing twice with fresh noise would halve the privacy budget);
+    // the ln is rounded at 9 dp before use (libm last-ulp drift, the q132
+    // rule) and the released value floor-quantized at 4 dp. Post-processed
+    // clamp at 0 (DP is closed under post-processing). The TRUE count
+    // never leaves the plan. Group-count-sized output; the only shuffle is
+    // the count partials — the mechanism itself is per-group scalar math.
+    Q("q154_dp_counts",
+      (s, d) => {
+        val eps = 0.5
+        val seeded = Tables.customer(s, d)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("true_n"))
+          .withColumn("u",
+            (conv(substring(md5(concat(lit("dp1_"), col("c_mktsegment"))),
+              1, 8), 16, 10).cast("long") + 1L) / 4294967297.0)
+        seeded.select(col("c_mktsegment"),
+            lit(eps).as("epsilon"),
+            greatest(lit(0.0),
+              floor((col("true_n") +
+                round(lit(-1.0 / eps) * signum(col("u") - 0.5) *
+                  log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 9))
+                * 10000) / 10000).as("noisy_count"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH t AS (SELECT c_mktsegment, count(*) AS true_n
+                FROM customer GROUP BY 1),
+              u AS (SELECT c_mktsegment, true_n,
+                (CAST('0x' || substr(md5('dp1_' || c_mktsegment), 1, 8)
+                   AS BIGINT) + 1) / 4294967297.0 AS u
+                FROM t)
+              SELECT c_mktsegment, CAST(0.5 AS DOUBLE) AS epsilon,
+                greatest(0.0, floor((true_n +
+                  round(-2.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 9))
+                  * 10000) / 10000) AS noisy_count
+              FROM u ORDER BY c_mktsegment""")),
+
     // ---- scalar-function library: string / date / math / conditional
     Q("q17_scalar_fns",
       (s, d) => Tables.orders(s, d)

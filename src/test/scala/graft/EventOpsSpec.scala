@@ -164,4 +164,46 @@ class EventOpsSpec extends SparkSpec {
     assert(plan(direct).contains("hashpartitioning(user_id"),
       "direct plan unexpectedly lost its user_id exchange")
   }
+
+  test("winsorize: outliers clamp to the histogram band, interior values " +
+      "pass through, report matches a direct replication of the rule") {
+    // type "t": 100 uniform values 1..100 plus one 1000.0 spike; the p95
+    // boundary bin sits far below the spike, so it must clamp
+    val vals = (1 to 100).map(_.toDouble) :+ 1000.0
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts("2024-01-01 10:00:00"), 1L, "t", v, "{}")
+    }
+    val d = eventsDir(rows)
+
+    // direct replication of the mechanism (same IEEE expression order)
+    val mn = vals.min; val mx = vals.max; val n = vals.size
+    def bin(v: Double) =
+      math.min(math.floor((v - mn) / (mx - mn) * 128), 127.0).toInt
+    val hist = vals.groupBy(bin).view.mapValues(_.size).toMap
+    val cums = (0 to 127).scanLeft(0) { (acc, b) =>
+      acc + hist.getOrElse(b, 0) }.tail
+    def boundary(q: Double) =
+      (0 to 127).find(b => cums(b) >= n * q).get
+    val step = (mx - mn) / 128
+    val lo = mn + boundary(0.05) * step
+    val hi = mn + (boundary(0.95) + 1) * step
+    val clamped = vals.map(v => math.min(math.max(v, lo), hi))
+    val expMean = clamped.map(c => math.floor(c * 10000).toLong)
+      .sum.toDouble / clamped.size
+    val exp = ("t", n.toLong,
+      BigDecimal(lo).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(hi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      vals.count(_ < lo).toLong, vals.count(_ > hi).toLong,
+      BigDecimal(expMean / 10000)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    val out = SparkEntry.queries("q156_winsorize")(spark, d)
+      .as[(String, Long, Double, Double, Long, Long, Double)]
+      .collect().toList
+    assert(out === List(exp), out)
+    // the spike was actually tamed: clamp_hi far below 1000
+    assert(out.head._4 < 500.0, out.head)
+    assert(out.head._6 >= 1L, "the 1000.0 spike must count as clamped")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
 }

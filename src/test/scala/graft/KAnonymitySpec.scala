@@ -28,4 +28,46 @@ class KAnonymitySpec extends SparkSpec {
       (3L, 1L, 8L, 0L, 0.0)), out)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("DP count release: noise matches the inverse-CDF hand computation, " +
+      "is reproducible, and the zero clamp post-processes") {
+    // two segments; the noise for each is fully determined by its name
+    val rows = (1 to 40).map(i => (i.toLong, s"c$i", 1, 0.0, "AA")) ++
+      Seq((41L, "c41", 1, 0.0, "ZZ"))
+    val dir = java.nio.file.Files.createTempDirectory("q154spec").toString
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // reference implementation of the release formula, straight from the
+    // mechanism definition (md5 first 8 hex → uniform → Laplace icdf)
+    def release(seg: String, trueN: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dp1_$seg".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 1L) / 4294967297.0
+      val noise = BigDecimal(-2.0 * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.max(0.0, math.floor((trueN + noise) * 10000) / 10000)
+    }
+    val out = SparkEntry.queries("q154_dp_counts")(spark, dir)
+      .as[(String, Double, Double)].collect().toList
+    assert(out === List(
+      ("AA", 0.5, release("AA", 40L)),
+      ("ZZ", 0.5, release("ZZ", 1L))), out)
+    // the release is nonzero noise (the draw isn't degenerate) and
+    // reproducible run-to-run (no fresh randomness = no budget burn)
+    assert(out.map(_._3) != List(40.0, 1.0))
+    val again = SparkEntry.queries("q154_dp_counts")(spark, dir)
+      .as[(String, Double, Double)].collect().toList
+    assert(again === out)
+    // clamp: a tag whose draw is a large negative noise on a tiny count
+    // floors at 0 — verified against the reference formula directly
+    val clamped = (1 to 200).map(i => s"S$i")
+      .map(sgm => release(sgm, 1L))
+    assert(clamped.forall(_ >= 0.0))
+    assert(clamped.contains(0.0),
+      "expected at least one of 200 single-row groups to clamp at 0")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -460,4 +460,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.count(_._1 % 10 == 0) >= 3,
       s"heavy docs underrepresented: $got")
   }
+
+  test("dataset card: per-cell counts/chars/tokens, dup rate under the " +
+      "q31 normalization, and char shares that sum to ~1") {
+    // cell (en, a): 3 docs, one exact dup pair under normalization
+    // (whitespace differences collapse); cell (de, b): 1 doc
+    val docs = Seq(
+      (1L, "alpha beta", "en", "a", 0L),
+      (2L, "  alpha   beta ", "en", "a", 0L), // dup of 1 after normText
+      (3L, "gamma", "en", "a", 0L),
+      (4L, "delta epsilon zeta", "de", "b", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_card").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q155_dataset_card")(spark, dir)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toList
+    val chEnA = "alpha beta".length + "  alpha   beta ".length +
+      "gamma".length
+    val chDeB = "delta epsilon zeta".length
+    assert(out === List(
+      ("de", "b", 1L, chDeB.toLong, 3L, 0.0,
+        math.floor(chDeB.toDouble / (chEnA + chDeB) * 10000) / 10000),
+      ("en", "a", 3L, chEnA.toLong, 5L,
+        math.floor((1.0 - 2.0 / 3.0) * 10000) / 10000,
+        math.floor(chEnA.toDouble / (chEnA + chDeB) * 10000) / 10000)),
+      out)
+    // shares are a partition of the corpus (floor-quantization loses at
+    // most 1e-4 per cell)
+    val shareSum = out.map(_._7).sum
+    assert(shareSum > 0.999 && shareSum <= 1.0, shareSum)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
