@@ -494,46 +494,7 @@ object EventOps {
       (s, d) => {
         val ev = Tables.events(s, d).filter(col("value").isNotNull)
           .select(col("event_type"), col("value"))
-        val mm = ev.groupBy(col("event_type"))
-          .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
-        val binned = ev.join(broadcast(mm), Seq("event_type"))
-          .withColumn("bin", when(col("mx") > col("mn"),
-            least(floor((col("value") - col("mn")) /
-              (col("mx") - col("mn")) * 128), lit(127.0)))
-            .otherwise(lit(0.0)).cast("int"))
-        val hist = binned.groupBy(col("event_type"), col("bin"))
-          .agg(min(col("mn")).as("mn"), min(col("mx")).as("mx"),
-            count(lit(1)).as("cnt"))
-        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
-        val cum = hist
-          .withColumn("cum", sum(col("cnt")).over(wOrd))
-          .withColumn("n",
-            sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
-        val bounds = cum.groupBy(col("event_type"))
-          .agg(min(col("mn")).as("mn"), min(col("mx")).as("mx"),
-            min(when(col("cum") >= col("n") * 0.05, col("bin")))
-              .as("lo_bin"),
-            min(when(col("cum") >= col("n") * 0.95, col("bin")))
-              .as("hi_bin"))
-          .select(col("event_type"),
-            (col("mn") + col("lo_bin") *
-              ((col("mx") - col("mn")) / 128)).as("lo"),
-            (col("mn") + (col("hi_bin") + 1) *
-              ((col("mx") - col("mn")) / 128)).as("hi"))
-        ev.join(broadcast(bounds), Seq("event_type"))
-          .withColumn("cl",
-            least(greatest(col("value"), col("lo")), col("hi")))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            round(min(col("lo")), 6).as("clamp_lo"),
-            round(min(col("hi")), 6).as("clamp_hi"),
-            sum(when(col("value") < col("lo"), 1L).otherwise(0L))
-              .as("n_clamped_lo"),
-            sum(when(col("value") > col("hi"), 1L).otherwise(0L))
-              .as("n_clamped_hi"),
-            round(avg(floor(col("cl") * 10000).cast("long")) / 10000, 6)
-              .as("mean_winsorized"))
-          .orderBy(col("event_type"))
+        winsorReport(ev, winsorBounds(ev)).orderBy(col("event_type"))
       },
       Some("""WITH ev AS (SELECT event_type, value FROM events
                 WHERE value IS NOT NULL),
@@ -568,6 +529,193 @@ object EventOps {
                   AS n_clamped_hi,
                 round(avg(CAST(floor(cl * 10000) AS BIGINT)) / 10000, 6)
                   AS mean_winsorized
-              FROM r GROUP BY 1 ORDER BY 1"""))
+              FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // ---- incremental winsorize-bounds maintenance (q158): completes the
+    // q156 family's triangle (build q156 / maintain q158 / serve q157 —
+    // the posture every recurring 100-TB pipeline needs, cf. q34b/c/q109
+    // and q44b/c/q108). The insight making maintenance cheap: the bounds'
+    // state is a HISTOGRAM, and histograms on the same grid merge by
+    // adding counts — so the snapshot's (type, bin, cnt) table is written
+    // once, an increment reduces map-side to its own bin partials under
+    // the FROZEN grid, and the merged relation re-derives bounds without
+    // ever rescanning snapshot rows. Cost ∝ increment + (types × 128).
+    // The frozen grid clips out-of-range increment values to the edge
+    // bins; n_grid_clipped surfaces that as the re-grid drift signal
+    // (when it grows, rebuild the grid — q116's drift-gate philosophy
+    // applied to the maintainer itself). Increment types with no snapshot
+    // grid drop at the inner join (production: quarantine + next rebuild).
+    Q("q158_winsorize_maintain",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val cut = math.floor(
+          (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val table = "graft_winsor_hist"
+        Tables.resetManagedTable(s, table)
+        winsorHist(ev.filter(col("event_id") < cut)
+            .select(col("event_type"), col("value")))
+          .write.mode("overwrite").saveAsTable(table)
+        val stored = s.table(table)
+          .select(col("event_type"), col("bin"), col("mn"), col("mx"),
+            col("cnt"))
+        val grid = stored.groupBy(col("event_type"))
+          .agg(min(col("mn")).as("mn"), min(col("mx")).as("mx"))
+        val inc = ev.filter(col("event_id") >= cut)
+          .select(col("event_type"), col("value"))
+        val incHist = winsorHistUnderGrid(inc, grid)
+          .select(col("event_type"), col("bin"), col("mn"), col("mx"),
+            col("cnt"))
+        val merged = stored.union(incHist)
+          .groupBy(col("event_type"), col("bin"))
+          .agg(min(col("mn")).as("mn"), min(col("mx")).as("mx"),
+            sum(col("cnt")).as("cnt"))
+        val totals = merged.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("n_total"))
+        val clipped = inc.join(broadcast(grid), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("value") < col("mn") ||
+              col("value") > col("mx"), 1L).otherwise(0L))
+            .as("n_grid_clipped"))
+        winsorBoundsFromHist(merged)
+          .join(totals, Seq("event_type"))
+          .join(clipped, Seq("event_type"), "left")
+          .select(col("event_type"), col("n_total"),
+            round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+            coalesce(col("n_grid_clipped"), lit(0L)).as("n_grid_clipped"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type, value FROM events
+                WHERE value IS NOT NULL),
+              cutv AS (SELECT CAST(floor((max(event_id) + 1) * 0.8)
+                AS BIGINT) AS cut FROM ev),
+              snap AS (SELECT event_type, value FROM ev, cutv
+                WHERE event_id < cut),
+              mm AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+                FROM snap GROUP BY 1),
+              inc AS (SELECT event_type, value FROM ev, cutv
+                WHERE event_id >= cut),
+              sb AS (SELECT s.event_type, mn, mx,
+                CAST(CASE WHEN mx > mn
+                  THEN least(floor((value - mn) / (mx - mn) * 128), 127)
+                  ELSE 0 END AS INTEGER) AS bin
+                FROM snap s JOIN mm USING (event_type)),
+              sh AS (SELECT event_type, bin, min(mn) AS mn, min(mx) AS mx,
+                count(*) AS cnt FROM sb GROUP BY 1, 2),
+              ib AS (SELECT i.event_type, mn, mx,
+                CAST(CASE WHEN mx > mn
+                  THEN greatest(least(
+                    floor((value - mn) / (mx - mn) * 128), 127), 0)
+                  ELSE 0 END AS INTEGER) AS bin
+                FROM inc i JOIN mm USING (event_type)),
+              ih AS (SELECT event_type, bin, min(mn) AS mn, min(mx) AS mx,
+                count(*) AS cnt FROM ib GROUP BY 1, 2),
+              merged AS (SELECT event_type, bin, min(mn) AS mn,
+                min(mx) AS mx, sum(cnt) AS cnt
+                FROM (SELECT * FROM sh UNION ALL SELECT * FROM ih)
+                GROUP BY 1, 2),
+              c AS (SELECT *, sum(cnt) OVER
+                  (PARTITION BY event_type ORDER BY bin) AS cum,
+                sum(cnt) OVER (PARTITION BY event_type) AS n FROM merged),
+              bd AS (SELECT event_type, min(mn) AS mn, min(mx) AS mx,
+                min(CASE WHEN cum >= n * 0.05 THEN bin END) AS lo_bin,
+                min(CASE WHEN cum >= n * 0.95 THEN bin END) AS hi_bin
+                FROM c GROUP BY 1),
+              bounds AS (SELECT event_type,
+                mn + lo_bin * ((mx - mn) / 128) AS lo,
+                mn + (hi_bin + 1) * ((mx - mn) / 128) AS hi FROM bd),
+              tot AS (SELECT event_type, sum(cnt) AS n_total FROM merged
+                GROUP BY 1),
+              clip AS (SELECT i.event_type,
+                sum(CASE WHEN value < mn OR value > mx THEN 1 ELSE 0 END)
+                  AS nc
+                FROM inc i JOIN mm USING (event_type) GROUP BY 1)
+              SELECT b.event_type, CAST(t.n_total AS BIGINT) AS n_total,
+                round(b.lo, 6) AS lo, round(b.hi, 6) AS hi,
+                CAST(coalesce(c2.nc, 0) AS BIGINT) AS n_grid_clipped
+              FROM bounds b JOIN tot t USING (event_type)
+              LEFT JOIN clip c2 USING (event_type)
+              ORDER BY event_type"""))
   )
+
+  /** q156's clamp bounds: per event_type [p05, p95) edges located on the
+    * 128-bin fixed-grid histogram of `value`. Input: (event_type, value);
+    * output: (event_type, lo, hi). Only bin partials shuffle; the windows
+    * run partitioned by type over ≤ 128 rows. Factored so the streaming
+    * gate (q157) freezes THIS relation as its written bounds table. */
+  def winsorBounds(ev: DataFrame): DataFrame =
+    winsorBoundsFromHist(winsorHist(ev))
+
+  /** The mergeable state behind the bounds: per (event_type, bin) counts
+    * on the 128-bin grid anchored at the input's own per-type [mn, mx].
+    * (event_type, bin, mn, mx, cnt) — two states on the SAME grid merge
+    * by summing cnt, which is what the incremental maintainer (q158)
+    * exploits: the snapshot's histogram is written once and increments
+    * fold in without rescanning it. */
+  def winsorHist(ev: DataFrame): DataFrame = {
+    val mm = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    winsorHistUnderGrid(ev, mm)
+  }
+
+  /** Bin `ev` under a FROZEN grid (event_type, mn, mx): out-of-grid
+    * values clip to the edge bins (bin 0 / 127) — the price of
+    * mergeability, surfaced by q158's n_grid_clipped drift signal. */
+  def winsorHistUnderGrid(ev: DataFrame, grid: DataFrame): DataFrame =
+    ev.join(broadcast(grid), Seq("event_type"))
+      .withColumn("bin", when(col("mx") > col("mn"),
+        greatest(least(floor((col("value") - col("mn")) /
+          (col("mx") - col("mn")) * 128), lit(127.0)), lit(0.0)))
+        .otherwise(lit(0.0)).cast("int"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(min(col("mn")).as("mn"), min(col("mx")).as("mx"),
+        count(lit(1)).as("cnt"))
+
+  /** Boundary-bin location on a (event_type, bin, mn, mx, cnt) histogram:
+    * [p05, p95) edges as grid values. Windows run partitioned by type
+    * over ≤ 128 rows. */
+  def winsorBoundsFromHist(hist: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    cum.groupBy(col("event_type"))
+      .agg(min(col("mn")).as("mn"), min(col("mx")).as("mx"),
+        min(when(col("cum") >= col("n") * 0.05, col("bin"))).as("lo_bin"),
+        min(when(col("cum") >= col("n") * 0.95, col("bin"))).as("hi_bin"))
+      .select(col("event_type"),
+        (col("mn") + col("lo_bin") *
+          ((col("mx") - col("mn")) / 128)).as("lo"),
+        (col("mn") + (col("hi_bin") + 1) *
+          ((col("mx") - col("mn")) / 128)).as("hi"))
+  }
+
+  /** Map-side clamp of `ev` against broadcast `bounds`: rows keep the
+    * original value plus (lo, hi, cl). The split from [[winsorAgg]] lets
+    * the streaming gate (q157) run THIS per micro-batch and the aggregate
+    * once over the appended store — one rule, two engine paths. */
+  def winsorClamp(ev: DataFrame, bounds: DataFrame): DataFrame =
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("cl",
+        least(greatest(col("value"), col("lo")), col("hi")))
+
+  /** q156's report shape over clamped rows. The winsorized mean averages
+    * floor-quantized BIGINTs so the cross-row aggregation is
+    * partition-order-exact. */
+  def winsorAgg(clamped: DataFrame): DataFrame =
+    clamped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("lo")), 6).as("clamp_lo"),
+        round(min(col("hi")), 6).as("clamp_hi"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+          .as("n_clamped_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+          .as("n_clamped_hi"),
+        round(avg(floor(col("cl") * 10000).cast("long")) / 10000, 6)
+          .as("mean_winsorized"))
+
+  /** Clamp + report (q156). */
+  def winsorReport(ev: DataFrame, bounds: DataFrame): DataFrame =
+    winsorAgg(winsorClamp(ev, bounds))
 }

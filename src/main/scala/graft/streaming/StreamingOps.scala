@@ -1062,6 +1062,88 @@ object StreamingOps {
                   AS drifted
               FROM shares GROUP BY feature ORDER BY feature""")),
 
+    // ---- streaming winsorization gate (q157): q156 ON A STREAM — the
+    // telemetry-cleaning member of the build-once / serve-streaming
+    // family (drift q115/q116, dedup q121/q137, clusters q144/q146). The
+    // clamp bounds are a SNAPSHOT artifact: the first 80% of event ids
+    // locate their [p05, p95) band once (q156's histogram algebra,
+    // [[graft.ops.EventOps.winsorBounds]]) and freeze as a written table;
+    // arriving events then clamp per micro-batch against the frozen,
+    // broadcast bounds (EventOps.winsorClamp — the same Column tree the
+    // batch query runs: one rule, two engine paths) and append to the
+    // gate store; the q156-shaped report aggregates the store once.
+    // Frozen-bounds semantics is the POINT, not a shortcut: re-deriving
+    // quantiles per batch would let an attack/glitch batch move its own
+    // clamp ceiling. No state store; per-batch cost ∝ arrival rate.
+    // Increment types never seen in the snapshot drop at the inner join
+    // (no bounds → no clamp verdict); production would route them to a
+    // quarantine sink instead.
+    Q("q157_stream_winsorize_gate",
+      (s, d) => {
+        import graft.ops.EventOps
+        val ev = graft.schema.Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val cut = math.floor(
+          (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val table = "graft_winsor_bounds"
+        graft.schema.Tables.resetManagedTable(s, table)
+        EventOps.winsorBounds(ev.filter(col("event_id") < cut)
+            .select(col("event_type"), col("value")))
+          .write.mode("overwrite").saveAsTable(table)
+        val store = tempStore("graft_winsor_gate_out")
+        runForeachBatch(s, d, "events")(df =>
+          df.filter(col("value").isNotNull && col("event_id") >= cut)
+            .select(col("event_type"), col("value"))) { (batch, _) =>
+          EventOps.winsorClamp(batch, batch.sparkSession.table(table))
+            .write.mode("append").parquet(store)
+          ()
+        }
+        EventOps.winsorAgg(s.read.parquet(store))
+          .orderBy(col("event_type"))
+      },
+      // q156's bounds algebra on the snapshot slice, clamp on the rest
+      Some("""WITH ev AS (SELECT event_id, event_type, value FROM events
+                WHERE value IS NOT NULL),
+              cutv AS (SELECT CAST(floor((max(event_id) + 1) * 0.8)
+                AS BIGINT) AS cut FROM ev),
+              snap AS (SELECT event_type, value FROM ev, cutv
+                WHERE event_id < cut),
+              mm AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+                FROM snap GROUP BY 1),
+              b AS (SELECT s.event_type, value, mn, mx,
+                CAST(CASE WHEN mx > mn
+                  THEN least(floor((value - mn) / (mx - mn) * 128), 127)
+                  ELSE 0 END AS INTEGER) AS bin
+                FROM snap s JOIN mm USING (event_type)),
+              h AS (SELECT event_type, bin, min(mn) AS mn, min(mx) AS mx,
+                count(*) AS cnt FROM b GROUP BY 1, 2),
+              c AS (SELECT *, sum(cnt) OVER
+                  (PARTITION BY event_type ORDER BY bin) AS cum,
+                sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+              bd AS (SELECT event_type, min(mn) AS mn, min(mx) AS mx,
+                min(CASE WHEN cum >= n * 0.05 THEN bin END) AS lo_bin,
+                min(CASE WHEN cum >= n * 0.95 THEN bin END) AS hi_bin
+                FROM c GROUP BY 1),
+              bounds AS (SELECT event_type,
+                mn + lo_bin * ((mx - mn) / 128) AS lo,
+                mn + (hi_bin + 1) * ((mx - mn) / 128) AS hi FROM bd),
+              inc AS (SELECT event_type, value FROM ev, cutv
+                WHERE event_id >= cut),
+              r AS (SELECT i.event_type, value, lo, hi,
+                least(greatest(value, lo), hi) AS cl
+                FROM inc i JOIN bounds USING (event_type))
+              SELECT event_type, count(*) AS n,
+                round(min(lo), 6) AS clamp_lo,
+                round(min(hi), 6) AS clamp_hi,
+                CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clamped_lo,
+                CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clamped_hi,
+                round(avg(CAST(floor(cl * 10000) AS BIGINT)) / 10000, 6)
+                  AS mean_winsorized
+              FROM r GROUP BY 1 ORDER BY 1""")),
+
     // ---- streaming SEMANTIC decontamination (q145): q141 ON A STREAM —
     // arriving training vectors are scored against the static benchmark
     // side per micro-batch, the embedding complement of q66's n-gram

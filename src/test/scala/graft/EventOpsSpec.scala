@@ -206,4 +206,40 @@ class EventOpsSpec extends SparkSpec {
     assert(out.head._6 >= 1L, "the 1000.0 spike must count as clamped")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
+
+  test("winsorize maintenance: merged histogram bounds equal binning ALL " +
+      "rows under the frozen grid; out-of-grid increment rows are counted") {
+    // snapshot ids 0..79 (values 1..80), increment ids 80..99 with two
+    // out-of-grid values (0.5 below mn=1, 500 above mx=80)
+    val rows = (0 until 80).map(i =>
+      (i.toLong, ts("2024-01-01 10:00:00"), 1L, "t", (i + 1).toDouble,
+        "{}")) ++
+      (80 until 98).map(i =>
+        (i.toLong, ts("2024-01-01 10:00:00"), 1L, "t", 40.0, "{}")) ++
+      Seq((98L, ts("2024-01-01 10:00:00"), 1L, "t", 0.5, "{}"),
+        (99L, ts("2024-01-01 10:00:00"), 1L, "t", 500.0, "{}"))
+    val d = eventsDir(rows)
+    val out = SparkEntry.queries("q158_winsorize_maintain")(spark, d)
+      .as[(String, Long, Double, Double, Long)].collect().toList
+    assert(out.size == 1 && out.head._1 == "t", out)
+    assert(out.head._2 === 100L)          // merged total counts all rows
+    assert(out.head._5 === 2L, out.head)  // both out-of-grid rows counted
+    // the maintained bounds must equal a from-scratch pass over ALL rows
+    // binned under the SNAPSHOT grid (the maintenance invariant)
+    import graft.ops.EventOps
+    val ev = graft.schema.Tables.events(spark, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val snapGrid = ev.filter(col("event_id") < 80)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val ref = EventOps.winsorBoundsFromHist(
+        EventOps.winsorHistUnderGrid(
+          ev.select(col("event_type"), col("value")), snapGrid))
+      .select(col("event_type"), round(col("lo"), 6).as("lo"),
+        round(col("hi"), 6).as("hi"))
+      .as[(String, Double, Double)].collect().toList
+    assert(ref === List(("t", out.head._3, out.head._4)), (ref, out))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
 }

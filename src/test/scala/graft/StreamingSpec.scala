@@ -349,4 +349,31 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(dedup === batchDedup)
   }
+
+  test("streaming winsorize gate equals the batch clamp of the increment " +
+      "against the frozen snapshot bounds, whatever the batch boundaries") {
+    val sf = "/root/testdata/sf0.001"
+    import graft.ops.EventOps
+    val stream = SparkEntry.queries("q157_stream_winsorize_gate")(spark, sf)
+      .as[(String, Long, Double, Double, Long, Long, Double)]
+      .collect().toSet
+    // batch reference: same snapshot/increment split, same shared algebra
+    val ev = graft.schema.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val cut = math.floor(
+      (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+    val batch = EventOps.winsorReport(
+        ev.filter(col("event_id") >= cut)
+          .select(col("event_type"), col("value")),
+        EventOps.winsorBounds(ev.filter(col("event_id") < cut)
+          .select(col("event_type"), col("value"))))
+      .as[(String, Long, Double, Double, Long, Long, Double)]
+      .collect().toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+    // the gate actually clamps something at this SF (non-vacuous)
+    assert(stream.exists(r => r._5 + r._6 > 0),
+      s"no clamped rows at $sf: $stream")
+  }
 }
