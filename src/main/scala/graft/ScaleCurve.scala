@@ -60,7 +60,9 @@ object ScaleCurve {
       "q142_shard_manifest", "q143_ann_sq8", "q144_incremental_clusters",
       "q147_token_budget", "q148_crawl_delta",
       "q149_semantic_dedup_incremental", "q150_length_buckets",
-      "q151_heldout_lm", "q152_jl_projection", "q153_text_normalize")
+      "q151_heldout_lm", "q152_jl_projection", "q153_text_normalize",
+      "q154_dp_counts", "q155_dataset_card", "q156_winsorize",
+      "q158_winsorize_maintain")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running
