@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.schema.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2158,6 +2158,177 @@ object PipelineOps {
                 floor(total_chars * 1.0 /
                   (sum(total_chars) OVER ()) * 10000) / 10000
                   AS char_share
-              FROM cells ORDER BY lang, source"""))
+              FROM cells ORDER BY lang, source""")),
+
+    // ---- entity resolution (q159): the record-linkage pipeline — the
+    // classic data-engineering composition the dedup family's TEXT
+    // members don't cover (shingles need prose; entity records are short
+    // keyed strings). Shape: multi-pass BLOCKING (prefix block + suffix
+    // block, unioned — a single prefix block misses edits inside the
+    // prefix and vice versa) → bounded pair SCORING inside blocks
+    // (levenshtein — both engines implement classic edit distance,
+    // integer-exact) → connectedComponents over matched pairs for
+    // transitive identity. The corpus has no native dirt, so variants
+    // are planted IN-PLAN (the q153 dirty-oracle move): every 5th
+    // customer gets a copy with one character deleted at an id-derived
+    // position — both engines derive the identical perturbation. The
+    // match rule (lev ≤ 1 AND lengths differ) keys on length-changing
+    // edits because in this id-like namespace a substitution-neighbor
+    // IS a different entity (Customer#...11 vs #...12); real deployments
+    // swap in a domain scorer — the operator is the pipeline. Scale: the
+    // blocks bound the pair count (at 100 TB oversized blocks get
+    // df-capped exactly like the q35 posting lists); only (block key,
+    // id, name) shuffles; CC runs on match-sized edges.
+    Q("q159_entity_resolution",
+      (s, d) => {
+        val base = Tables.customer(s, d).select(
+          col("c_custkey").as("id"), col("c_nationkey").as("nk"),
+          col("c_name").as("name"))
+        val variants = base.filter(col("id") % 5 === 0)
+          .select((col("id") + 10000000L).as("id"), col("nk"),
+            expr("""substr(name, 1, CAST(id % 8 + 10 AS INT) - 1) ||
+                    substr(name, CAST(id % 8 + 10 AS INT) + 1)""")
+              .as("name"))
+        val all = base.union(variants)
+        def blockPairs(bk: Column): DataFrame = {
+          val withKey = all.select(col("nk"), bk.as("bk"), col("id"),
+            col("name"))
+          withKey.as("x").join(withKey.as("y"),
+              col("x.nk") === col("y.nk") && col("x.bk") === col("y.bk")
+                && col("x.id") < col("y.id"))
+            .select(col("x.id").as("ia"), col("y.id").as("ib"),
+              col("x.name").as("na"), col("y.name").as("nb"))
+        }
+        val cand = blockPairs(substring(col("name"), 1, 12))
+          .union(blockPairs(expr("substr(name, length(name) - 4, 5)")))
+        val matched = cand
+          .filter(levenshtein(col("na"), col("nb")) <= 1 &&
+            length(col("na")) =!= length(col("nb")))
+          .select(col("ia").as("a"), col("ib").as("b")).distinct()
+        connectedComponents(matched)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_records"))
+          .orderBy(col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE base AS (SELECT c_custkey AS id,
+                c_nationkey AS nk, c_name AS name FROM customer),
+              var AS (SELECT id + 10000000 AS id, nk,
+                substr(name, 1, CAST(id % 8 + 10 AS INTEGER) - 1) ||
+                substr(name, CAST(id % 8 + 10 AS INTEGER) + 1) AS name
+                FROM base WHERE id % 5 = 0),
+              allr AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+              b1 AS (SELECT nk, substr(name, 1, 12) AS bk, id, name
+                FROM allr),
+              b2 AS (SELECT nk, substr(name, length(name) - 4, 5) AS bk,
+                id, name FROM allr),
+              cand AS (
+                SELECT x.id AS ia, y.id AS ib, x.name AS na, y.name AS nb
+                FROM b1 x JOIN b1 y ON x.nk = y.nk AND x.bk = y.bk
+                  AND x.id < y.id
+                UNION
+                SELECT x.id, y.id, x.name, y.name
+                FROM b2 x JOIN b2 y ON x.nk = y.nk AND x.bk = y.bk
+                  AND x.id < y.id),
+              m AS (SELECT DISTINCT ia, ib FROM cand
+                WHERE levenshtein(na, nb) <= 1
+                  AND length(na) <> length(nb)),
+              edges AS (SELECT ia AS a, ib AS b FROM m
+                        UNION SELECT ib, ia FROM m),
+              tc(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT tc.a, e2.b FROM tc JOIN edges e2 ON tc.b = e2.a),
+              lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+                      FROM tc GROUP BY a)
+              SELECT cluster_id, count(*) AS n_records
+              FROM lbl GROUP BY cluster_id ORDER BY cluster_id""")),
+
+    // ---- incremental entity resolution (q160): q159's maintain member
+    // (the family rule: every build-once artifact gets a maintain path —
+    // q34c, q44c, q144, q149, q158). The snapshot (clean records) blocks
+    // ONCE into a written two-pass block index and resolves once into a
+    // labels store; arriving records then block only THEMSELVES, probe
+    // the index for cross candidates (the snapshot never re-blocks or
+    // re-scores), and the verified matches contract through the stored
+    // labels via the shared [[mergeDeltaIntoLabels]] algebra. Cost ∝
+    // increment × block occupancy. Shares q159's oracle VERBATIM —
+    // incremental ≡ from-scratch is the oracle statement (same blocking,
+    // same rule, same transitive closure).
+    Q("q160_entity_resolution_incremental",
+      (s, d) => {
+        val base = Tables.customer(s, d).select(
+          col("c_custkey").as("id"), col("c_nationkey").as("nk"),
+          col("c_name").as("name"))
+        val inc = base.filter(col("id") % 5 === 0)
+          .select((col("id") + 10000000L).as("id"), col("nk"),
+            expr("""substr(name, 1, CAST(id % 8 + 10 AS INT) - 1) ||
+                    substr(name, CAST(id % 8 + 10 AS INT) + 1)""")
+              .as("name"))
+        def keyed(df: DataFrame): DataFrame =
+          df.select(lit(1).as("pass"), col("nk"),
+              substring(col("name"), 1, 12).as("bk"), col("id"),
+              col("name"))
+            .union(df.select(lit(2).as("pass"), col("nk"),
+              expr("substr(name, length(name) - 4, 5)").as("bk"),
+              col("id"), col("name")))
+        def matches(l: DataFrame, r: DataFrame): DataFrame =
+          l.as("x").join(r.as("y"),
+              col("x.pass") === col("y.pass") &&
+                col("x.nk") === col("y.nk") &&
+                col("x.bk") === col("y.bk") &&
+                col("x.id") < col("y.id"))
+            .filter(levenshtein(col("x.name"), col("y.name")) <= 1 &&
+              length(col("x.name")) =!= length(col("y.name")))
+            .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+            .distinct()
+        // build once: block index + snapshot labels store
+        val idxTable = "graft_er_block_index"
+        val lblTable = "graft_er_labels"
+        graft.schema.Tables.resetManagedTable(s, idxTable)
+        graft.schema.Tables.resetManagedTable(s, lblTable)
+        keyed(base).write.mode("overwrite").saveAsTable(idxTable)
+        connectedComponents(matches(keyed(base), keyed(base))
+            .select(col("id_a").as("a"), col("id_b").as("b")))
+          .write.mode("overwrite").saveAsTable(lblTable)
+        // maintain: increment blocks itself, probes the written index
+        val incKeyed = keyed(inc)
+        val cross = matches(s.table(idxTable), incKeyed)
+        val self = matches(incKeyed, incKeyed)
+        mergeDeltaIntoLabels(s.table(lblTable), cross, self)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_records"))
+          .orderBy(col("cluster_id"))
+      },
+      // q159's oracle verbatim: incremental ≡ from-scratch
+      Some("""WITH RECURSIVE base AS (SELECT c_custkey AS id,
+                c_nationkey AS nk, c_name AS name FROM customer),
+              var AS (SELECT id + 10000000 AS id, nk,
+                substr(name, 1, CAST(id % 8 + 10 AS INTEGER) - 1) ||
+                substr(name, CAST(id % 8 + 10 AS INTEGER) + 1) AS name
+                FROM base WHERE id % 5 = 0),
+              allr AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+              b1 AS (SELECT nk, substr(name, 1, 12) AS bk, id, name
+                FROM allr),
+              b2 AS (SELECT nk, substr(name, length(name) - 4, 5) AS bk,
+                id, name FROM allr),
+              cand AS (
+                SELECT x.id AS ia, y.id AS ib, x.name AS na, y.name AS nb
+                FROM b1 x JOIN b1 y ON x.nk = y.nk AND x.bk = y.bk
+                  AND x.id < y.id
+                UNION
+                SELECT x.id, y.id, x.name, y.name
+                FROM b2 x JOIN b2 y ON x.nk = y.nk AND x.bk = y.bk
+                  AND x.id < y.id),
+              m AS (SELECT DISTINCT ia, ib FROM cand
+                WHERE levenshtein(na, nb) <= 1
+                  AND length(na) <> length(nb)),
+              edges AS (SELECT ia AS a, ib AS b FROM m
+                        UNION SELECT ib, ia FROM m),
+              tc(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT tc.a, e2.b FROM tc JOIN edges e2 ON tc.b = e2.a),
+              lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+                      FROM tc GROUP BY a)
+              SELECT cluster_id, count(*) AS n_records
+              FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""))
   )
 }

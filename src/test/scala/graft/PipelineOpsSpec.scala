@@ -492,4 +492,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(shareSum > 0.999 && shareSum <= 1.0, shareSum)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("entity resolution: the planted deletion-variant links to its " +
+      "source through blocking + scoring + CC; neighbors stay apart") {
+    // custkeys 1..9 in one nation: only custkey 5 gets a planted variant
+    // (id 10000005, one char deleted). Substitution-neighbors (…001 vs
+    // …002) must NOT link — same length, excluded by the match rule.
+    val rows = (1 to 9).map(i =>
+      (i.toLong, f"Customer#$i%09d", 7, 0.0, "SEG"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_er").toString
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q159_entity_resolution")(spark, dir)
+      .as[(Long, Long)].collect().toList
+    // exactly one cluster: {5, 10000005}, labeled by its min id
+    assert(out === List((5L, 2L)), out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("incremental entity resolution equals the from-scratch run on the " +
+      "real tables (probe the written block index, merge through labels)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val incr = rows("q160_entity_resolution_incremental")
+    assert(incr === rows("q159_entity_resolution"))
+    assert(incr.nonEmpty)
+  }
 }
