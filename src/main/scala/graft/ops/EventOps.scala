@@ -635,7 +635,60 @@ object EventOps {
                 CAST(coalesce(c2.nc, 0) AS BIGINT) AS n_grid_clipped
               FROM bounds b JOIN tot t USING (event_type)
               LEFT JOIN clip c2 USING (event_type)
-              ORDER BY event_type"""))
+              ORDER BY event_type""")),
+
+    // ---- event debounce (q162): the TIME-based member of the dedup
+    // family — q60/q137 key on identity (same id twice = dup); telemetry
+    // also repeats legitimately-distinct events in rapid bursts (retry
+    // storms, double-clicks, chatty sensors), and the standard cleaning
+    // rule drops an event arriving within the debounce window of its
+    // predecessor in the same (user, type) lane. Lag-based formulation
+    // (gap to the PREVIOUS event, not the previous KEPT one): one window
+    // pass, SQL-expressible, and the conventional choice — the
+    // previous-kept variant needs a stateful scan for marginal benefit.
+    // The gap compares epoch DOUBLES (timestamp→double keeps microsecond
+    // fractions identically in both engines; unix_timestamp would floor
+    // to seconds and disagree with DuckDB's epoch()). Windows partition
+    // by (user, type) — per-lane event counts, never corpus-wide. Report
+    // per type: events in, kept, dropped, drop share.
+    Q("q162_event_debounce",
+      (s, d) => {
+        val gapSec = 3600.0
+        val lane = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        // driver parquet arrives TIMESTAMP_NTZ (the r9 type lesson) which
+        // cannot cast straight to double; the intermediate cast to
+        // session-tz timestamp is a no-op re-interpretation under the
+        // pinned UTC session, matching DuckDB's naive epoch() exactly
+        Tables.events(s, d)
+          .withColumn("gap",
+            col("ts").cast("timestamp").cast("double") -
+              lag(col("ts"), 1).over(lane).cast("timestamp").cast("double"))
+          .withColumn("keep", col("gap").isNull || col("gap") > gapSec)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+            (floor(sum(when(col("keep"), 0L).otherwise(1L)) /
+              count(lit(1)).cast("double") * 10000) / 10000)
+              .as("drop_share"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH x AS (SELECT event_type,
+                epoch(ts) - epoch(lag(ts) OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id)) AS gap
+              FROM events),
+              k AS (SELECT event_type,
+                (gap IS NULL OR gap > 3600.0) AS keep FROM x)
+              SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                  AS n_dropped,
+                floor(sum(CASE WHEN keep THEN 0 ELSE 1 END) * 1.0
+                  / count(*) * 10000) / 10000 AS drop_share
+              FROM k GROUP BY 1 ORDER BY 1"""))
   )
 
   /** q156's clamp bounds: per event_type [p05, p95) edges located on the

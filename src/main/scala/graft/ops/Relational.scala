@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.schema.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -884,6 +885,70 @@ object Relational {
               SELECT key, count(*) AS cnt, n.n_total
               FROM k, n GROUP BY key, n.n_total
               HAVING count(*) * 100 >= n.n_total * 5
-              ORDER BY key"""))
+              ORDER BY key""")),
+
+    // ---- functional-dependency profiling (q161): the data-profiling
+    // complement of q124's per-column stats — CROSS-column structure. For
+    // each candidate FD lhs→rhs: does every lhs value map to exactly one
+    // rhs value? Report n_lhs (distinct lhs), n_violating_lhs (lhs values
+    // with >1 distinct rhs) and the verdict — the discovery pass schema
+    // inference, key detection and normalization audits run on a new
+    // feed. Each candidate is one groupBy(lhs)·countDistinct(rhs) leg:
+    // partial aggregation reduces map-side, the shuffle carries (lhs,
+    // rhs) distinct partials, and the legs union into a 6-row report.
+    // Candidates mix true keys (must hold), real dependencies, and
+    // plausible-but-false ones (must be caught violated).
+    Q("q161_fd_profile",
+      (s, d) => {
+        def fd(df: DataFrame, tbl: String, lhs: String, rhs: String) =
+          df.groupBy(col(lhs))
+            .agg(countDistinct(col(rhs)).as("k"))
+            .agg(count(lit(1)).as("n_lhs"),
+              sum(when(col("k") > 1, 1L).otherwise(0L))
+                .as("n_violating_lhs"))
+            .select(lit(tbl).as("tbl"), lit(s"$lhs->$rhs").as("fd"),
+              col("n_lhs"), col("n_violating_lhs"),
+              (col("n_violating_lhs") === 0).as("holds"))
+        val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        fd(o, "orders", "o_orderkey", "o_custkey")
+          .unionByName(fd(o, "orders", "o_custkey", "o_orderstatus"))
+          .unionByName(fd(c, "customer", "c_custkey", "c_nationkey"))
+          .unionByName(fd(c, "customer", "c_mktsegment", "c_nationkey"))
+          .unionByName(fd(n, "nation", "n_nationkey", "n_regionkey"))
+          .unionByName(fd(n, "nation", "n_regionkey", "n_name"))
+          .orderBy(col("tbl"), col("fd"))
+      },
+      Some("""WITH f1 AS (SELECT 'orders' AS tbl,
+                'o_orderkey->o_custkey' AS fd, count(*) AS n_lhs,
+                sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS v
+                FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
+                      FROM orders GROUP BY 1)),
+              f2 AS (SELECT 'orders', 'o_custkey->o_orderstatus',
+                count(*), sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS k
+                      FROM orders GROUP BY 1)),
+              f3 AS (SELECT 'customer', 'c_custkey->c_nationkey',
+                count(*), sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS k
+                      FROM customer GROUP BY 1)),
+              f4 AS (SELECT 'customer', 'c_mktsegment->c_nationkey',
+                count(*), sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                FROM (SELECT c_mktsegment, count(DISTINCT c_nationkey) AS k
+                      FROM customer GROUP BY 1)),
+              f5 AS (SELECT 'nation', 'n_nationkey->n_regionkey',
+                count(*), sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS k
+                      FROM nation GROUP BY 1)),
+              f6 AS (SELECT 'nation', 'n_regionkey->n_name',
+                count(*), sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                FROM (SELECT n_regionkey, count(DISTINCT n_name) AS k
+                      FROM nation GROUP BY 1)),
+              u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+                UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4
+                UNION ALL SELECT * FROM f5 UNION ALL SELECT * FROM f6)
+              SELECT tbl, fd, n_lhs,
+                CAST(v AS BIGINT) AS n_violating_lhs, v = 0 AS holds
+              FROM u ORDER BY tbl, fd"""))
   )
 }

@@ -242,4 +242,25 @@ class EventOpsSpec extends SparkSpec {
     assert(ref === List(("t", out.head._3, out.head._4)), (ref, out))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
+
+  test("event debounce: rapid repeats in a (user, type) lane drop; " +
+      "lane boundaries and slow events keep") {
+    val d = eventsDir(Seq(
+      // user 1, type a: burst of 3 within the hour → keep first only
+      (0L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:10:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:59:59"), 1L, "a", 1.0, "{}"),
+      // then a >1h gap → keep
+      (3L, ts("2024-01-01 12:00:00"), 1L, "a", 1.0, "{}"),
+      // user 2 same type, same instant as user 1's burst → own lane, keep
+      (4L, ts("2024-01-01 10:10:00"), 2L, "a", 1.0, "{}"),
+      // user 1 type b inside the burst window → own lane, keep
+      (5L, ts("2024-01-01 10:10:00"), 1L, "b", 1.0, "{}")))
+    val out = SparkEntry.queries("q162_event_debounce")(spark, d)
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    assert(out === List(
+      ("a", 5L, 3L, 2L, math.floor(2.0 / 5 * 10000) / 10000),
+      ("b", 1L, 1L, 0L, 0.0)), out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
 }

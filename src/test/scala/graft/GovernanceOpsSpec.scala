@@ -119,4 +119,37 @@ class GovernanceOpsSpec extends SparkSpec {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("FD profiling: keys hold, a planted violation is counted exactly") {
+    // orders: custkey 1 places an O and an F order → custkey→status is
+    // violated by exactly that one lhs value; orderkey→custkey holds
+    val orders = Seq(
+      (1L, 1L, "O", 10.0, java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+        "1-URGENT"),
+      (2L, 1L, "F", 10.0, java.sql.Timestamp.valueOf("1996-01-02 00:00:00"),
+        "1-URGENT"),
+      (3L, 2L, "O", 10.0, java.sql.Timestamp.valueOf("1996-01-03 00:00:00"),
+        "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val customer = Seq((1L, "c1", 1, 0.0, "A"), (2L, "c2", 1, 0.0, "A"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    val nation = Seq((0, "ALG", 0), (1, "ARG", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fd").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    customer.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    nation.write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val out = SparkEntry.queries("q161_fd_profile")(spark, dir)
+      .as[(String, String, Long, Long, Boolean)].collect().toList
+    assert(out === List(
+      ("customer", "c_custkey->c_nationkey", 2L, 0L, true),
+      ("customer", "c_mktsegment->c_nationkey", 1L, 0L, true),
+      ("nation", "n_nationkey->n_regionkey", 2L, 0L, true),
+      ("nation", "n_regionkey->n_name", 2L, 0L, true),
+      ("orders", "o_custkey->o_orderstatus", 2L, 1L, false),
+      ("orders", "o_orderkey->o_custkey", 3L, 0L, true)), out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
