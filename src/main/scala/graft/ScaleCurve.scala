@@ -62,7 +62,9 @@ object ScaleCurve {
       "q149_semantic_dedup_incremental", "q150_length_buckets",
       "q151_heldout_lm", "q152_jl_projection", "q153_text_normalize",
       "q154_dp_counts", "q155_dataset_card", "q156_winsorize",
-      "q158_winsorize_maintain")
+      "q158_winsorize_maintain", "q159_entity_resolution",
+      "q160_entity_resolution_incremental", "q161_fd_profile",
+      "q162_event_debounce")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running

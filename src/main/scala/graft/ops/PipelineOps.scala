@@ -2175,9 +2175,17 @@ object PipelineOps {
     // match rule (lev ≤ 1 AND lengths differ) keys on length-changing
     // edits because in this id-like namespace a substitution-neighbor
     // IS a different entity (Customer#...11 vs #...12); real deployments
-    // swap in a domain scorer — the operator is the pipeline. Scale: the
-    // blocks bound the pair count (at 100 TB oversized blocks get
-    // df-capped exactly like the q35 posting lists); only (block key,
+    // swap in a domain scorer — the operator is the pipeline. Block-key
+    // width IS the scale knob: a 12-char prefix degenerates on this
+    // namespace (every record shares 'Customer#000' → per-nation cross
+    // joins, measured 36 s at sf0.1); 15 chars discriminates to
+    // thousand-groups and the curve flattens. The passes overlap on
+    // recall: the suffix pass catches edits inside the prefix (deletion
+    // at p ≤ 13 leaves the last-5 window intact over this zero-padded
+    // region) and vice versa; edits at p ∈ {14,15} can evade both when
+    // the shifted digits differ — a property of the blocking contract,
+    // replayed identically by the oracle. At 100 TB oversized blocks get
+    // df-capped exactly like the q35 posting lists; only (block key,
     // id, name) shuffles; CC runs on match-sized edges.
     Q("q159_entity_resolution",
       (s, d) => {
@@ -2199,7 +2207,7 @@ object PipelineOps {
             .select(col("x.id").as("ia"), col("y.id").as("ib"),
               col("x.name").as("na"), col("y.name").as("nb"))
         }
-        val cand = blockPairs(substring(col("name"), 1, 12))
+        val cand = blockPairs(substring(col("name"), 1, 15))
           .union(blockPairs(expr("substr(name, length(name) - 4, 5)")))
         val matched = cand
           .filter(levenshtein(col("na"), col("nb")) <= 1 &&
@@ -2216,7 +2224,7 @@ object PipelineOps {
                 substr(name, CAST(id % 8 + 10 AS INTEGER) + 1) AS name
                 FROM base WHERE id % 5 = 0),
               allr AS (SELECT * FROM base UNION ALL SELECT * FROM var),
-              b1 AS (SELECT nk, substr(name, 1, 12) AS bk, id, name
+              b1 AS (SELECT nk, substr(name, 1, 15) AS bk, id, name
                 FROM allr),
               b2 AS (SELECT nk, substr(name, length(name) - 4, 5) AS bk,
                 id, name FROM allr),
@@ -2265,7 +2273,7 @@ object PipelineOps {
               .as("name"))
         def keyed(df: DataFrame): DataFrame =
           df.select(lit(1).as("pass"), col("nk"),
-              substring(col("name"), 1, 12).as("bk"), col("id"),
+              substring(col("name"), 1, 15).as("bk"), col("id"),
               col("name"))
             .union(df.select(lit(2).as("pass"), col("nk"),
               expr("substr(name, length(name) - 4, 5)").as("bk"),
@@ -2305,7 +2313,7 @@ object PipelineOps {
                 substr(name, CAST(id % 8 + 10 AS INTEGER) + 1) AS name
                 FROM base WHERE id % 5 = 0),
               allr AS (SELECT * FROM base UNION ALL SELECT * FROM var),
-              b1 AS (SELECT nk, substr(name, 1, 12) AS bk, id, name
+              b1 AS (SELECT nk, substr(name, 1, 15) AS bk, id, name
                 FROM allr),
               b2 AS (SELECT nk, substr(name, length(name) - 4, 5) AS bk,
                 id, name FROM allr),
