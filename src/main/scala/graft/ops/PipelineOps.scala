@@ -195,6 +195,29 @@ object PipelineOps {
     * @param crossEdges (id_a = old-corpus endpoint, id_b = new endpoint)
     * @param selfEdges  (id_a, id_b) both new
     */
+  /** q159/q160/q164's shared blocking: both passes (15-char prefix,
+    * 5-char suffix) tagged and unioned — (pass, nk, bk, id, name). */
+  private[graft] def erKeyed(df: DataFrame): DataFrame =
+    df.select(lit(1).as("pass"), col("nk"),
+        substring(col("name"), 1, 15).as("bk"), col("id"), col("name"))
+      .union(df.select(lit(2).as("pass"), col("nk"),
+        expr("substr(name, length(name) - 4, 5)").as("bk"),
+        col("id"), col("name")))
+
+  /** Matched ER pairs between two keyed sides: same-block candidates
+    * scored with the q159 rule, deduped across passes. `l`-side ids must
+    * be the smaller ones (snapshot < increment by construction). */
+  private[graft] def erMatches(l: DataFrame, r: DataFrame): DataFrame =
+    l.as("x").join(r.as("y"),
+        col("x.pass") === col("y.pass") &&
+          col("x.nk") === col("y.nk") &&
+          col("x.bk") === col("y.bk") &&
+          col("x.id") < col("y.id"))
+      .filter(levenshtein(col("x.name"), col("y.name")) <= 1 &&
+        length(col("x.name")) =!= length(col("y.name")))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
   private[graft] def mergeDeltaIntoLabels(lbl: DataFrame,
       crossEdges: DataFrame, selfEdges: DataFrame): DataFrame = {
     val contracted = crossEdges
@@ -2250,6 +2273,9 @@ object PipelineOps {
               SELECT cluster_id, count(*) AS n_records
               FROM lbl GROUP BY cluster_id ORDER BY cluster_id""")),
 
+    // (q164, the ER triangle's serve member, lives in StreamingOps and
+    // probes the block index written here through [[erKeyed]]/[[erMatches]].)
+
     // ---- incremental entity resolution (q160): q159's maintain member
     // (the family rule: every build-once artifact gets a maintain path —
     // q34c, q44c, q144, q149, q158). The snapshot (clean records) blocks
@@ -2271,36 +2297,19 @@ object PipelineOps {
             expr("""substr(name, 1, CAST(id % 8 + 10 AS INT) - 1) ||
                     substr(name, CAST(id % 8 + 10 AS INT) + 1)""")
               .as("name"))
-        def keyed(df: DataFrame): DataFrame =
-          df.select(lit(1).as("pass"), col("nk"),
-              substring(col("name"), 1, 15).as("bk"), col("id"),
-              col("name"))
-            .union(df.select(lit(2).as("pass"), col("nk"),
-              expr("substr(name, length(name) - 4, 5)").as("bk"),
-              col("id"), col("name")))
-        def matches(l: DataFrame, r: DataFrame): DataFrame =
-          l.as("x").join(r.as("y"),
-              col("x.pass") === col("y.pass") &&
-                col("x.nk") === col("y.nk") &&
-                col("x.bk") === col("y.bk") &&
-                col("x.id") < col("y.id"))
-            .filter(levenshtein(col("x.name"), col("y.name")) <= 1 &&
-              length(col("x.name")) =!= length(col("y.name")))
-            .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-            .distinct()
         // build once: block index + snapshot labels store
         val idxTable = "graft_er_block_index"
         val lblTable = "graft_er_labels"
         graft.schema.Tables.resetManagedTable(s, idxTable)
         graft.schema.Tables.resetManagedTable(s, lblTable)
-        keyed(base).write.mode("overwrite").saveAsTable(idxTable)
-        connectedComponents(matches(keyed(base), keyed(base))
+        erKeyed(base).write.mode("overwrite").saveAsTable(idxTable)
+        connectedComponents(erMatches(erKeyed(base), erKeyed(base))
             .select(col("id_a").as("a"), col("id_b").as("b")))
           .write.mode("overwrite").saveAsTable(lblTable)
         // maintain: increment blocks itself, probes the written index
-        val incKeyed = keyed(inc)
-        val cross = matches(s.table(idxTable), incKeyed)
-        val self = matches(incKeyed, incKeyed)
+        val incKeyed = erKeyed(inc)
+        val cross = erMatches(s.table(idxTable), incKeyed)
+        val self = erMatches(incKeyed, incKeyed)
         mergeDeltaIntoLabels(s.table(lblTable), cross, self)
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_records"))
           .orderBy(col("cluster_id"))

@@ -1144,6 +1144,131 @@ object StreamingOps {
                   AS mean_winsorized
               FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // ---- streaming ER gate (q164): the entity-resolution triangle's
+    // SERVE member (build q159 / maintain q160 / serve here — the q34b/
+    // q34c/q109 posture on records instead of shingles). The clean
+    // snapshot's two-pass block index is written once; arriving records
+    // (the planted variants, synthesized from the stream as the
+    // increment) block themselves per micro-batch and probe the index —
+    // matched (snapshot_id, arrival_id) identity links append to the
+    // gate store, the online "is this a known entity?" answer a live
+    // ingest needs before q160's next label merge. No state store;
+    // per-batch cost ∝ arrivals × block occupancy.
+    Q("q164_stream_er_gate",
+      (s, d) => {
+        import graft.ops.PipelineOps
+        val base = graft.schema.Tables.customer(s, d).select(
+          col("c_custkey").as("id"), col("c_nationkey").as("nk"),
+          col("c_name").as("name"))
+        val table = "graft_er_gate_index"
+        graft.schema.Tables.resetManagedTable(s, table)
+        PipelineOps.erKeyed(base).write.mode("overwrite")
+          .saveAsTable(table)
+        val store = tempStore("graft_er_gate_out")
+        runForeachBatch(s, d, "customer")(df =>
+          df.filter(col("c_custkey") % 5 === 0)
+            .select((col("c_custkey") + 10000000L).as("id"),
+              col("c_nationkey").as("nk"),
+              expr("""substr(c_name, 1,
+                        CAST(c_custkey % 8 + 10 AS INT) - 1) ||
+                      substr(c_name,
+                        CAST(c_custkey % 8 + 10 AS INT) + 1)""")
+                .as("name"))) { (batch, _) =>
+          PipelineOps.erMatches(batch.sparkSession.table(table),
+              PipelineOps.erKeyed(batch))
+            .write.mode("append").parquet(store)
+          ()
+        }
+        s.read.parquet(store).orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (SELECT c_custkey AS id, c_nationkey AS nk,
+                c_name AS name FROM customer),
+              var AS (SELECT id + 10000000 AS id, nk,
+                substr(name, 1, CAST(id % 8 + 10 AS INTEGER) - 1) ||
+                substr(name, CAST(id % 8 + 10 AS INTEGER) + 1) AS name
+                FROM base WHERE id % 5 = 0),
+              kb AS (SELECT 1 AS pass, nk, substr(name, 1, 15) AS bk,
+                  id, name FROM base
+                UNION ALL SELECT 2, nk,
+                  substr(name, length(name) - 4, 5), id, name FROM base),
+              kv AS (SELECT 1 AS pass, nk, substr(name, 1, 15) AS bk,
+                  id, name FROM var
+                UNION ALL SELECT 2, nk,
+                  substr(name, length(name) - 4, 5), id, name FROM var),
+              m AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                FROM kb x JOIN kv y ON x.pass = y.pass AND x.nk = y.nk
+                  AND x.bk = y.bk AND x.id < y.id
+                WHERE levenshtein(x.name, y.name) <= 1
+                  AND length(x.name) <> length(y.name))
+              SELECT id_a, id_b FROM m ORDER BY id_a, id_b""")),
+
+    // ---- streaming debounce (q163): q162 ON A STREAM, and the one
+    // member of the q162 family that genuinely needs a STATE STORE —
+    // the drop decision depends on the lane's previous event, which may
+    // have arrived in an earlier micro-batch, so the lane's last-seen
+    // timestamp persists in flatMapGroupsWithState state (double epoch
+    // seconds — 8 bytes per live (user, type) lane; production adds a
+    // state TTL for dormant lanes). Within a batch the lane's events
+    // process in (ts, event_id) order, so stream ≡ batch lag rule
+    // whatever the batch boundaries as long as lanes arrive time-ordered
+    // ACROSS batches (true for a replayed log and for AvailableNow; an
+    // out-of-order source would need watermarked reordering first). The
+    // report joins streamed kept-counts back to batch per-type totals —
+    // q162's output shape and oracle verbatim.
+    Q("q163_stream_debounce",
+      (s, d) => {
+        import s.implicits._
+        val gapSec = 3600.0
+        val kept = runToMemory(s, d, "append") { df =>
+          df.select(col("user_id").as("uid"), col("event_type").as("et"),
+              col("ts").cast("double").as("tsd"), col("event_id"))
+            .as[(Long, String, Double, Long)]
+            .groupByKey(r => (r._1, r._2))
+            .flatMapGroupsWithState[LaneState, (String, Long)](
+              org.apache.spark.sql.streaming.OutputMode.Append,
+              org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+              case ((_, et), rows, state) =>
+                val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+                var last = state.getOption.map(_.lastTs)
+                val out = Seq.newBuilder[(String, Long)]
+                sorted.foreach { r =>
+                  if (last.forall(l => r._3 - l > gapSec))
+                    out += ((et, r._4))
+                  last = Some(r._3)
+                }
+                last.foreach(l => state.update(LaneState(l)))
+                out.result().iterator
+            }.toDF("event_type", "event_id")
+        }
+        val keptCounts = kept.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_kept"))
+        graft.schema.Tables.events(s, d)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+          .join(keptCounts, Seq("event_type"))
+          .select(col("event_type"), col("n_events"), col("n_kept"),
+            (col("n_events") - col("n_kept")).as("n_dropped"),
+            (floor((col("n_events") - col("n_kept")) /
+              col("n_events").cast("double") * 10000) / 10000)
+              .as("drop_share"))
+          .orderBy(col("event_type"))
+      },
+      // q162's oracle verbatim: one debounce rule, two engine paths
+      Some("""WITH x AS (SELECT event_type,
+                epoch(ts) - epoch(lag(ts) OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id)) AS gap
+              FROM events),
+              k AS (SELECT event_type,
+                (gap IS NULL OR gap > 3600.0) AS keep FROM x)
+              SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                  AS n_dropped,
+                floor(sum(CASE WHEN keep THEN 0 ELSE 1 END) * 1.0
+                  / count(*) * 10000) / 10000 AS drop_share
+              FROM k GROUP BY 1 ORDER BY 1""")),
+
     // ---- streaming SEMANTIC decontamination (q145): q141 ON A STREAM —
     // arriving training vectors are scored against the static benchmark
     // side per micro-batch, the embedding complement of q66's n-gram
@@ -1261,6 +1386,10 @@ object StreamingOps {
 
 /** Explicit per-user state carried across micro-batches. */
 final case class UserState(n: Long, sum: Double)
+
+/** Debounce lane state (q163): epoch seconds of the lane's last SEEN
+  * event — the lag rule keys on the previous event, kept or not. */
+final case class LaneState(lastTs: Double)
 
 /** transformWithState processor: per-user running (count, sum) in a
   * ValueState — the Spark 4 arbitrary-state primitive (q65). */

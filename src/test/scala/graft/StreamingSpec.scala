@@ -376,4 +376,35 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exists(r => r._5 + r._6 > 0),
       s"no clamped rows at $sf: $stream")
   }
+
+  test("streaming debounce equals the batch lag rule and actually drops " +
+      "something at this SF") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    val stream = rows("q163_stream_debounce")
+    assert(stream === rows("q162_event_debounce"))
+    assert(stream.nonEmpty)
+    assert(stream.exists(_._4 > 0), s"debounce vacuous at $sf: $stream")
+  }
+
+  test("streaming ER gate emits exactly the batch cross matches between " +
+      "snapshot index and arriving variants") {
+    val sf = "/root/testdata/sf0.001"
+    import graft.ops.PipelineOps
+    val stream = SparkEntry.queries("q164_stream_er_gate")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val base = graft.schema.Tables.customer(spark, sf).select(
+      col("c_custkey").as("id"), col("c_nationkey").as("nk"),
+      col("c_name").as("name"))
+    val variants = base.filter(col("id") % 5 === 0)
+      .select((col("id") + 10000000L).as("id"), col("nk"),
+        expr("""substr(name, 1, CAST(id % 8 + 10 AS INT) - 1) ||
+                substr(name, CAST(id % 8 + 10 AS INT) + 1)""").as("name"))
+    val batch = PipelineOps.erMatches(PipelineOps.erKeyed(base),
+        PipelineOps.erKeyed(variants))
+      .as[(Long, Long)].collect().toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
 }
