@@ -688,7 +688,70 @@ object EventOps {
                   AS n_dropped,
                 floor(sum(CASE WHEN keep THEN 0 ELSE 1 END) * 1.0
                   / count(*) * 10000) / 10000 AS drop_share
-              FROM k GROUP BY 1 ORDER BY 1"""))
+              FROM k GROUP BY 1 ORDER BY 1""")),
+
+    // ---- median imputation (q166): fill missing telemetry values with
+    // the per-type histogram median — the robust sibling of mean-fill
+    // (one glitch spike drags a mean; the p50 boundary bin ignores it).
+    // The median rides the SAME fixed-grid histogram machinery as
+    // q156/q158 ([[medianFromHist]]) — bin partials shuffle, no
+    // per-group sort. The corpus has no native nulls, so missingness is
+    // PLANTED in-plan (event_id % 13 — the q153/q159 dirty-oracle move,
+    // derived identically in both engines); the median trains on the
+    // non-null rows only. Report: rows, fills, fill value, and the
+    // integer-quantized post-fill mean.
+    Q("q166_impute_median",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"),
+          when(col("event_id") % 13 === 0, lit(null))
+            .otherwise(col("value")).as("value"))
+        val present = ev.filter(col("value").isNotNull)
+        val med = medianFromHist(winsorHist(present))
+        ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("filled", coalesce(col("value"), col("med")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value").isNull, 1L).otherwise(0L))
+              .as("n_filled"),
+            round(min(col("med")), 6).as("fill_value"),
+            round(avg(floor(col("filled") * 10000).cast("long")) / 10000,
+              6).as("mean_after"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+                CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END
+                  AS value
+              FROM events),
+              pres AS (SELECT event_type, value FROM ev
+                WHERE value IS NOT NULL),
+              mm AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+                FROM pres GROUP BY 1),
+              b AS (SELECT p.event_type, mn, mx,
+                CAST(CASE WHEN mx > mn
+                  THEN greatest(least(
+                    floor((value - mn) / (mx - mn) * 128), 127), 0)
+                  ELSE 0 END AS INTEGER) AS bin
+                FROM pres p JOIN mm USING (event_type)),
+              h AS (SELECT event_type, bin, min(mn) AS mn, min(mx) AS mx,
+                count(*) AS cnt FROM b GROUP BY 1, 2),
+              c AS (SELECT *, sum(cnt) OVER
+                  (PARTITION BY event_type ORDER BY bin) AS cum,
+                sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+              md AS (SELECT event_type, min(mn) AS mn, min(mx) AS mx,
+                min(CASE WHEN cum >= n * 0.5 THEN bin END) AS med_bin
+                FROM c GROUP BY 1),
+              fv AS (SELECT event_type,
+                mn + med_bin * ((mx - mn) / 128) AS med FROM md),
+              r AS (SELECT e.event_type, e.value,
+                coalesce(e.value, f.med) AS filled, f.med
+                FROM ev e JOIN fv f USING (event_type))
+              SELECT event_type, count(*) AS n,
+                CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_filled,
+                round(min(med), 6) AS fill_value,
+                round(avg(CAST(floor(filled * 10000) AS BIGINT)) / 10000,
+                  6) AS mean_after
+              FROM r GROUP BY 1 ORDER BY 1"""))
   )
 
   /** q156's clamp bounds: per event_type [p05, p95) edges located on the
@@ -742,6 +805,23 @@ object EventOps {
           ((col("mx") - col("mn")) / 128)).as("lo"),
         (col("mn") + (col("hi_bin") + 1) *
           ((col("mx") - col("mn")) / 128)).as("hi"))
+  }
+
+  /** Histogram median (q166): the p50 boundary bin's lower edge on a
+    * (event_type, bin, mn, mx, cnt) histogram — the q156/q158 boundary
+    * algebra at a single quantile. */
+  def medianFromHist(hist: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(min(col("mn")).as("mn"), min(col("mx")).as("mx"),
+        min(when(col("cum") >= col("n") * 0.5, col("bin"))).as("med_bin"))
+      .select(col("event_type"),
+        (col("mn") + col("med_bin") *
+          ((col("mx") - col("mn")) / 128)).as("med"))
   }
 
   /** Map-side clamp of `ev` against broadcast `bounds`: rows keep the

@@ -195,6 +195,56 @@ object PipelineOps {
     * @param crossEdges (id_a = old-corpus endpoint, id_b = new endpoint)
     * @param selfEdges  (id_a, id_b) both new
     */
+  /** q155/q165's shared oracle: the from-scratch dataset card. q165
+    * must reproduce it from merged state — incremental ≡ from-scratch. */
+  private[graft] val DatasetCardSql =
+    """WITH perdoc AS (SELECT lang, source,
+                length(text) AS chars,
+                len(string_split_regex(trim(text), '\s+')) AS toks,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+              FROM documents),
+              cells AS (SELECT lang, source, count(*) AS n_docs,
+                sum(chars) AS total_chars, sum(toks) AS total_tokens,
+                count(DISTINCT h) AS n_distinct
+              FROM perdoc GROUP BY lang, source)
+              SELECT lang, source, n_docs,
+                CAST(total_chars AS BIGINT) AS total_chars,
+                CAST(total_tokens AS BIGINT) AS total_tokens,
+                floor((1.0 - n_distinct * 1.0 / n_docs) * 10000) / 10000
+                  AS dup_rate,
+                floor(total_chars * 1.0 /
+                  (sum(total_chars) OVER ()) * 10000) / 10000
+                  AS char_share
+              FROM cells ORDER BY lang, source"""
+
+  /** Per-doc card features (q155/q165): chars, whitespace tokens, and the
+    * q31-normalization content hash. Map-side; the hash shuffles as 32
+    * hex chars, never text. */
+  private[graft] def cardPerDoc(docs: DataFrame): DataFrame =
+    docs.select(
+      col("lang"), col("source"),
+      length(col("text")).cast("long").as("chars"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+
+  /** The q155 report over aggregated cells (lang, source, n_docs,
+    * total_chars, total_tokens, n_distinct): ratios + corpus char share
+    * via re-aggregating the persisted tiny card (no partition-less
+    * window, no second corpus scan). */
+  private[graft] def cardReport(cells: DataFrame): DataFrame = {
+    val p = cells.persist()
+    val total = p.agg(sum(col("total_chars")).as("corpus_chars"))
+    p.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("total_chars"), col("total_tokens"),
+        (floor((lit(1.0) - col("n_distinct") /
+          col("n_docs").cast("double")) * 10000) / 10000).as("dup_rate"),
+        (floor(col("total_chars") /
+          col("corpus_chars").cast("double") * 10000) / 10000)
+          .as("char_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** q159/q160/q164's shared blocking: both passes (15-char prefix,
     * 5-char suffix) tagged and unioned — (pass, nk, bk, id, name). */
   private[graft] def erKeyed(df: DataFrame): DataFrame =
@@ -2139,49 +2189,72 @@ object PipelineOps {
     // forbids those repo-wide) and not a second documents scan. Ratios
     // floor-quantized (midpoint discipline).
     Q("q155_dataset_card",
+      (s, d) => cardReport(
+        cardPerDoc(Tables.documents(s, d))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("chars")).as("total_chars"),
+            sum(col("toks")).as("total_tokens"),
+            countDistinct(col("h")).as("n_distinct"))),
+      Some(DatasetCardSql)),
+
+    // ---- incremental dataset card (q165): q155's maintain member. The
+    // additive columns (docs, chars, tokens) merge trivially; the one
+    // NON-additive column, the distinct-content count behind dup_rate,
+    // is maintained exactly by storing the per-cell distinct hash set as
+    // a table (32 hex chars per unique doc — the same artifact q121's
+    // exact-dedup index already keeps, organized per cell): an
+    // increment's contribution is |its own distinct hashes| minus those
+    // already stored (one anti-join against the index), so the merged
+    // card equals the from-scratch card EXACTLY — q155's oracle
+    // verbatim is the statement. Cost ∝ increment + card size; the
+    // snapshot's documents are never re-read (only its hash index is
+    // probed). Production would also append the new hashes back to the
+    // index; elided here because the demo's single increment never
+    // probes twice.
+    Q("q165_dataset_card_incremental",
       (s, d) => {
-        val perDoc = Tables.documents(s, d).select(
-          col("lang"), col("source"),
-          length(col("text")).cast("long").as("chars"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-            .as("h"))
-        val cells = perDoc.groupBy(col("lang"), col("source"))
+        val docs = Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val stateT = "graft_card_state"; val hashT = "graft_card_hashes"
+        graft.schema.Tables.resetManagedTable(s, stateT)
+        graft.schema.Tables.resetManagedTable(s, hashT)
+        val snapPD = cardPerDoc(docs.filter(col("doc_id") < cut))
+        snapPD.groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("chars")).as("total_chars"),
             sum(col("toks")).as("total_tokens"),
             countDistinct(col("h")).as("n_distinct"))
-          .persist()
-        val total = cells.agg(sum(col("total_chars")).as("corpus_chars"))
-        cells.crossJoin(broadcast(total))
-          .select(col("lang"), col("source"), col("n_docs"),
-            col("total_chars"), col("total_tokens"),
-            (floor((lit(1.0) - col("n_distinct") /
-              col("n_docs").cast("double")) * 10000) / 10000)
-              .as("dup_rate"),
-            (floor(col("total_chars") /
-              col("corpus_chars").cast("double") * 10000) / 10000)
-              .as("char_share"))
-          .orderBy(col("lang"), col("source"))
+          .write.mode("overwrite").saveAsTable(stateT)
+        snapPD.select(col("lang"), col("source"), col("h")).distinct()
+          .write.mode("overwrite").saveAsTable(hashT)
+        val incPD = cardPerDoc(docs.filter(col("doc_id") >= cut))
+        val incCells = incPD.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("i_docs"),
+            sum(col("chars")).as("i_chars"),
+            sum(col("toks")).as("i_toks"))
+        val incNew = incPD.select(col("lang"), col("source"), col("h"))
+          .distinct()
+          .join(s.table(hashT), Seq("lang", "source", "h"), "left_anti")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("i_new_distinct"))
+        val merged = s.table(stateT)
+          .join(incCells, Seq("lang", "source"), "full_outer")
+          .join(incNew, Seq("lang", "source"), "full_outer")
+          .select(col("lang"), col("source"),
+            (coalesce(col("n_docs"), lit(0L)) +
+              coalesce(col("i_docs"), lit(0L))).as("n_docs"),
+            (coalesce(col("total_chars"), lit(0L)) +
+              coalesce(col("i_chars"), lit(0L))).as("total_chars"),
+            (coalesce(col("total_tokens"), lit(0L)) +
+              coalesce(col("i_toks"), lit(0L))).as("total_tokens"),
+            (coalesce(col("n_distinct"), lit(0L)) +
+              coalesce(col("i_new_distinct"), lit(0L))).as("n_distinct"))
+        cardReport(merged)
       },
-      Some("""WITH perdoc AS (SELECT lang, source,
-                length(text) AS chars,
-                len(string_split_regex(trim(text), '\s+')) AS toks,
-                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
-              FROM documents),
-              cells AS (SELECT lang, source, count(*) AS n_docs,
-                sum(chars) AS total_chars, sum(toks) AS total_tokens,
-                count(DISTINCT h) AS n_distinct
-              FROM perdoc GROUP BY lang, source)
-              SELECT lang, source, n_docs,
-                CAST(total_chars AS BIGINT) AS total_chars,
-                CAST(total_tokens AS BIGINT) AS total_tokens,
-                floor((1.0 - n_distinct * 1.0 / n_docs) * 10000) / 10000
-                  AS dup_rate,
-                floor(total_chars * 1.0 /
-                  (sum(total_chars) OVER ()) * 10000) / 10000
-                  AS char_share
-              FROM cells ORDER BY lang, source""")),
+      // q155's oracle verbatim: incremental ≡ from-scratch
+      Some(DatasetCardSql)),
 
     // ---- entity resolution (q159): the record-linkage pipeline — the
     // classic data-engineering composition the dedup family's TEXT

@@ -243,6 +243,35 @@ class EventOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("median imputation: planted nulls fill with the histogram p50 " +
+      "edge; report matches a direct replication of the rule") {
+    // ids 0..100, values 1..101; ids 0,13,26,...,91 null out (8 fills)
+    val vals = (0 until 101).map(i => (i.toLong, (i + 1).toDouble))
+    val rows = vals.map { case (id, v) =>
+      (id, ts("2024-01-01 10:00:00"), 1L, "t", v, "{}") }
+    val d = eventsDir(rows)
+    // replicate: histogram median over NON-null values (same IEEE order)
+    val present = vals.filterNot(_._1 % 13 == 0).map(_._2)
+    val mn = present.min; val mx = present.max
+    def bin(v: Double) = math.max(
+      math.min(math.floor((v - mn) / (mx - mn) * 128), 127.0), 0.0).toInt
+    val hist = present.groupBy(bin).view.mapValues(_.size).toMap
+    val cums = (0 to 127).scanLeft(0) { (a, b) =>
+      a + hist.getOrElse(b, 0) }.tail
+    val medBin = (0 to 127).find(b => cums(b) >= present.size * 0.5).get
+    val med = mn + medBin * ((mx - mn) / 128)
+    val filled = vals.map { case (id, v) => if (id % 13 == 0) med else v }
+    val expMean = BigDecimal(filled.map(v =>
+        math.floor(v * 10000).toLong).sum.toDouble / filled.size / 10000)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = SparkEntry.queries("q166_impute_median")(spark, d)
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    assert(out === List(("t", 101L, 8L,
+      BigDecimal(med).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, expMean)), (out, med))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   test("event debounce: rapid repeats in a (user, type) lane drop; " +
       "lane boundaries and slow events keep") {
     val d = eventsDir(Seq(

@@ -511,6 +511,17 @@ class PipelineOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("incremental dataset card equals the from-scratch card on the " +
+      "real tables (hash-index anti-join maintains the distinct count)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSet
+    val incr = rows("q165_dataset_card_incremental")
+    assert(incr === rows("q155_dataset_card"))
+    assert(incr.nonEmpty)
+  }
+
   test("incremental entity resolution equals the from-scratch run on the " +
       "real tables (probe the written block index, merge through labels)") {
     val sf = "/root/testdata/sf0.001"
