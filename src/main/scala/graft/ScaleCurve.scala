@@ -64,7 +64,8 @@ object ScaleCurve {
       "q154_dp_counts", "q155_dataset_card", "q156_winsorize",
       "q158_winsorize_maintain", "q159_entity_resolution",
       "q160_entity_resolution_incremental", "q161_fd_profile",
-      "q162_event_debounce")
+      "q162_event_debounce", "q165_dataset_card_incremental",
+      "q166_impute_median")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running
