@@ -205,6 +205,39 @@ object Ingest {
               round(sum(o_totalprice), 2) AS total
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- ORC roundtrip (q167): the third columnar format in the
+    // source/sink family (parquet q21, CSV q24) — ORC ships in Spark's
+    // core distribution and is the interchange format a warehouse
+    // migration actually hands you. The roundtrip writes events
+    // partitioned by type (so the read-back proves partition discovery
+    // too), reads it back and aggregates — equality with the
+    // parquet-side oracle proves type fidelity (longs, doubles, strings)
+    // through the format. Values sum as integer CENTS (the q127
+    // discipline) so the proof is bit-exact, not rounded. PlanHygieneSpec
+    // asserts predicate pushdown reaches the ORC scan (PushedFilters),
+    // same as the parquet hygiene assertions.
+    Q("q167_orc_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_orc_store_").toString
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            col("value"))
+          .write.mode("overwrite").partitionBy("event_type").orc(dir)
+        s.read.orc(dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)"))
+              .as("value_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              count(DISTINCT user_id) AS n_users,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS value_cents
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- S1' DataSource V2 load generator: 10k deterministic users in 16
     // partitions through the full secure transform. The source has no
     // DuckDB twin, but its generator is pure arithmetic

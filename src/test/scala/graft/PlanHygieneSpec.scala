@@ -120,4 +120,37 @@ class PlanHygieneSpec extends SparkSpec {
     // fails in CI, not in the driver
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q167: ORC roundtrip preserves values and the read-back scan " +
+      "accepts pushed filters") {
+    import spark.implicits._
+    // roundtrip equality on the real table: the catalog query vs the
+    // same aggregate straight from parquet
+    val orc = SparkEntry.queries("q167_orc_roundtrip")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val direct = graft.schema.Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("user_id")).as("u"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CAST(round(value * 100) AS BIGINT)")).as("c"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(orc === direct)
+    // pushdown reaches the ORC scan like it does the parquet one
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_orc_spec_").toString
+    graft.schema.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value"))
+      .write.mode("overwrite").orc(dir)
+    val p = spark.read.orc(dir)
+      .filter(org.apache.spark.sql.functions.col("event_id") > 100L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), " +
+      "GreaterThan(event_id,100)"), p)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
