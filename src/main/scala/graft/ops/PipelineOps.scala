@@ -195,6 +195,47 @@ object PipelineOps {
     * @param crossEdges (id_a = old-corpus endpoint, id_b = new endpoint)
     * @param selfEdges  (id_a, id_b) both new
     */
+  /** q168/q169's shared dimension-version derivation: base segments
+    * effective 1990, every 4th customer re-segments 1997, every 8th
+    * again 1999 — deterministic in both engines. Consecutive no-op
+    * versions are suppressed (none arise from this synthesis, but the
+    * rule is part of SCD2's contract). Output: (key, segment, ef). */
+  private[graft] def scd2Dim(customer: DataFrame): DataFrame = {
+    def ts(v: String) = lit(java.sql.Timestamp.valueOf(s"$v 00:00:00"))
+    val base = customer.select(col("c_custkey").as("key"),
+      col("c_mktsegment").as("segment"), ts("1990-01-01").as("ef"))
+    val v2 = customer.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("key"),
+        concat(col("c_mktsegment"), lit("_V2")).as("segment"),
+        ts("1997-01-01").as("ef"))
+    val v3 = customer.filter(col("c_custkey") % 8 === 0)
+      .select(col("c_custkey").as("key"),
+        concat(col("c_mktsegment"), lit("_V3")).as("segment"),
+        ts("1999-06-01").as("ef"))
+    val w = Window.partitionBy(col("key")).orderBy(col("ef"))
+    base.unionByName(v2).unionByName(v3)
+      .withColumn("prev", lag(col("segment"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("segment"))
+      .drop("prev")
+  }
+
+  /** The matching DuckDB CTE prefix (ends with `kept`). */
+  private[graft] val Scd2Sql =
+    """WITH allv AS (
+         SELECT c_custkey AS key, c_mktsegment AS segment,
+           TIMESTAMP '1990-01-01' AS ef FROM customer
+         UNION ALL
+         SELECT c_custkey, c_mktsegment || '_V2', TIMESTAMP '1997-01-01'
+           FROM customer WHERE c_custkey % 4 = 0
+         UNION ALL
+         SELECT c_custkey, c_mktsegment || '_V3', TIMESTAMP '1999-06-01'
+           FROM customer WHERE c_custkey % 8 = 0),
+       f AS (SELECT *, lag(segment) OVER
+           (PARTITION BY key ORDER BY ef) AS prev FROM allv),
+       kept AS (SELECT key, segment, ef FROM f
+         WHERE prev IS NULL OR prev <> segment)
+       """
+
   /** q155/q165's shared oracle: the from-scratch dataset card. q165
     * must reproduce it from merged state — incremental ≡ from-scratch. */
   private[graft] val DatasetCardSql =
@@ -795,6 +836,74 @@ object PipelineOps {
                 UNION ALL SELECT key, price FROM latest WHERE op <> 'D')
               SELECT count(*) AS n_rows, round(sum(price), 2) AS total
               FROM merged""")),
+
+    // ---- SCD Type-2 dimension history (q168): the warehouse-classic
+    // complement of q76's latest-wins merge — instead of OVERWRITING a
+    // changed dimension row, keep every version with a validity interval
+    // (valid_from, valid_to, is_current), so facts can join the version
+    // that was TRUE AT THEIR TIME (q169 does exactly that). Change feed
+    // synthesized deterministically (q76's discipline): every 4th
+    // customer re-segments in 1997, every 8th again in 1999 — so some
+    // keys carry three versions. The build is two key-partitioned window
+    // passes: suppress no-op changes (value ≡ its lane predecessor —
+    // computed BEFORE interval derivation so a dropped no-op doesn't
+    // leave a hole), then valid_to = the next surviving version's start.
+    // One shuffle on the dimension key; interval columns emitted as
+    // yyyy-MM-dd strings (the q127 DATE-type compare lesson).
+    Q("q168_scd2_history",
+      (s, d) => {
+        val w = Window.partitionBy(col("key")).orderBy(col("ef"))
+        scd2Dim(Tables.customer(s, d))
+          .select(col("key"), col("segment"),
+            date_format(col("ef"), "yyyy-MM-dd").as("valid_from"),
+            date_format(lead(col("ef"), 1).over(w), "yyyy-MM-dd")
+              .as("valid_to"),
+            lead(col("ef"), 1).over(w).isNull.as("is_current"))
+          .orderBy(col("key"), col("valid_from"))
+      },
+      Some(Scd2Sql +
+        """SELECT key, segment, strftime(ef, '%Y-%m-%d') AS valid_from,
+              strftime(lead(ef) OVER (PARTITION BY key ORDER BY ef),
+                '%Y-%m-%d') AS valid_to,
+              lead(ef) OVER (PARTITION BY key ORDER BY ef) IS NULL
+                AS is_current
+           FROM kept ORDER BY key, valid_from""")),
+
+    // ---- point-in-time join (q169): the feature-store lookup over
+    // q168's SCD2 history — each order joins the dimension version that
+    // was valid AT o_orderdate, never the current one (joining current
+    // is the classic feature-leakage bug: a 1996 order must see the
+    // 1990 segment even if the customer re-segmented in 1997). Plan
+    // shape: equality hash join on the key with the validity range as
+    // residual condition; the dimension (versions ≈ 1.4× customers)
+    // BROADCASTS, so the fact side never shuffles — at 100 TB of facts
+    // this is a map-side lookup exactly like any dim join. Validity
+    // intervals partition the timeline from 1990 onward, so every order
+    // matches exactly one version (asserted by n_orders totalling the
+    // fact count in spec).
+    Q("q169_pit_join",
+      (s, d) => {
+        val w = Window.partitionBy(col("key")).orderBy(col("ef"))
+        val dim = scd2Dim(Tables.customer(s, d))
+          .withColumn("vt", lead(col("ef"), 1).over(w))
+        Tables.orders(s, d)
+          .join(broadcast(dim),
+            col("o_custkey") === col("key") &&
+              col("o_orderdate") >= col("ef") &&
+              (col("vt").isNull || col("o_orderdate") < col("vt")))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("segment"))
+      },
+      Some(Scd2Sql +
+        """, iv AS (SELECT key, segment, ef,
+                lead(ef) OVER (PARTITION BY key ORDER BY ef) AS vt
+              FROM kept)
+           SELECT segment, count(*) AS n_orders
+           FROM orders o JOIN iv ON o.o_custkey = iv.key
+             AND o.o_orderdate >= iv.ef
+             AND (iv.vt IS NULL OR o.o_orderdate < iv.vt)
+           GROUP BY segment ORDER BY segment""")),
 
     // ---- versioned-store time travel + version diff (q122): q112's
     // versioned store read back AS OF each version, and consecutive

@@ -511,6 +511,45 @@ class PipelineOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("SCD2 history carries one validity interval per version and the " +
+      "PIT join picks the version valid at order time, never current") {
+    val customer = Seq((3L, "c3", 1, 0.0, "SEG"), (4L, "c4", 1, 0.0, "SEG"),
+      (8L, "c8", 1, 0.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    def o(k: Long, id: Long, date: String) =
+      (id, k, "O", 1.0, java.sql.Timestamp.valueOf(s"$date 00:00:00"),
+        "1-URGENT")
+    val orders = Seq(
+      o(4L, 1L, "1996-06-01"),  // before 1997 → base SEG
+      o(4L, 2L, "1998-06-01"),  // after re-segment → SEG_V2
+      o(8L, 3L, "1998-06-01"),  // between v2 and v3 → SEG_V2
+      o(8L, 4L, "2000-06-01"),  // after v3 → SEG_V3
+      o(3L, 5L, "2000-06-01"))  // never re-segmented → SEG
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    customer.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val hist = SparkEntry.queries("q168_scd2_history")(spark, dir)
+      .as[(Long, String, String, String, Boolean)].collect().toList
+    assert(hist === List(
+      (3L, "SEG", "1990-01-01", null, true),
+      (4L, "SEG", "1990-01-01", "1997-01-01", false),
+      (4L, "SEG_V2", "1997-01-01", null, true),
+      (8L, "SEG", "1990-01-01", "1997-01-01", false),
+      (8L, "SEG_V2", "1997-01-01", "1999-06-01", false),
+      (8L, "SEG_V3", "1999-06-01", null, true)), hist)
+
+    val pit = SparkEntry.queries("q169_pit_join")(spark, dir)
+      .as[(String, Long)].collect().toList
+    assert(pit === List(("SEG", 2L), ("SEG_V2", 2L), ("SEG_V3", 1L)), pit)
+    // every fact matched exactly one version
+    assert(pit.map(_._2).sum === 5L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("incremental dataset card equals the from-scratch card on the " +
       "real tables (hash-index anti-join maintains the distinct count)") {
     val sf = "/root/testdata/sf0.001"
