@@ -65,7 +65,8 @@ object ScaleCurve {
       "q158_winsorize_maintain", "q159_entity_resolution",
       "q160_entity_resolution_incremental", "q161_fd_profile",
       "q162_event_debounce", "q165_dataset_card_incremental",
-      "q166_impute_median")
+      "q166_impute_median", "q167_orc_roundtrip", "q168_scd2_history",
+      "q169_pit_join")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running
