@@ -3,8 +3,9 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.Q
-import graft.ops.Upsert
+import graft.ops.{PipelineOps, Upsert}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -1143,6 +1144,81 @@ object StreamingOps {
                 round(avg(CAST(floor(cl * 10000) AS BIGINT)) / 10000, 6)
                   AS mean_winsorized
               FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // ---- streaming SCD2 maintenance (q170): q168 ON A STREAM — the
+    // dimension-history keeper a live warehouse actually runs: change
+    // events arrive per micro-batch and fold into a VERSIONED history
+    // store (q112's store layout — batch B reads the newest version ≤ B
+    // and writes v(B+1), so a replayed batch re-derives instead of
+    // double-applying). The fold is scoped to TOUCHED KEYS: the batch's
+    // keys' history rows union the batch's new versions and re-derive
+    // intervals (q168's two window passes over ≤ a handful of rows per
+    // key); untouched keys' rows pass through via a broadcast anti-join
+    // — per-batch cost ∝ changed keys, never dimension-sized. Final
+    // history ≡ the batch q168 run (its oracle verbatim).
+    Q("q170_scd2_stream",
+      (s, d) => {
+        val w = Window.partitionBy(col("key")).orderBy(col("ef"))
+        val store = tempStore("graft_scd2_store")
+        // v0: the base 1990 segments only (the pre-stream world)
+        graft.schema.Tables.customer(s, d)
+          .select(col("c_custkey").as("key"),
+            col("c_mktsegment").as("segment"),
+            lit(java.sql.Timestamp.valueOf("1990-01-01 00:00:00"))
+              .as("ef"))
+          .write.mode("overwrite").parquet(s"$store/v0")
+        // q112's replay rule, mechanically: batch B reads the newest
+        // version ≤ B and writes v(B+1) — a retried batch re-reads the
+        // same base and overwrites its own output instead of
+        // double-applying. The final read takes the newest on disk.
+        def exists(i: Int) = new java.io.File(s"$store/v$i").exists
+        def newestUpTo(b: Int): Int = (b to 0 by -1).find(exists).getOrElse(0)
+        def newest(): Int =
+          Iterator.from(0).takeWhile(exists).length - 1
+        // the change feed, synthesized from the customer stream
+        // (q168's deterministic derivation: %4 → 1997, %8 → 1999)
+        runForeachBatch(s, d, "customer")(df =>
+          df.filter(col("c_custkey") % 4 === 0)
+            .select(col("c_custkey").as("key"),
+              concat(col("c_mktsegment"), lit("_V2")).as("segment"),
+              lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+                .as("ef"))
+            .unionByName(df.filter(col("c_custkey") % 8 === 0)
+              .select(col("c_custkey").as("key"),
+                concat(col("c_mktsegment"), lit("_V3")).as("segment"),
+                lit(java.sql.Timestamp.valueOf("1999-06-01 00:00:00"))
+                  .as("ef")))) { (batch, batchId) =>
+          val ss = batch.sparkSession
+          val hist = ss.read.parquet(
+            s"$store/v${newestUpTo(batchId.toInt)}")
+          val keys = batch.select(col("key")).distinct()
+          val touched = hist.join(broadcast(keys), Seq("key"))
+            .unionByName(batch)
+            .withColumn("prev", lag(col("segment"), 1).over(w))
+            .filter(col("prev").isNull || col("prev") =!= col("segment"))
+            .drop("prev")
+          val untouched = hist.join(broadcast(keys), Seq("key"),
+            "left_anti")
+          untouched.unionByName(touched)
+            .write.mode("overwrite").parquet(s"$store/v${batchId.toInt + 1}")
+          ()
+        }
+        s.read.parquet(s"$store/v${newest()}")
+          .select(col("key"), col("segment"),
+            date_format(col("ef"), "yyyy-MM-dd").as("valid_from"),
+            date_format(lead(col("ef"), 1).over(w), "yyyy-MM-dd")
+              .as("valid_to"),
+            lead(col("ef"), 1).over(w).isNull.as("is_current"))
+          .orderBy(col("key"), col("valid_from"))
+      },
+      // q168's oracle verbatim: streamed history ≡ batch SCD2 build
+      Some(PipelineOps.Scd2Sql +
+        """SELECT key, segment, strftime(ef, '%Y-%m-%d') AS valid_from,
+              strftime(lead(ef) OVER (PARTITION BY key ORDER BY ef),
+                '%Y-%m-%d') AS valid_to,
+              lead(ef) OVER (PARTITION BY key ORDER BY ef) IS NULL
+                AS is_current
+           FROM kept ORDER BY key, valid_from""")),
 
     // ---- streaming ER gate (q164): the entity-resolution triangle's
     // SERVE member (build q159 / maintain q160 / serve here — the q34b/

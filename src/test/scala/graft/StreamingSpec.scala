@@ -388,6 +388,17 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exists(_._4 > 0), s"debounce vacuous at $sf: $stream")
   }
 
+  test("streaming SCD2 maintenance serves exactly the batch q168 history") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .as[(Long, String, String, String, Boolean)].collect().toSet
+    val stream = rows("q170_scd2_stream")
+    assert(stream === rows("q168_scd2_history"))
+    assert(stream.nonEmpty)
+    // versions actually accumulated: some key carries a closed interval
+    assert(stream.exists(r => !r._5), stream.take(5))
+  }
+
   test("streaming ER gate emits exactly the batch cross matches between " +
       "snapshot index and arriving variants") {
     val sf = "/root/testdata/sf0.001"
