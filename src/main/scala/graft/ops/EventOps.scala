@@ -751,6 +751,62 @@ object EventOps {
                 round(min(med), 6) AS fill_value,
                 round(avg(CAST(floor(filled * 10000) AS BIGINT)) / 10000,
                   6) AS mean_after
+              FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // ---- z-score outlier report (q172): the parametric member of the
+    // numeric-cleaning family (q156 clamps by rank, q166 fills by rank —
+    // this FLAGS by standard deviations, the monitoring convention).
+    // Exactness discipline: the moments come from INTEGER CENTS
+    // (sum and sum-of-squares of BIGINTs are associative — no float
+    // accumulation order anywhere; sumsq ≤ 5e14 at sf0.1, far inside
+    // BIGINT), and mean/std derive as doubles from those exact integers
+    // identically in both engines. The per-row z compare then re-uses
+    // the same derived doubles broadcast back. Two scans (moments, then
+    // flags) like q156 — no row-sized state between them.
+    Q("q172_zscore_outliers",
+      (s, d) => {
+        val cents = expr("CAST(round(value * 100) AS BIGINT)")
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), cents.as("c"))
+        val m = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+            sum(col("c") * col("c")).as("sq"))
+          .select(col("event_type"), col("n"),
+            (col("s").cast("double") / col("n")).as("mean_c"),
+            sqrt((col("sq").cast("double") / col("n")) -
+              (col("s").cast("double") / col("n")) *
+              (col("s").cast("double") / col("n"))).as("std_c"))
+        ev.join(broadcast(m), Seq("event_type"))
+          .withColumn("z", (col("c") - col("mean_c")) / col("std_c"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L))
+              .as("n_outliers"),
+            round(min(col("mean_c")) / 100, 6).as("mean_value"),
+            round(min(col("std_c")) / 100, 6).as("std_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+                CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE value IS NOT NULL),
+              m AS (SELECT event_type, count(*) AS n,
+                CAST(sum(c) AS BIGINT) AS s,
+                CAST(sum(c * c) AS BIGINT) AS sq
+                FROM ev GROUP BY 1),
+              d AS (SELECT event_type, n,
+                CAST(s AS DOUBLE) / n AS mean_c,
+                sqrt(CAST(sq AS DOUBLE) / n -
+                  (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                  AS std_c
+                FROM m),
+              r AS (SELECT e.event_type, (c - mean_c) / std_c AS z,
+                mean_c, std_c
+                FROM ev e JOIN d USING (event_type))
+              SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers,
+                round(min(mean_c) / 100, 6) AS mean_value,
+                round(min(std_c) / 100, 6) AS std_value
               FROM r GROUP BY 1 ORDER BY 1"""))
   )
 

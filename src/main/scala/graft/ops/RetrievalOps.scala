@@ -440,6 +440,55 @@ object RetrievalOps {
                 CROSS JOIN totals)
               SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bi,
                 round(avg(-ln(p)), 6) AS avg_nll
-              FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+              FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- frequent token pairs, A-priori style (q171): the
+    // frequent-itemset member of the mining family (q49 counts
+    // singletons, q99 mines event transitions — this mines CO-OCCURRENCE
+    // within documents, the basis of taxonomy/compound discovery and
+    // stop-phrase lists). A-priori's downward-closure is the scale
+    // argument: only pairs of FREQUENT singletons (df ≥ 10% of docs)
+    // ever become candidates, so the per-doc pair fanout is bounded by
+    // the frequent-vocabulary size, not the raw vocabulary — at web
+    // scale the frequent set is small by construction (the q35 df-cap
+    // posture inverted: keep the head, not the tail). One distinct
+    // (doc, token) relation feeds both the df count (shuffles token
+    // partials) and the doc-keyed self-join; support counts
+    // partial-aggregate. Top 20 by support, ties by (t1, t2).
+    Q("q171_frequent_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val docTok = docs.select(col("doc_id"),
+            explode(array_distinct(expr(
+              "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))).as("t"))
+        // bounded driver action (the q44c cut-rule precedent): one scalar
+        // count decides the support threshold
+        val nDocs = docs.count()
+        val frequent = docTok.groupBy(col("t"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= nDocs * 0.1)
+          .select(col("t"))
+        val ft = docTok.join(broadcast(frequent), Seq("t"))
+        ft.select(col("doc_id"), col("t").as("t1"))
+          .join(ft.select(col("doc_id"), col("t").as("t2")), Seq("doc_id"))
+          .filter(col("t1") < col("t2"))
+          .groupBy(col("t1"), col("t2"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("t1"), col("t2"))
+          .limit(20)
+      },
+      Some("""WITH dt AS (SELECT doc_id, unnest(list_distinct(
+                  regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+                FROM documents),
+              nd AS (SELECT count(*) AS n FROM documents),
+              freq AS (SELECT t FROM dt, nd GROUP BY t, nd.n
+                       HAVING count(*) >= n * 0.1),
+              ft AS (SELECT doc_id, t FROM dt WHERE t IN
+                       (SELECT t FROM freq)),
+              p AS (SELECT a.t AS t1, b.t AS t2
+                FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t)
+              SELECT t1, t2, count(*) AS support FROM p
+              GROUP BY t1, t2
+              ORDER BY support DESC, t1, t2 LIMIT 20"""))
   )
 }

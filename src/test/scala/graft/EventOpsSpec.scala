@@ -243,6 +243,24 @@ class EventOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("z-score outliers: exact integer moments, the planted spike flags, " +
+      "tight values do not") {
+    // 100 values at 10.00 ± 0.02 and one 50.00 spike: std is small, the
+    // spike sits far beyond 3 sigma, nothing else does
+    val rows = (0 until 100).map(i =>
+      (i.toLong, ts("2024-01-01 10:00:00"), 1L, "t",
+        10.0 + (i % 5 - 2) * 0.01, "{}")) :+
+      (100L, ts("2024-01-01 10:00:00"), 1L, "t", 50.0, "{}")
+    val d = eventsDir(rows)
+    val out = SparkEntry.queries("q172_zscore_outliers")(spark, d)
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    assert(out.size == 1 && out.head._1 == "t")
+    assert(out.head._2 === 101L)
+    assert(out.head._3 === 1L, out.head) // exactly the spike
+    assert(math.abs(out.head._4 - 10.4) < 0.2, out.head) // mean pulled up
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   test("median imputation: planted nulls fill with the histogram p50 " +
       "edge; report matches a direct replication of the rule") {
     // ids 0..100, values 1..101; ids 0,13,26,...,91 null out (8 fills)

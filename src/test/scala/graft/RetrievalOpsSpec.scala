@@ -72,4 +72,24 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(scores(3L) > scores(1L), scores.toString)
     assert(math.abs(scores(1L) - scores(2L)) < 1e-9)
   }
+
+  test("frequent pairs: A-priori pruning drops rare-token pairs, support " +
+      "counts distinct co-occurring docs, ties order lexically") {
+    // 10 docs: 'a b' in all 10, 'c' in 5 (frequent), 'z' in 1 (pruned
+    // by the 10% threshold? df=1 = 10% — threshold is >= so z stays...
+    // use 20 docs so z's df=1 < 2 and prunes)
+    val docs = ((1 to 20).map { i =>
+      val extra = if (i <= 10) " c" else ""
+      val rare = if (i == 1) " z" else ""
+      (i.toLong, s"a b$extra$rare", "en", "s", 0L)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q171_frequent_pairs")(spark, dir)
+      .as[(String, String, Long)].collect().toList
+    // (a,b) support 20; (a,c)/(b,c) support 10; no pair involving z
+    assert(out === List(("a", "b", 20L), ("a", "c", 10L), ("b", "c", 10L)),
+      out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
