@@ -949,6 +949,60 @@ object Relational {
                 UNION ALL SELECT * FROM f5 UNION ALL SELECT * FROM f6)
               SELECT tbl, fd, n_lhs,
                 CAST(v AS BIGINT) AS n_violating_lhs, v = 0 AS holds
-              FROM u ORDER BY tbl, fd"""))
+              FROM u ORDER BY tbl, fd""")),
+
+    // ---- Benford first-digit audit (q174): the fraud/integrity screen
+    // auditors run on financial columns — naturally-grown magnitudes
+    // follow P(d) = log10(1 + 1/d) for the leading digit; fabricated or
+    // truncated data doesn't. Report per digit: observed count, observed
+    // share, the Benford expectation, and the absolute deviation; plus
+    // the mean-absolute-deviation verdict column (MAD > 0.015 is the
+    // conventional "nonconformity" line — this synthetic uniform-ish
+    // price corpus FAILS it, which is itself the demonstration that the
+    // statistic discriminates). First digit extracted from the cents
+    // integer's decimal string (exact — no float log10 on the data
+    // path); expectations are IEEE ln ratios, identical cross-engine.
+    // One digit-keyed 9-row aggregate; the MAD join is 9 rows.
+    Q("q174_benford_audit",
+      (s, d) => {
+        val digits = Tables.orders(s, d)
+          .select(substring(expr(
+            "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+            1, 1).as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val total = digits.agg(sum(col("n")).as("total"))
+        val scored = digits.crossJoin(broadcast(total))
+          .select(col("digit"), col("n"),
+            (col("n") / col("total").cast("double")).as("share"),
+            (log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+              log(lit(10.0))).as("benford"))
+        val mad = scored
+          .agg(avg(abs(col("share") - col("benford"))).as("m"))
+        scored.crossJoin(broadcast(mad))
+          .select(col("digit"), col("n"),
+            (floor(col("share") * 100000) / 100000).as("share"),
+            (floor(col("benford") * 100000) / 100000).as("benford"),
+            (floor(abs(col("share") - col("benford")) * 100000) / 100000)
+              .as("abs_dev"),
+            (col("m") > 0.015).as("nonconforming"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH dg AS (SELECT substr(CAST(CAST(round(o_totalprice
+                  * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+                count(*) AS n
+                FROM orders GROUP BY 1),
+              t AS (SELECT sum(n) AS total FROM dg),
+              s AS (SELECT digit, n,
+                n * 1.0 / t.total AS share,
+                ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+                  AS benford
+                FROM dg, t),
+              m AS (SELECT avg(abs(share - benford)) AS m FROM s)
+              SELECT digit, n,
+                floor(share * 100000) / 100000 AS share,
+                floor(benford * 100000) / 100000 AS benford,
+                floor(abs(share - benford) * 100000) / 100000 AS abs_dev,
+                m.m > 0.015 AS nonconforming
+              FROM s, m ORDER BY digit"""))
   )
 }

@@ -489,6 +489,71 @@ object RetrievalOps {
                 FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t)
               SELECT t1, t2, count(*) AS support FROM p
               GROUP BY t1, t2
-              ORDER BY support DESC, t1, t2 LIMIT 20"""))
+              ORDER BY support DESC, t1, t2 LIMIT 20""")),
+
+    // ---- association rules (q173): q171's pairs promoted to DIRECTED
+    // rules a→b with the two standard strengths — confidence
+    // sup(a,b)/sup(a) (how often b follows from a) and lift
+    // conf/(sup(b)/N) (how much more often than chance). Both are
+    // ratios of exact integer supports over the same frequent-pair
+    // relation (one extra broadcast join against the singleton
+    // supports), so the mining cost is q171's and the rule derivation
+    // is vocabulary-bounded. Top 20 rules by (lift, conf) with lexical
+    // tie-break; ratios floor-quantized (midpoint discipline).
+    Q("q173_association_rules",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val docTok = docs.select(col("doc_id"),
+            explode(array_distinct(expr(
+              "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))).as("t"))
+        // bounded driver action (q171's precedent)
+        val nDocs = docs.count()
+        val singles = docTok.groupBy(col("t"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= nDocs * 0.1)
+        val ft = docTok.join(broadcast(singles.select(col("t"))), Seq("t"))
+        val pairs = ft.select(col("doc_id"), col("t").as("t1"))
+          .join(ft.select(col("doc_id"), col("t").as("t2")), Seq("doc_id"))
+          .filter(col("t1") =!= col("t2")) // directed: both orientations
+          .groupBy(col("t1"), col("t2"))
+          .agg(count(lit(1)).as("support"))
+        pairs
+          .join(broadcast(singles.select(col("t").as("t1"),
+            col("df").as("df1"))), Seq("t1"))
+          .join(broadcast(singles.select(col("t").as("t2"),
+            col("df").as("df2"))), Seq("t2"))
+          .select(col("t1").as("antecedent"), col("t2").as("consequent"),
+            col("support"),
+            (floor(col("support") / col("df1").cast("double") * 10000)
+              / 10000).as("confidence"),
+            (floor(col("support") * nDocs /
+              (col("df1") * col("df2")).cast("double") * 10000)
+              / 10000).as("lift"))
+          .orderBy(col("lift").desc, col("confidence").desc,
+            col("antecedent"), col("consequent"))
+          .limit(20)
+      },
+      Some("""WITH dt AS (SELECT doc_id, unnest(list_distinct(
+                  regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+                FROM documents),
+              nd AS (SELECT count(*) AS n FROM documents),
+              freq AS (SELECT t, count(*) AS df FROM dt, nd
+                       GROUP BY t, nd.n HAVING count(*) >= n * 0.1),
+              ft AS (SELECT doc_id, t FROM dt WHERE t IN
+                       (SELECT t FROM freq)),
+              p AS (SELECT a.t AS t1, b.t AS t2, count(*) AS support
+                FROM ft a JOIN ft b
+                  ON a.doc_id = b.doc_id AND a.t <> b.t
+                GROUP BY 1, 2)
+              SELECT t1 AS antecedent, t2 AS consequent, support,
+                floor(support * 1.0 / f1.df * 10000) / 10000
+                  AS confidence,
+                floor(support * nd.n * 1.0 / (f1.df * f2.df) * 10000)
+                  / 10000 AS lift
+              FROM p JOIN freq f1 ON p.t1 = f1.t
+                JOIN freq f2 ON p.t2 = f2.t
+                CROSS JOIN nd
+              ORDER BY lift DESC, confidence DESC, antecedent, consequent
+              LIMIT 20"""))
   )
 }

@@ -152,4 +152,30 @@ class GovernanceOpsSpec extends SparkSpec {
       ("orders", "o_orderkey->o_custkey", 3L, 0L, true)), out)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("Benford audit: uniform digits flag nonconforming, counts and " +
+      "expectations match the closed form") {
+    // one order per leading digit 1..9 (prices 1.00 .. 9.00): shares are
+    // uniform 1/9, which Benford's law decisively rejects
+    val orders = (1 to 9).map(i =>
+      (i.toLong, 1L, "O", i * 1.0,
+        java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ben").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q174_benford_audit")(spark, dir)
+      .as[(String, Long, Double, Double, Double, Boolean)]
+      .collect().toList
+    assert(out.map(_._1) === (1 to 9).map(_.toString).toList)
+    assert(out.forall(_._2 == 1L))
+    def q5(x: Double) = math.floor(x * 100000) / 100000
+    out.foreach { r =>
+      val d = r._1.toInt
+      assert(r._3 === q5(1.0 / 9), r)
+      assert(r._4 === q5(math.log(1.0 + 1.0 / d) / math.log(10.0)), r)
+      assert(r._6, "uniform digits must flag nonconforming")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

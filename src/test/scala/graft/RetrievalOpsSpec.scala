@@ -90,6 +90,17 @@ class RetrievalOpsSpec extends SparkSpec {
     // (a,b) support 20; (a,c)/(b,c) support 10; no pair involving z
     assert(out === List(("a", "b", 20L), ("a", "c", 10L), ("b", "c", 10L)),
       out)
+
+    // association rules over the same corpus: c→a has confidence 1.0
+    // (every c-doc has a), a→c only 0.5; both lift 1.0 (a is universal);
+    // a↔b are perfectly associated (conf 1.0, lift 1.0)
+    val rules = SparkEntry.queries("q173_association_rules")(spark, dir)
+      .as[(String, String, Long, Double, Double)].collect().toList
+    val byPair = rules.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(byPair(("c", "a")) === ((10L, 1.0, 1.0)), byPair)
+    assert(byPair(("a", "c")) === ((10L, 0.5, 1.0)), byPair)
+    assert(byPair(("a", "b")) === ((20L, 1.0, 1.0)), byPair)
+    assert(!byPair.keySet.exists(p => p._1 == "z" || p._2 == "z"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
