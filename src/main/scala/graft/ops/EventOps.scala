@@ -807,7 +807,64 @@ object EventOps {
                   AS BIGINT) AS n_outliers,
                 round(min(mean_c) / 100, 6) AS mean_value,
                 round(min(std_c) / 100, 6) AS std_value
-              FROM r GROUP BY 1 ORDER BY 1"""))
+              FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // ---- last-touch attribution (q175): the marketing-analytics
+    // classic over the event stream — each purchase credits the LAST
+    // click/view by the same user within the attribution window (7
+    // days), else counts as unattributed ("direct"). Formulated as a
+    // user-lane window pass: touches and purchases interleave in
+    // (ts, event_id) order and `last(touch_type, ignoreNulls)` over the
+    // preceding frame carries the most recent touch forward — one lane
+    // shuffle, no self-join of purchases against all touches (the naive
+    // range-join shape this replaces shuffles every touch ONCE PER
+    // PURCHASE; the running-window shape shuffles each event once,
+    // which is the difference at 100 TB of clickstream). Window-expiry
+    // (touch older than 7 days) is a timestamp compare on the carried
+    // columns. Report: credited touches and revenue by channel plus the
+    // direct bucket; revenue in exact cents.
+    Q("q175_attribution",
+      (s, d) => {
+        val lane = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val isTouch = col("event_type").isin("click", "view")
+        Tables.events(s, d)
+          .withColumn("t_type",
+            last(when(isTouch, col("event_type")), ignoreNulls = true)
+              .over(lane))
+          .withColumn("t_ts",
+            last(when(isTouch, col("ts")), ignoreNulls = true).over(lane))
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(col("t_ts").isNotNull &&
+                col("ts").cast("timestamp").cast("double") -
+                col("t_ts").cast("timestamp").cast("double")
+                  <= 7 * 86400.0,
+              col("t_type")).otherwise(lit("direct")).as("channel"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("cents")).as("revenue_cents"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type, value,
+                last_value(CASE WHEN event_type IN ('click', 'view')
+                  THEN event_type END IGNORE NULLS) OVER w AS t_type,
+                last_value(CASE WHEN event_type IN ('click', 'view')
+                  THEN ts END IGNORE NULLS) OVER w AS t_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              p AS (SELECT
+                CASE WHEN t_ts IS NOT NULL
+                    AND epoch(ts) - epoch(t_ts) <= 7 * 86400.0
+                  THEN t_type ELSE 'direct' END AS channel,
+                CAST(round(value * 100) AS BIGINT) AS cents
+                FROM x WHERE event_type = 'purchase')
+              SELECT channel, count(*) AS n_purchases,
+                CAST(sum(cents) AS BIGINT) AS revenue_cents
+              FROM p GROUP BY 1 ORDER BY 1"""))
   )
 
   /** q156's clamp bounds: per event_type [p05, p95) edges located on the

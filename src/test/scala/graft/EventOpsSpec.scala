@@ -243,6 +243,29 @@ class EventOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("last-touch attribution: latest in-window touch gets the credit, " +
+      "stale touches and touchless purchases fall to direct") {
+    val d = eventsDir(Seq(
+      // user 1: view then click then purchase → click credited
+      (0L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (1L, ts("2024-01-02 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-03 10:00:00"), 1L, "purchase", 10.0, "{}"),
+      // user 1 second purchase 10 days after the click → direct (stale)
+      (3L, ts("2024-01-12 11:00:00"), 1L, "purchase", 20.0, "{}"),
+      // user 2: purchase with no touch at all → direct
+      (4L, ts("2024-01-03 10:00:00"), 2L, "purchase", 5.0, "{}"),
+      // user 3: view then in-window purchase → view credited
+      (5L, ts("2024-01-01 10:00:00"), 3L, "view", 0.0, "{}"),
+      (6L, ts("2024-01-05 10:00:00"), 3L, "purchase", 7.5, "{}")))
+    val out = SparkEntry.queries("q175_attribution")(spark, d)
+      .as[(String, Long, Long)].collect().toList
+    assert(out === List(
+      ("click", 1L, 1000L),
+      ("direct", 2L, 2500L),
+      ("view", 1L, 750L)), out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   test("z-score outliers: exact integer moments, the planted spike flags, " +
       "tight values do not") {
     // 100 values at 10.00 ± 0.02 and one 50.00 spike: std is small, the
