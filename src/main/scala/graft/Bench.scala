@@ -132,7 +132,7 @@ object Bench {
     val checkpointBacked = Set("q45_dup_clusters", "q45b_dup_clusters_lsh",
       "q85_canonical_docs", "q86_leakage_safe_split", "q87_semantic_dedup",
       "q63_stream_upsert", "q64_stream_stream_join", "q65_stream_tws",
-      "q112_stream_cdc_upsert", "q131_stream_mv", "q163_stream_debounce", "q170_scd2_stream",
+      "q112_stream_cdc_upsert", "q131_stream_mv", "q163_stream_debounce", "q170_scd2_stream", "q176_stream_attribution",
       "q134_stream_heavy_hitters", "q136_stream_session_window")
     val results = names.map { name =>
       val runs = if (checkpointBacked(name)) 3 else 2

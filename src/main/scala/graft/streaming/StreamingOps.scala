@@ -1145,6 +1145,68 @@ object StreamingOps {
                   AS mean_winsorized
               FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // ---- streaming attribution (q176): q175 ON A STREAM — the online
+    // form every marketing pipeline actually runs (credit must land
+    // while the campaign is live, not at the nightly batch). The user's
+    // most recent touch persists in flatMapGroupsWithState state (16
+    // bytes per live user; production adds a TTL at the attribution
+    // window), purchases emit their channel verdict immediately.
+    // In-batch events process in (ts, id) order, so stream ≡ the batch
+    // running-window rule across any batch boundaries for time-ordered
+    // lanes (the q163 caveat). Shares q175's oracle verbatim.
+    Q("q176_stream_attribution",
+      (s, d) => {
+        import s.implicits._
+        val credited = runToMemory(s, d, "append") { df =>
+          df.select(col("user_id").as("uid"), col("event_type").as("et"),
+              col("ts").cast("double").as("tsd"), col("event_id"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+            .as[(Long, String, Double, Long, java.lang.Long)]
+            .groupByKey(_._1)
+            .flatMapGroupsWithState[TouchState, (String, java.lang.Long)](
+              org.apache.spark.sql.streaming.OutputMode.Append,
+              org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+              case (_, rows, state) =>
+                val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+                var st = state.getOption
+                val out = Seq.newBuilder[(String, java.lang.Long)]
+                sorted.foreach { r =>
+                  if (r._2 == "click" || r._2 == "view")
+                    st = Some(TouchState(r._2, r._3))
+                  else if (r._2 == "purchase") {
+                    val ch = st.filter(t => r._3 - t.ts <= 7 * 86400.0)
+                      .map(_.tpe).getOrElse("direct")
+                    out += ((ch, r._5))
+                  }
+                }
+                st.foreach(state.update)
+                out.result().iterator
+            }.toDF("channel", "cents")
+        }
+        credited.groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("cents")).as("revenue_cents"))
+          .orderBy(col("channel"))
+      },
+      // q175's oracle verbatim: one attribution rule, two engine paths
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type, value,
+                last_value(CASE WHEN event_type IN ('click', 'view')
+                  THEN event_type END IGNORE NULLS) OVER w AS t_type,
+                last_value(CASE WHEN event_type IN ('click', 'view')
+                  THEN ts END IGNORE NULLS) OVER w AS t_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              p AS (SELECT
+                CASE WHEN t_ts IS NOT NULL
+                    AND epoch(ts) - epoch(t_ts) <= 7 * 86400.0
+                  THEN t_type ELSE 'direct' END AS channel,
+                CAST(round(value * 100) AS BIGINT) AS cents
+                FROM x WHERE event_type = 'purchase')
+              SELECT channel, count(*) AS n_purchases,
+                CAST(sum(cents) AS BIGINT) AS revenue_cents
+              FROM p GROUP BY 1 ORDER BY 1""")),
+
     // ---- streaming SCD2 maintenance (q170): q168 ON A STREAM — the
     // dimension-history keeper a live warehouse actually runs: change
     // events arrive per micro-batch and fold into a VERSIONED history
@@ -1466,6 +1528,10 @@ final case class UserState(n: Long, sum: Double)
 /** Debounce lane state (q163): epoch seconds of the lane's last SEEN
   * event — the lag rule keys on the previous event, kept or not. */
 final case class LaneState(lastTs: Double)
+
+/** Attribution state (q176): the user's most recent touch (type + epoch
+  * seconds) — 16 bytes per live user. */
+final case class TouchState(tpe: String, ts: Double)
 
 /** transformWithState processor: per-user running (count, sum) in a
   * ValueState — the Spark 4 arbitrary-state primitive (q65). */

@@ -388,6 +388,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exists(_._4 > 0), s"debounce vacuous at $sf: $stream")
   }
 
+  test("streaming attribution credits exactly the batch last-touch rule") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    val stream = rows("q176_stream_attribution")
+    assert(stream === rows("q175_attribution"))
+    assert(stream.nonEmpty)
+  }
+
   test("streaming SCD2 maintenance serves exactly the batch q168 history") {
     val sf = "/root/testdata/sf0.001"
     def rows(name: String) = SparkEntry.queries(name)(spark, sf)
