@@ -1003,6 +1003,139 @@ object Relational {
                 floor(benford * 100000) / 100000 AS benford,
                 floor(abs(share - benford) * 100000) / 100000 AS abs_dev,
                 m.m > 0.015 AS nonconforming
-              FROM s, m ORDER BY digit"""))
+              FROM s, m ORDER BY digit""")),
+
+    // ---- RFM segmentation (q177): the CRM-analytics classic — score
+    // every customer on Recency (days since last order, vs the corpus's
+    // max date), Frequency (order count) and Monetary (lifetime cents),
+    // each bucketed into quintiles, and report the segment-cell
+    // occupancy. Quintiles WITHOUT a global sort or partition-less
+    // window (banned catalog-wide): each metric histograms onto the
+    // 128-bin fixed grid (exact integer metrics → IEEE-exact bins), the
+    // 128-row histogram's cumulative counts come from an explicit
+    // bounded 128×128 self-join (the rankBounded precedent — the cost
+    // is visible at the call site, not hidden in a one-task window),
+    // and the four boundary bins broadcast back as one row. Bucket 1 =
+    // lowest metric value (most recent / fewest orders / least spend).
+    // Per-customer metrics are one orders shuffle; everything after is
+    // histogram-sized.
+    Q("q177_rfm_segmentation",
+      (s, d) => {
+        def quintile(df: DataFrame, v: String): DataFrame = {
+          val mm = df.agg(min(col(v)).cast("double").as("mn"),
+            max(col(v)).cast("double").as("mx"), count(lit(1)).as("n"))
+          val binned = df.crossJoin(broadcast(mm))
+            .withColumn("bin", when(col("mx") > col("mn"),
+              least(floor((col(v).cast("double") - col("mn")) /
+                (col("mx") - col("mn")) * 128), lit(127.0)))
+              .otherwise(lit(0.0)).cast("int"))
+          val hist = binned.groupBy(col("bin"))
+            .agg(count(lit(1)).as("cnt"))
+          val cum = hist.as("a")
+            .join(hist.select(col("bin").as("b_bin"),
+              col("cnt").as("b_cnt")), col("b_bin") <= col("bin"))
+            .groupBy(col("bin")).agg(sum(col("b_cnt")).as("cum"))
+          val cuts = cum.crossJoin(broadcast(mm.select(col("n"))))
+            .agg(
+              min(when(col("cum") >= col("n") * 0.2, col("bin"))).as("c1"),
+              min(when(col("cum") >= col("n") * 0.4, col("bin"))).as("c2"),
+              min(when(col("cum") >= col("n") * 0.6, col("bin"))).as("c3"),
+              min(when(col("cum") >= col("n") * 0.8, col("bin"))).as("c4"))
+          binned.crossJoin(broadcast(cuts))
+            .select(col("cust"),
+              (lit(1) +
+                when(col("bin") > col("c1"), 1).otherwise(0) +
+                when(col("bin") > col("c2"), 1).otherwise(0) +
+                when(col("bin") > col("c3"), 1).otherwise(0) +
+                when(col("bin") > col("c4"), 1).otherwise(0)).as("q"))
+        }
+        val o = Tables.orders(s, d)
+        val gmax = o.agg(max(col("o_orderdate")).as("gmax"))
+        val rfm = o.groupBy(col("o_custkey").as("cust"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("f"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m"))
+          .crossJoin(broadcast(gmax))
+          .withColumn("r", datediff(col("gmax"), col("last_order")))
+        quintile(rfm.select(col("cust"), col("r")), "r")
+          .withColumnRenamed("q", "r_q")
+          .join(quintile(rfm.select(col("cust"), col("f")), "f")
+            .withColumnRenamed("q", "f_q"), Seq("cust"))
+          .join(quintile(rfm.select(col("cust"), col("m")), "m")
+            .withColumnRenamed("q", "m_q"), Seq("cust"))
+          .groupBy(col("r_q"), col("f_q"), col("m_q"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("r_q"), col("f_q"), col("m_q"))
+      },
+      Some("""WITH rfm AS (SELECT o_custkey AS cust,
+                date_diff('day', max(o_orderdate),
+                  (SELECT max(o_orderdate) FROM orders)) AS r,
+                count(*) AS f,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+                FROM orders GROUP BY 1),
+              nn AS (SELECT count(*) AS n FROM rfm),
+              rb AS (SELECT cust, CAST(CASE WHEN mx > mn THEN least(floor(
+                  (CAST(r AS DOUBLE) - mn) / (mx - mn) * 128), 127)
+                  ELSE 0 END AS INTEGER) AS bin
+                FROM rfm, (SELECT CAST(min(r) AS DOUBLE) AS mn,
+                  CAST(max(r) AS DOUBLE) AS mx FROM rfm)),
+              rh AS (SELECT bin, count(*) AS cnt FROM rb GROUP BY 1),
+              rc AS (SELECT a.bin, sum(b.cnt) AS cum FROM rh a
+                JOIN rh b ON b.bin <= a.bin GROUP BY 1),
+              rq AS (SELECT
+                min(CASE WHEN cum >= n * 0.2 THEN bin END) AS c1,
+                min(CASE WHEN cum >= n * 0.4 THEN bin END) AS c2,
+                min(CASE WHEN cum >= n * 0.6 THEN bin END) AS c3,
+                min(CASE WHEN cum >= n * 0.8 THEN bin END) AS c4
+                FROM rc, nn),
+              rr AS (SELECT cust, 1 +
+                (CASE WHEN bin > c1 THEN 1 ELSE 0 END) +
+                (CASE WHEN bin > c2 THEN 1 ELSE 0 END) +
+                (CASE WHEN bin > c3 THEN 1 ELSE 0 END) +
+                (CASE WHEN bin > c4 THEN 1 ELSE 0 END) AS r_q
+                FROM rb, rq),
+              fb AS (SELECT cust, CAST(CASE WHEN mx > mn THEN least(floor(
+                  (CAST(f AS DOUBLE) - mn) / (mx - mn) * 128), 127)
+                  ELSE 0 END AS INTEGER) AS bin
+                FROM rfm, (SELECT CAST(min(f) AS DOUBLE) AS mn,
+                  CAST(max(f) AS DOUBLE) AS mx FROM rfm)),
+              fh AS (SELECT bin, count(*) AS cnt FROM fb GROUP BY 1),
+              fc AS (SELECT a.bin, sum(b.cnt) AS cum FROM fh a
+                JOIN fh b ON b.bin <= a.bin GROUP BY 1),
+              fq AS (SELECT
+                min(CASE WHEN cum >= n * 0.2 THEN bin END) AS c1,
+                min(CASE WHEN cum >= n * 0.4 THEN bin END) AS c2,
+                min(CASE WHEN cum >= n * 0.6 THEN bin END) AS c3,
+                min(CASE WHEN cum >= n * 0.8 THEN bin END) AS c4
+                FROM fc, nn),
+              ff AS (SELECT cust, 1 +
+                (CASE WHEN bin > c1 THEN 1 ELSE 0 END) +
+                (CASE WHEN bin > c2 THEN 1 ELSE 0 END) +
+                (CASE WHEN bin > c3 THEN 1 ELSE 0 END) +
+                (CASE WHEN bin > c4 THEN 1 ELSE 0 END) AS f_q
+                FROM fb, fq),
+              mb AS (SELECT cust, CAST(CASE WHEN mx > mn THEN least(floor(
+                  (CAST(m AS DOUBLE) - mn) / (mx - mn) * 128), 127)
+                  ELSE 0 END AS INTEGER) AS bin
+                FROM rfm, (SELECT CAST(min(m) AS DOUBLE) AS mn,
+                  CAST(max(m) AS DOUBLE) AS mx FROM rfm)),
+              mh AS (SELECT bin, count(*) AS cnt FROM mb GROUP BY 1),
+              mc AS (SELECT a.bin, sum(b.cnt) AS cum FROM mh a
+                JOIN mh b ON b.bin <= a.bin GROUP BY 1),
+              mq AS (SELECT
+                min(CASE WHEN cum >= n * 0.2 THEN bin END) AS c1,
+                min(CASE WHEN cum >= n * 0.4 THEN bin END) AS c2,
+                min(CASE WHEN cum >= n * 0.6 THEN bin END) AS c3,
+                min(CASE WHEN cum >= n * 0.8 THEN bin END) AS c4
+                FROM mc, nn),
+              mm2 AS (SELECT cust, 1 +
+                (CASE WHEN bin > c1 THEN 1 ELSE 0 END) +
+                (CASE WHEN bin > c2 THEN 1 ELSE 0 END) +
+                (CASE WHEN bin > c3 THEN 1 ELSE 0 END) +
+                (CASE WHEN bin > c4 THEN 1 ELSE 0 END) AS m_q
+                FROM mb, mq)
+              SELECT r_q, f_q, m_q, count(*) AS n_customers
+              FROM rr JOIN ff USING (cust) JOIN mm2 USING (cust)
+              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 }

@@ -153,6 +153,28 @@ class GovernanceOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("RFM segmentation: evenly spread metrics land 2 customers per " +
+      "quintile, inverse R/M pairing shows in the cells, degenerate F " +
+      "collapses to bucket 1") {
+    // 10 customers, one order each: customer i orders on day i (so
+    // recency-days = 9-i) with price (i+1)*100 — R and M quintiles pair
+    // inversely; F is constant (degenerate metric → everyone bucket 1)
+    val orders = (0 until 10).map { i =>
+      (i.toLong + 1, i.toLong, "O", (i + 1) * 100.0,
+        java.sql.Timestamp.valueOf(f"1996-01-${i + 1}%02d 00:00:00"),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfm").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q177_rfm_segmentation")(spark, dir)
+      .as[(Int, Int, Int, Long)].collect().toList
+    assert(out === List(
+      (1, 1, 5, 2L), (2, 1, 4, 2L), (3, 1, 3, 2L),
+      (4, 1, 2, 2L), (5, 1, 1, 2L)), out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Benford audit: uniform digits flag nonconforming, counts and " +
       "expectations match the closed form") {
     // one order per leading digit 1..9 (prices 1.00 .. 9.00): shares are
