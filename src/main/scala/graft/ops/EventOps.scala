@@ -809,6 +809,58 @@ object EventOps {
                 round(min(std_c) / 100, 6) AS std_value
               FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // ---- incremental moment maintenance (q178): q172's maintain member
+    // — the cheapest maintainer in the whole catalog because the state
+    // IS already algebraic: (n, Σc, Σc²) per type are BIGINT sums, so
+    // the snapshot's moment table merges with increment partials by
+    // ADDING (no grid, no anti-join, no windows — compare q158's
+    // histogram merge and q165's hash-index anti-join). mean/std derive
+    // from the merged exact integers at read. Incremental ≡ from-scratch
+    // is exact by associativity, and the oracle states it: the SQL
+    // computes the moments over ALL rows in one pass.
+    Q("q178_zscore_maintain",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val cut = math.floor(
+          (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+        def moments(df: DataFrame) = df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+            sum(col("c") * col("c")).as("sq"))
+        val table = "graft_moment_state"
+        graft.schema.Tables.resetManagedTable(s, table)
+        moments(ev.filter(col("event_id") < cut))
+          .write.mode("overwrite").saveAsTable(table)
+        val merged = s.table(table)
+          .unionByName(moments(ev.filter(col("event_id") >= cut)))
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+            sum(col("sq")).as("sq"))
+        merged.select(col("event_type"), col("n").as("n_events"),
+            round(col("s").cast("double") / col("n") / 100, 6)
+              .as("mean_value"),
+            round(sqrt((col("sq").cast("double") / col("n")) -
+              (col("s").cast("double") / col("n")) *
+              (col("s").cast("double") / col("n"))) / 100, 6)
+              .as("std_value"))
+          .orderBy(col("event_type"))
+      },
+      // from-scratch moments over all rows: incremental ≡ from-scratch
+      Some("""WITH ev AS (SELECT event_type,
+                CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE value IS NOT NULL),
+              m AS (SELECT event_type, count(*) AS n,
+                CAST(sum(c) AS BIGINT) AS s,
+                CAST(sum(c * c) AS BIGINT) AS sq
+                FROM ev GROUP BY 1)
+              SELECT event_type, n AS n_events,
+                round(CAST(s AS DOUBLE) / n / 100, 6) AS mean_value,
+                round(sqrt(CAST(sq AS DOUBLE) / n -
+                  (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                  / 100, 6) AS std_value
+              FROM m ORDER BY event_type""")),
+
     // ---- last-touch attribution (q175): the marketing-analytics
     // classic over the event stream — each purchase credits the LAST
     // click/view by the same user within the attribution window (7

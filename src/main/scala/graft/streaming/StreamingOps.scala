@@ -1145,6 +1145,78 @@ object StreamingOps {
                   AS mean_winsorized
               FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // ---- streaming anomaly gate (q179): the z-score family's serve
+    // member (build q172 / maintain q178 / serve here) and the
+    // monitoring loop production actually runs: arriving events score
+    // against FROZEN snapshot moments per micro-batch (frozen for the
+    // q157 reason — an anomalous batch must not move its own threshold;
+    // q178 is the controlled path that advances the baseline). Per-batch
+    // work is a broadcast join of 5 moment rows + a map-side flag — no
+    // state store, cost ∝ arrival rate. Report: arrivals and |z|>3
+    // flags per type, q172's oracle discipline on the increment slice.
+    Q("q179_stream_zscore_gate",
+      (s, d) => {
+        val ev = graft.schema.Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val cut = math.floor(
+          (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val table = "graft_zscore_baseline"
+        graft.schema.Tables.resetManagedTable(s, table)
+        ev.filter(col("event_id") < cut)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+            sum(col("c") * col("c")).as("sq"))
+          .select(col("event_type"),
+            (col("s").cast("double") / col("n")).as("mean_c"),
+            sqrt((col("sq").cast("double") / col("n")) -
+              (col("s").cast("double") / col("n")) *
+              (col("s").cast("double") / col("n"))).as("std_c"))
+          .write.mode("overwrite").saveAsTable(table)
+        val store = tempStore("graft_zscore_gate_out")
+        runForeachBatch(s, d, "events")(df =>
+          df.filter(col("value").isNotNull && col("event_id") >= cut)
+            .select(col("event_type"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("c"))) {
+          (batch, _) =>
+            batch.join(broadcast(batch.sparkSession.table(table)),
+                Seq("event_type"))
+              .withColumn("flagged",
+                abs((col("c") - col("mean_c")) / col("std_c")) > 3.0)
+              .select(col("event_type"), col("flagged"))
+              .write.mode("append").parquet(store)
+            ()
+        }
+        s.read.parquet(store)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_arrivals"),
+            sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE value IS NOT NULL),
+              cutv AS (SELECT CAST(floor((max(event_id) + 1) * 0.8)
+                AS BIGINT) AS cut FROM ev),
+              snap AS (SELECT event_type, count(*) AS n,
+                CAST(sum(c) AS BIGINT) AS s,
+                CAST(sum(c * c) AS BIGINT) AS sq
+                FROM ev, cutv WHERE event_id < cut GROUP BY 1),
+              base AS (SELECT event_type,
+                CAST(s AS DOUBLE) / n AS mean_c,
+                sqrt(CAST(sq AS DOUBLE) / n -
+                  (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                  AS std_c
+                FROM snap),
+              inc AS (SELECT event_type, c FROM ev, cutv
+                WHERE event_id >= cut)
+              SELECT event_type, count(*) AS n_arrivals,
+                CAST(sum(CASE WHEN abs((c - mean_c) / std_c) > 3.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+              FROM inc JOIN base USING (event_type)
+              GROUP BY 1 ORDER BY 1""")),
+
     // ---- streaming attribution (q176): q175 ON A STREAM — the online
     // form every marketing pipeline actually runs (credit must land
     // while the campaign is live, not at the nightly batch). The user's

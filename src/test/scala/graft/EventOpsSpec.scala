@@ -243,6 +243,20 @@ class EventOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("moment maintenance: merged snapshot+increment moments equal the " +
+      "from-scratch q172 statistics exactly") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col => c}
+    val maintained = SparkEntry.queries("q178_zscore_maintain")(spark, sf)
+      .as[(String, Long, Double, Double)].collect().toSet
+    val scratch = SparkEntry.queries("q172_zscore_outliers")(spark, sf)
+      .select(c("event_type"), c("n_events"), c("mean_value"),
+        c("std_value"))
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(maintained === scratch)
+    assert(maintained.nonEmpty)
+  }
+
   test("last-touch attribution: latest in-window touch gets the credit, " +
       "stale touches and touchless purchases fall to direct") {
     val d = eventsDir(Seq(

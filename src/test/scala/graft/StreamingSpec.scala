@@ -388,6 +388,38 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exists(_._4 > 0), s"debounce vacuous at $sf: $stream")
   }
 
+  test("streaming anomaly gate flags arrivals against the frozen " +
+      "snapshot moments, equal to the batch replay") {
+    val sf = "/root/testdata/sf0.001"
+    import graft.schema.Tables
+    val stream = SparkEntry.queries("q179_stream_zscore_gate")(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    // batch replay of the same rule
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val cut = math.floor(
+      (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+    val base = ev.filter(col("event_id") < cut)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("sq"))
+      .select(col("event_type"),
+        (col("s").cast("double") / col("n")).as("mean_c"),
+        sqrt((col("sq").cast("double") / col("n")) -
+          (col("s").cast("double") / col("n")) *
+          (col("s").cast("double") / col("n"))).as("std_c"))
+    val batch = ev.filter(col("event_id") >= cut)
+      .join(base, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_arrivals"),
+        sum(when(abs((col("c") - col("mean_c")) / col("std_c")) > 3.0,
+          1L).otherwise(0L)).as("n_flagged"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming attribution credits exactly the batch last-touch rule") {
     val sf = "/root/testdata/sf0.001"
     def rows(name: String) = SparkEntry.queries(name)(spark, sf)
