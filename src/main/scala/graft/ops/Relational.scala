@@ -1147,6 +1147,60 @@ object Relational {
                 FROM mb, mq)
               SELECT r_q, f_q, m_q, count(*) AS n_customers
               FROM rr JOIN ff USING (cust) JOIN mm2 USING (cust)
-              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ---- seasonality profile (q180): the time-series decomposition
+    // primitive — monthly revenue, a trailing 12-month trend, and the
+    // month-of-year seasonal index (mean of monthly/trend over the
+    // years where the trend is defined). The fact table reduces ONCE to
+    // ~80 month rows (exact integer cents); everything after is
+    // month-relation-sized: the trend is an explicit bounded self-join
+    // over month indices (offsets 0..11, HAVING all 12 present — not a
+    // window, the q177 discipline), and the seasonal aggregation
+    // averages floor-quantized integer ratios so the cross-year mean is
+    // order-exact. At 100 TB only the first reduction touches facts.
+    Q("q180_seasonality",
+      (s, d) => {
+        val monthly = Tables.orders(s, d)
+          .groupBy(((year(col("o_orderdate")) - 1990) * 12 +
+            month(col("o_orderdate"))).as("mi"),
+            month(col("o_orderdate")).as("moy"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("cents"))
+        val trend = monthly.select(col("mi"), col("cents"))
+          .join(monthly.select(col("mi").as("mi2"),
+            col("cents").as("cents2")),
+            col("mi2") >= col("mi") - 11 && col("mi2") <= col("mi"))
+          .groupBy(col("mi"))
+          .agg(count(lit(1)).as("k"), sum(col("cents2")).as("win"))
+          .filter(col("k") === 12)
+          .select(col("mi"), (col("win").cast("double") / 12).as("trend"))
+        monthly.join(trend, Seq("mi"))
+          .select(col("moy"),
+            floor(col("cents").cast("double") / col("trend") * 1000000)
+              .cast("long").as("rq"))
+          .groupBy(col("moy"))
+          .agg(count(lit(1)).as("n_months"),
+            round(avg(col("rq")) / 1000000, 6).as("seasonal_index"))
+          .orderBy(col("moy"))
+      },
+      Some("""WITH m AS (SELECT
+                (year(o_orderdate) - 1990) * 12 + month(o_orderdate)
+                  AS mi,
+                month(o_orderdate) AS moy,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+                FROM orders GROUP BY 1, 2),
+              tr AS (SELECT a.mi, count(*) AS k,
+                CAST(sum(b.cents) AS BIGINT) AS win
+                FROM m a JOIN m b
+                  ON b.mi >= a.mi - 11 AND b.mi <= a.mi
+                GROUP BY 1 HAVING count(*) = 12),
+              r AS (SELECT moy, CAST(floor(CAST(m.cents AS DOUBLE) /
+                  (CAST(win AS DOUBLE) / 12) * 1000000) AS BIGINT) AS rq
+                FROM m JOIN tr USING (mi))
+              SELECT moy, count(*) AS n_months,
+                round(avg(rq) / 1000000, 6) AS seasonal_index
+              FROM r GROUP BY 1 ORDER BY 1"""))
   )
 }

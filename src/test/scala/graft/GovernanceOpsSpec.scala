@@ -153,6 +153,27 @@ class GovernanceOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("seasonality: flat revenue yields index 1.0 exactly; trend only " +
+      "where 12 trailing months exist") {
+    // 24 flat months (1996-01 .. 1997-12), one 120.00 order each: the
+    // trailing-12 trend equals the monthly value wherever defined
+    // (months 1996-12 onward), so every seasonal index is exactly 1.0;
+    // moy 12 contributes two trend-defined months, the others one
+    val orders = (0 until 24).map { i =>
+      val y = 1996 + i / 12; val mo = i % 12 + 1
+      (i.toLong, 1L, "O", 120.0,
+        java.sql.Timestamp.valueOf(f"$y-$mo%02d-15 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_seas").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q180_seasonality")(spark, dir)
+      .as[(Int, Long, Double)].collect().toList
+    val expected = (1 to 12).map(m => (m, if (m == 12) 2L else 1L, 1.0))
+    assert(out === expected.toList, out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("RFM segmentation: evenly spread metrics land 2 customers per " +
       "quintile, inverse R/M pairing shows in the cells, degenerate F " +
       "collapses to bucket 1") {
