@@ -2528,6 +2528,122 @@ object PipelineOps {
               lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
                       FROM tc GROUP BY a)
               SELECT cluster_id, count(*) AS n_records
-              FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""))
+              FROM lbl GROUP BY cluster_id ORDER BY cluster_id""")),
+
+    // ---- end-to-end curation pipeline (q181): the composition a user
+    // of this library actually ships — FOUR pillars in ONE lazy plan:
+    // normalize (q153's codegen expression, on the raw text) → exact
+    // dedup keep-first on the normalized content hash (q31/q121's key)
+    // → learned quality filter (q111's logit head over the CLEANED
+    // text) → benchmark decontamination (q78's exact 5-gram membership
+    // against the doc_id<10 eval set). Per-stage survivor counts fall
+    // out of ONE aggregate over per-doc flags, so the whole funnel is:
+    // a map-side feature/normalize pass, one md5-key shuffle (dedup),
+    // one gram semi-join against the BROADCAST benchmark gram set, and
+    // a cell-sized report — no stage materializes an intermediate
+    // corpus. The point is compositional correctness: every stage rule
+    // is the oracle-exact one its standalone query proves, and the
+    // composed DuckDB oracle replays the entire chain.
+    Q("q181_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") < 10)
+        val corpus = docs.filter(col("doc_id") >= 10)
+        val cleaned = corpus
+          .withColumn("text",
+            graft.expr.TextNormalize.textNormalize(col("text")))
+        val scored = qualityLogitRaw(cleaned)
+          .withColumn("h",
+            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        def grams(df: DataFrame) = df.select(col("doc_id"),
+          explode(when(size(col("tk")) >= 5,
+            transform(sequence(lit(1), size(col("tk")) - 4), i =>
+              concat_ws(" ", (0 until 5).map(j =>
+                element_at(col("tk"), i + j)): _*)))
+            .otherwise(array())).as("gram"))
+        val benchGrams = grams(bench
+            .withColumn("tk", TextOps.toks(col("text"))))
+          .select(col("gram")).distinct()
+        val contaminated = grams(scored)
+          .join(broadcast(benchGrams), Seq("gram"))
+          .select(col("doc_id")).distinct()
+          .withColumn("contaminated", lit(true))
+        val keeper = scored.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        scored.join(keeper, Seq("h"))
+          .withColumn("keep_dedup", col("doc_id") === col("keep_id"))
+          .join(contaminated, Seq("doc_id"), "left")
+          .withColumn("contaminated",
+            coalesce(col("contaminated"), lit(false)))
+          .withColumn("final", col("keep_dedup") && col("logit") > 0 &&
+            !col("contaminated"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(when(col("keep_dedup"), 1L).otherwise(0L)).as("n_dedup"),
+            sum(when(col("keep_dedup") && col("logit") > 0, 1L)
+              .otherwise(0L)).as("n_quality"),
+            sum(when(col("final"), 1L).otherwise(0L)).as("n_final"),
+            sum(when(col("final"), col("n_tok")).otherwise(0L))
+              .as("tokens_final"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH corpus AS (SELECT doc_id, lang, source,
+                trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                  '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                  '[ \t]+', ' ', 'g')) AS clean
+                FROM documents WHERE doc_id >= 10),
+              t AS (SELECT doc_id, lang, source, clean,
+                regexp_extract_all(lower(clean), '[a-z0-9]+') AS tk,
+                md5(regexp_replace(lower(trim(clean)), '\s+', ' ', 'g'))
+                  AS h
+                FROM corpus),
+              f AS (SELECT doc_id, lang, source, h, tk,
+                CAST(len(tk) AS BIGINT) AS n_tok,
+                least(len(tk), 500) / 500.0 AS f_len,
+                length(array_to_string(tk, '')) /
+                  CAST(greatest(len(tk), 1) AS DOUBLE) AS f_mwl,
+                len(list_filter(tk, x -> x IN ('the','a','of','and'))) /
+                  CAST(greatest(len(tk), 1) AS DOUBLE) AS f_stop,
+                CASE WHEN length(clean) = 0 THEN 0.0
+                  ELSE length(regexp_replace(clean,
+                      '[\sa-zA-Z0-9]', '', 'g')) /
+                    CAST(length(clean) AS DOUBLE) END AS f_sym
+                FROM t),
+              l AS (SELECT doc_id, lang, source, h, tk, n_tok,
+                -2.0 + 2.5 * f_len + 0.3 * f_mwl + 4.0 * f_stop
+                  - 8.0 * f_sym AS logit
+                FROM f),
+              keep AS (SELECT h, min(doc_id) AS keep_id FROM l
+                GROUP BY 1),
+              bg AS (SELECT DISTINCT unnest(list_transform(
+                  range(1, len(tk) - 3), i -> tk[i] || ' ' || tk[i+1] ||
+                  ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))
+                  AS gram
+                FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+                    AS tk FROM documents WHERE doc_id < 10)
+                WHERE len(tk) >= 5),
+              cg AS (SELECT doc_id, unnest(list_transform(
+                  range(1, len(tk) - 3), i -> tk[i] || ' ' || tk[i+1] ||
+                  ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))
+                  AS gram
+                FROM l WHERE len(tk) >= 5),
+              cont AS (SELECT DISTINCT doc_id FROM cg
+                WHERE gram IN (SELECT gram FROM bg)),
+              x AS (SELECT l.*,
+                l.doc_id = k.keep_id AS keep_dedup,
+                l.doc_id IN (SELECT doc_id FROM cont) AS contaminated
+                FROM l JOIN keep k USING (h))
+              SELECT lang, source, count(*) AS n_raw,
+                CAST(sum(CASE WHEN keep_dedup THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dedup,
+                CAST(sum(CASE WHEN keep_dedup AND logit > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                CAST(sum(CASE WHEN keep_dedup AND logit > 0
+                  AND NOT contaminated THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_final,
+                CAST(sum(CASE WHEN keep_dedup AND logit > 0
+                  AND NOT contaminated THEN n_tok ELSE 0 END) AS BIGINT)
+                  AS tokens_final
+              FROM x GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

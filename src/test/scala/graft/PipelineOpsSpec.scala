@@ -511,6 +511,30 @@ class PipelineOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("curation pipeline: each stage removes exactly its planted " +
+      "casualty and the funnel counts tie out") {
+    val good = ("the cat " * 30).trim               // quality-pass, unique
+    val dupOfGood = "  " + ("the cat " * 30) + "  " // normalizes to good
+    val junk = "@@@@ #### $$$$"                     // symbol-heavy → drop
+    val contaminated =                              // shares a bench 5-gram
+      "alpha beta gamma delta epsilon " + ("the " * 10).trim
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 0L), // bench
+      (10L, good, "en", "s", 0L),
+      (11L, dupOfGood, "en", "s", 0L),
+      (12L, junk, "en", "s", 0L),
+      (13L, contaminated, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q181_curation_pipeline")(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toList
+    // raw 4 → dedup drops 11 → quality drops 12 → decontam drops 13;
+    // survivor 10 carries its 60 tokens
+    assert(out === List(("en", "s", 4L, 3L, 2L, 1L, 60L)), out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("SCD2 history carries one validity interval per version and the " +
       "PIT join picks the version valid at order time, never current") {
     val customer = Seq((3L, "c3", 1, 0.0, "SEG"), (4L, "c4", 1, 0.0, "SEG"),
