@@ -133,7 +133,11 @@ object Bench {
       "q85_canonical_docs", "q86_leakage_safe_split", "q87_semantic_dedup",
       "q63_stream_upsert", "q64_stream_stream_join", "q65_stream_tws",
       "q112_stream_cdc_upsert", "q131_stream_mv", "q163_stream_debounce", "q170_scd2_stream", "q176_stream_attribution",
-      "q134_stream_heavy_hitters", "q136_stream_session_window")
+      "q134_stream_heavy_hitters", "q136_stream_session_window",
+      // ADVICE r11 #4: every runForeachBatch query gets min-of-3 —
+      // these three were added in r11 but missed the set
+      "q157_stream_winsorize_gate", "q164_stream_er_gate",
+      "q179_stream_zscore_gate")
     val results = names.map { name =>
       val runs = if (checkpointBacked(name)) 3 else 2
       val times = (1 to runs).flatMap { _ =>

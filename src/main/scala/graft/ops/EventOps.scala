@@ -511,8 +511,8 @@ object EventOps {
                   (PARTITION BY event_type ORDER BY bin) AS cum,
                 sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
               bd AS (SELECT event_type, min(mn) AS mn, min(mx) AS mx,
-                min(CASE WHEN cum >= n * 0.05 THEN bin END) AS lo_bin,
-                min(CASE WHEN cum >= n * 0.95 THEN bin END) AS hi_bin
+                min(CASE WHEN cum * 20 >= n THEN bin END) AS lo_bin,
+                min(CASE WHEN cum * 20 >= n * 19 THEN bin END) AS hi_bin
                 FROM c GROUP BY 1),
               bounds AS (SELECT event_type,
                 mn + lo_bin * ((mx - mn) / 128) AS lo,
@@ -618,8 +618,8 @@ object EventOps {
                   (PARTITION BY event_type ORDER BY bin) AS cum,
                 sum(cnt) OVER (PARTITION BY event_type) AS n FROM merged),
               bd AS (SELECT event_type, min(mn) AS mn, min(mx) AS mx,
-                min(CASE WHEN cum >= n * 0.05 THEN bin END) AS lo_bin,
-                min(CASE WHEN cum >= n * 0.95 THEN bin END) AS hi_bin
+                min(CASE WHEN cum * 20 >= n THEN bin END) AS lo_bin,
+                min(CASE WHEN cum * 20 >= n * 19 THEN bin END) AS hi_bin
                 FROM c GROUP BY 1),
               bounds AS (SELECT event_type,
                 mn + lo_bin * ((mx - mn) / 128) AS lo,
@@ -963,8 +963,8 @@ object EventOps {
         sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
     cum.groupBy(col("event_type"))
       .agg(min(col("mn")).as("mn"), min(col("mx")).as("mx"),
-        min(when(col("cum") >= col("n") * 0.05, col("bin"))).as("lo_bin"),
-        min(when(col("cum") >= col("n") * 0.95, col("bin"))).as("hi_bin"))
+        min(when(col("cum") * 20 >= col("n"), col("bin"))).as("lo_bin"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("bin"))).as("hi_bin"))
       .select(col("event_type"),
         (col("mn") + col("lo_bin") *
           ((col("mx") - col("mn")) / 128)).as("lo"),

@@ -152,8 +152,7 @@ object Ingest {
         val k2 = "fedcba9876543210"
         // per-run unique store dir (ADVICE r10: fixed tmp paths collide
         // across concurrent sessions)
-        val store = java.nio.file.Files
-          .createTempDirectory("graft_rot_store_").toString
+        val store = TempDirs.scratch("graft_rot_store_")
         Tables.customer(s, d)
           .select(col("c_custkey"),
             Crypto.encrypt(Crypto.normalizeEmail(col("c_name")), AesKey)
@@ -218,8 +217,7 @@ object Ingest {
     // same as the parquet hygiene assertions.
     Q("q167_orc_roundtrip",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_orc_store_").toString
+        val dir = TempDirs.scratch("graft_orc_store_")
         Tables.events(s, d)
           .select(col("event_id"), col("event_type"), col("user_id"),
             col("value"))

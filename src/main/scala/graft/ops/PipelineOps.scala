@@ -918,8 +918,7 @@ object PipelineOps {
     // both merges as CTEs and diffs them relationally.
     Q("q122_time_travel",
       (s, d) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_timetravel_").toString
+        val root = TempDirs.scratch("graft_timetravel_")
         val snap = Tables.orders(s, d)
           .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
         snap.write.mode("overwrite").parquet(s"$root/v0")

@@ -391,15 +391,23 @@ object Relational {
                   / 10000 AS risk_rate
               FROM cls GROUP BY gid ORDER BY gid""")),
 
-    // ---- differentially-private count release (q154): the governance
-    // family's RELEASE mechanism — q113 measures re-identification risk,
-    // q123 finds leaked credentials, this is the standard way to publish
-    // aggregate statistics about a private table with a proof: per-group
-    // counts + Laplace(1/ε) noise give ε-DP for count queries (sensitivity
-    // 1). The noise draw is the inverse-CDF transform of ONE deterministic
-    // uniform u ∈ (0,1] from the q132 portable-md5 discipline (seeded by a
-    // release tag + group key, so re-running the release never re-draws —
-    // releasing twice with fresh noise would halve the privacy budget);
+    // ---- DP-SHAPED count release demo (q154): the governance family's
+    // RELEASE mechanism in SHAPE only — q113 measures re-identification
+    // risk, q123 finds leaked credentials, and per-group counts +
+    // Laplace(1/ε) noise is the standard ε-DP mechanism for count queries
+    // (sensitivity 1). This query demonstrates the mechanism's exact
+    // arithmetic; it is explicitly NOT a privacy guarantee as implemented
+    // (ADVICE r11): the noise is a deterministic function of the PUBLIC
+    // group name and an in-source seed ('dp1_' + group), so anyone can
+    // recompute and subtract it to recover the exact counts, and the
+    // constant per-group offset leaks exact deltas across releases of
+    // changed data. The determinism is what lets the DuckDB oracle replay
+    // the draw bit-for-bit; a real deployment MUST replace the md5 uniform
+    // with a draw from a secret, non-reproducible entropy source — the
+    // inverse-CDF transform below is then unchanged, and re-release
+    // accounting (each fresh draw spends privacy budget) applies. The
+    // demo draw is the inverse-CDF transform of ONE uniform u ∈ (0,1]
+    // from the q132 portable-md5 discipline;
     // the ln is rounded at 9 dp before use (libm last-ulp drift, the q132
     // rule) and the released value floor-quantized at 4 dp. Post-processed
     // clamp at 0 (DP is closed under post-processing). The TRUE count
@@ -1059,10 +1067,10 @@ object Relational {
           .agg(sum(col("b_cnt")).as("cum"), min(col("n")).as("n"))
         val cuts = cum.groupBy(col("metric"))
           .agg(
-            min(when(col("cum") >= col("n") * 0.2, col("bin"))).as("c1"),
-            min(when(col("cum") >= col("n") * 0.4, col("bin"))).as("c2"),
-            min(when(col("cum") >= col("n") * 0.6, col("bin"))).as("c3"),
-            min(when(col("cum") >= col("n") * 0.8, col("bin"))).as("c4"))
+            min(when(col("cum") * 5 >= col("n"), col("bin"))).as("c1"),
+            min(when(col("cum") * 5 >= col("n") * 2, col("bin"))).as("c2"),
+            min(when(col("cum") * 5 >= col("n") * 3, col("bin"))).as("c3"),
+            min(when(col("cum") * 5 >= col("n") * 4, col("bin"))).as("c4"))
         binned.join(broadcast(cuts), Seq("metric"))
           .select(col("cust"), col("metric"),
             (lit(1) +
@@ -1094,10 +1102,10 @@ object Relational {
               rc AS (SELECT a.bin, sum(b.cnt) AS cum FROM rh a
                 JOIN rh b ON b.bin <= a.bin GROUP BY 1),
               rq AS (SELECT
-                min(CASE WHEN cum >= n * 0.2 THEN bin END) AS c1,
-                min(CASE WHEN cum >= n * 0.4 THEN bin END) AS c2,
-                min(CASE WHEN cum >= n * 0.6 THEN bin END) AS c3,
-                min(CASE WHEN cum >= n * 0.8 THEN bin END) AS c4
+                min(CASE WHEN cum * 5 >= n THEN bin END) AS c1,
+                min(CASE WHEN cum * 5 >= n * 2 THEN bin END) AS c2,
+                min(CASE WHEN cum * 5 >= n * 3 THEN bin END) AS c3,
+                min(CASE WHEN cum * 5 >= n * 4 THEN bin END) AS c4
                 FROM rc, nn),
               rr AS (SELECT cust, 1 +
                 (CASE WHEN bin > c1 THEN 1 ELSE 0 END) +
@@ -1114,10 +1122,10 @@ object Relational {
               fc AS (SELECT a.bin, sum(b.cnt) AS cum FROM fh a
                 JOIN fh b ON b.bin <= a.bin GROUP BY 1),
               fq AS (SELECT
-                min(CASE WHEN cum >= n * 0.2 THEN bin END) AS c1,
-                min(CASE WHEN cum >= n * 0.4 THEN bin END) AS c2,
-                min(CASE WHEN cum >= n * 0.6 THEN bin END) AS c3,
-                min(CASE WHEN cum >= n * 0.8 THEN bin END) AS c4
+                min(CASE WHEN cum * 5 >= n THEN bin END) AS c1,
+                min(CASE WHEN cum * 5 >= n * 2 THEN bin END) AS c2,
+                min(CASE WHEN cum * 5 >= n * 3 THEN bin END) AS c3,
+                min(CASE WHEN cum * 5 >= n * 4 THEN bin END) AS c4
                 FROM fc, nn),
               ff AS (SELECT cust, 1 +
                 (CASE WHEN bin > c1 THEN 1 ELSE 0 END) +
@@ -1134,10 +1142,10 @@ object Relational {
               mc AS (SELECT a.bin, sum(b.cnt) AS cum FROM mh a
                 JOIN mh b ON b.bin <= a.bin GROUP BY 1),
               mq AS (SELECT
-                min(CASE WHEN cum >= n * 0.2 THEN bin END) AS c1,
-                min(CASE WHEN cum >= n * 0.4 THEN bin END) AS c2,
-                min(CASE WHEN cum >= n * 0.6 THEN bin END) AS c3,
-                min(CASE WHEN cum >= n * 0.8 THEN bin END) AS c4
+                min(CASE WHEN cum * 5 >= n THEN bin END) AS c1,
+                min(CASE WHEN cum * 5 >= n * 2 THEN bin END) AS c2,
+                min(CASE WHEN cum * 5 >= n * 3 THEN bin END) AS c3,
+                min(CASE WHEN cum * 5 >= n * 4 THEN bin END) AS c4
                 FROM mc, nn),
               mm2 AS (SELECT cust, 1 +
                 (CASE WHEN bin > c1 THEN 1 ELSE 0 END) +

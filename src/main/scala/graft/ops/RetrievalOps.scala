@@ -466,7 +466,7 @@ object RetrievalOps {
         val nDocs = docs.count()
         val frequent = docTok.groupBy(col("t"))
           .agg(count(lit(1)).as("df"))
-          .filter(col("df") >= nDocs * 0.1)
+          .filter(col("df") * 10 >= nDocs)
           .select(col("t"))
         val ft = docTok.join(broadcast(frequent), Seq("t"))
         ft.select(col("doc_id"), col("t").as("t1"))
@@ -482,7 +482,7 @@ object RetrievalOps {
                 FROM documents),
               nd AS (SELECT count(*) AS n FROM documents),
               freq AS (SELECT t FROM dt, nd GROUP BY t, nd.n
-                       HAVING count(*) >= n * 0.1),
+                       HAVING count(*) * 10 >= n),
               ft AS (SELECT doc_id, t FROM dt WHERE t IN
                        (SELECT t FROM freq)),
               p AS (SELECT a.t AS t1, b.t AS t2
@@ -510,7 +510,7 @@ object RetrievalOps {
         val nDocs = docs.count()
         val singles = docTok.groupBy(col("t"))
           .agg(count(lit(1)).as("df"))
-          .filter(col("df") >= nDocs * 0.1)
+          .filter(col("df") * 10 >= nDocs)
         val ft = docTok.join(broadcast(singles.select(col("t"))), Seq("t"))
         val pairs = ft.select(col("doc_id"), col("t").as("t1"))
           .join(ft.select(col("doc_id"), col("t").as("t2")), Seq("doc_id"))
@@ -538,7 +538,7 @@ object RetrievalOps {
                 FROM documents),
               nd AS (SELECT count(*) AS n FROM documents),
               freq AS (SELECT t, count(*) AS df FROM dt, nd
-                       GROUP BY t, nd.n HAVING count(*) >= n * 0.1),
+                       GROUP BY t, nd.n HAVING count(*) * 10 >= n),
               ft AS (SELECT doc_id, t FROM dt WHERE t IN
                        (SELECT t FROM freq)),
               p AS (SELECT a.t AS t1, b.t AS t2, count(*) AS support

@@ -1123,8 +1123,8 @@ object StreamingOps {
                   (PARTITION BY event_type ORDER BY bin) AS cum,
                 sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
               bd AS (SELECT event_type, min(mn) AS mn, min(mx) AS mx,
-                min(CASE WHEN cum >= n * 0.05 THEN bin END) AS lo_bin,
-                min(CASE WHEN cum >= n * 0.95 THEN bin END) AS hi_bin
+                min(CASE WHEN cum * 20 >= n THEN bin END) AS lo_bin,
+                min(CASE WHEN cum * 20 >= n * 19 THEN bin END) AS hi_bin
                 FROM c GROUP BY 1),
               bounds AS (SELECT event_type,
                 mn + lo_bin * ((mx - mn) / 128) AS lo,
