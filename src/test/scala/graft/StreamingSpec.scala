@@ -321,6 +321,26 @@ class StreamingSpec extends SparkSpec {
     assert(recall >= 0.0 && recall <= 1.0)
   }
 
+  test("serving store is replay-idempotent: re-running a micro-batch " +
+      "leaves the store unchanged (VERDICT r11 #2)") {
+    import graft.ops.Upsert
+    val store = Files.createTempDirectory("q108replay").toString
+    def batchDf(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("q_id"), (col("id") % 3).cast("int").as("rank"),
+        (col("id") * 2.0).as("score"))
+    Upsert.idempotentBatchAppend(spark, store, batchDf(0, 5), 0L)
+    Upsert.idempotentBatchAppend(spark, store, batchDf(5, 8), 1L)
+    def snapshot() = spark.read.parquet(store)
+      .orderBy(col("batch_id"), col("q_id"), col("rank"))
+      .collect().toSeq
+    val before = snapshot()
+    assert(before.size === 8)
+    // the streaming retry contract: SAME data, SAME batchId re-runs —
+    // an append sink would now hold 11 rows, the idempotent sink 8
+    Upsert.idempotentBatchAppend(spark, store, batchDf(5, 8), 1L)
+    assert(snapshot() === before)
+  }
+
   test("ts-consuming stream queries run against the DRIVER testdata's " +
       "actual timestamp type") {
     // The other streaming tests run on Spark-written fixtures (micros
