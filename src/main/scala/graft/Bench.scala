@@ -25,7 +25,17 @@ import org.apache.spark.sql.SparkSession
   *    window whose output no filter consumes (q54's as-of column, q09's
   *    running sums) is optimized out entirely, silently under-measuring
   *    the query. The noop sink materializes every output column without
-  *    writing bytes.
+  *    writing bytes;
+  *  - each query's wall is additionally SPLIT into build_sec (the query
+  *    function invocation, where every eager build-once artifact action
+  *    runs) and the serve remainder (the noop action over the returned
+  *    plan), and the line carries per-family subtotals — so the catalog
+  *    total, which charges maintainers their full artifact rebuild every
+  *    run by design, can be compared like-for-like against a recorded
+  *    baseline (VERDICT r11 #1);
+  *  - a CPU contention probe runs every 25 queries (VERDICT r11 #3) and
+  *    the per-segment readings ship in the line, so load that wanders in
+  *    mid-run self-labels instead of masquerading as a plan regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -113,10 +123,9 @@ object Bench {
     // cpu counts the measured work still runs 32 slices and the floors
     // don't apply — report null rather than a wrong verdict. IO gets a
     // wider band (1.5×): shuffle wall is inherently noisier than ALU.
-    val contended =
-      if (cpus == "32")
-        (calib > CalibFloorSec * 1.3 || calibIo > CalibIoFloorSec * 1.5).toString
-      else "null"
+    // (The final `contended` verdict also folds in the interleaved
+    // segment probes below — load that wanders in mid-run flips it even
+    // when the start-of-run pair was nominal.)
 
     // Dev-only subset filter (comma-separated name prefixes); the driver
     // sets no filter and always measures the full sorted catalog.
@@ -125,6 +134,32 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     var errors = List.empty[(String, String)]
+
+    // ---- family decomposition (VERDICT r11 #1): the catalog total is
+    // graded against a recorded baseline, and the three families pay
+    // structurally different per-run costs — pure-batch operators measure
+    // the plan alone; streaming twins pay checkpoint/state machinery;
+    // maintainers pay a write-once artifact build a recurring pipeline
+    // amortizes. The bench self-reports the split so the 2× clause can be
+    // read like-for-like instead of re-derived by hand each round.
+    // Streaming membership is programmatic (the StreamingOps catalog);
+    // the maintainer set lists the batch queries whose body REBUILDS a
+    // write-once artifact (snapshot index / versioned store / layout /
+    // MV / label store) every run — verifiable against the measured
+    // per-query build_sec below.
+    val streamSet = graft.streaming.StreamingOps.catalog.map(_.name).toSet
+    val maintSet = Set(
+      "q34b_minhash_lsh_indexed", "q34c_minhash_incremental",
+      "q44b_ann_ivf_indexed", "q44c_ann_ivf_incremental",
+      "q117_contamination_indexed", "q121_dedup_indexed",
+      "q122_time_travel", "q125_zorder", "q127_compaction",
+      "q128_incremental_mv", "q133_zorder_maintain", "q139_quantile_mv",
+      "q142_shard_manifest", "q144_cluster_maintain", "q148_crawl_delta",
+      "q149_semantic_dedup_incremental", "q158_winsorize_maintain",
+      "q160_entity_resolution_incremental",
+      "q165_dataset_card_incremental", "q178_zscore_maintain")
+    def family(n: String): String =
+      if (streamSet(n)) "stream" else if (maintSet(n)) "maint" else "batch"
     // Checkpoint-backed queries (driver-loop localCheckpoint or streaming
     // RocksDB/HDFS state dirs) see ±40% one-shot variance from fs/scheduler
     // noise (BASELINE.md) — min-of-3 for JUST those, min-of-2 elsewhere, so
@@ -138,59 +173,100 @@ object Bench {
       // these three were added in r11 but missed the set
       "q157_stream_winsorize_gate", "q164_stream_er_gate",
       "q179_stream_zscore_gate")
-    val results = names.map { name =>
+    // Per-query timing, split at the one boundary the code structure
+    // gives for free (VERDICT r11 #1): the query FUNCTION INVOCATION is
+    // where every eager build-once artifact action runs (index/store/
+    // label writes, streaming foreachBatch drains), and the returned
+    // DataFrame is the serve/probe plan the noop action then executes.
+    //   build_s = fn call wall,   serve_s = noop action wall.
+    // For pure-batch queries build_s is plan-construction only (~ms);
+    // for maintainers it is exactly the amortizable artifact cost the
+    // SCALING.md composition note describes. Policy unchanged: min of
+    // N TOTALS is recorded; build/serve come from that same min run.
+    //
+    // Interleaved contention probes (VERDICT r11 #3): the start-of-run
+    // calibration pair cannot see load that wanders in mid-run (r11's
+    // q34c/q45b/q35 driver readings inflated 2× while both probes were
+    // nominal). One CPU probe every SegmentLen queries stamps each
+    // segment with its own calib reading, so a query elevated vs its
+    // SCALING row self-labels as host noise iff its segment probe is
+    // elevated too — and as a true regression iff it is not.
+    val SegmentLen = 25
+    var segments = List.empty[Double]
+    val results = names.zipWithIndex.map { case (name, i) =>
+      if (cpus == "32" && i % SegmentLen == 0 && i > 0)
+        segments ::= calibOnce()
       val runs = if (checkpointBacked(name)) 3 else 2
       val times = (1 to runs).flatMap { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val ok =
+        val timed =
           try {
-            SparkEntry.queries(name)(spark, sfDir)
-              .write.mode("overwrite").format("noop").save()
-            true
+            val df = SparkEntry.queries(name)(spark, sfDir)
+            val t1 = System.nanoTime()
+            df.write.mode("overwrite").format("noop").save()
+            Some(((System.nanoTime() - t0) / 1e9, (t1 - t0) / 1e9))
           }
           catch { case e: Throwable =>
             errors ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
-            false
+            None
           }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        timed
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      if (cpus == "32" && i == names.size - 1) segments ::= calibOnce()
+      name -> (if (times.nonEmpty) times.minBy(_._1) else (-1.0, -1.0))
     }
-    // The stdout line must survive the driver's ~2 KB tail-capture window:
-    // round 2's line (76 full query names × full-precision doubles, ~2.6 KB)
-    // overflowed it and BENCH_r02.json recorded "parsed": null. So the line
-    // uses the contract's own short-key style ("q1":sec) — the unique qNN
-    // prefix of each query name — and centisecond precision. The full-name,
-    // full-precision per-query report goes to BENCH_DETAIL.json for the
-    // round-over-round comparison.
+    // The stdout line must survive the driver's 2000-char tail-capture
+    // window: BENCH_r11's line (200 queries × short keys, 2448 bytes)
+    // overflowed it and "parsed" recorded null — at 200+ queries a full
+    // per-query map CANNOT fit, so the line carries the total, the family
+    // decomposition, the measured build/serve split, the contention
+    // segments, and the 20 slowest queries (short-key style, centisecond
+    // precision); the full-name, full-precision per-query report goes to
+    // BENCH_DETAIL.json (committed each round) for the round-over-round
+    // comparison. Budget: ~900 bytes, half the capture window.
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     require(results.map(r => shortKey(r._1)).distinct.size == results.size,
       "short query keys must stay unique")
-    val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + fmt(v) }
+    val ok = results.filter(_._2._1 >= 0)
+    val total = ok.map(_._2._1).sum
+    val buildTotal = ok.map(_._2._2).sum
+    val slowest = ok.sortBy(-_._2._1).take(20)
+    val qs = slowest.map { case (k, (t, _)) => s"\"" + shortKey(k) + "\":" + fmt(t) }
       .mkString("{", ",", "}")
+    val fams = Seq("batch", "stream", "maint").map { f =>
+      val rows = ok.filter(r => family(r._1) == f)
+      s""""$f":{"n":${rows.size},"sec":${fmt(rows.map(_._2._1).sum)},"build_sec":${fmt(rows.map(_._2._2).sum)}}"""
+    }.mkString("{", ",", "}")
+    val segJson = segments.reverse.map(fmt).mkString("[", ",", "]")
+    val contended =
+      if (cpus == "32")
+        (calib > CalibFloorSec * 1.3 || calibIo > CalibIoFloorSec * 1.5 ||
+          segments.exists(_ > CalibFloorSec * 1.3)).toString
+      else "null"
     val errJson = errors.reverse
       .map { case (k, m) => s"\"" + shortKey(k) + "\":\"" + m.take(60) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // a SPARK_GRAFT_ONLY-filtered run must never read as a full-catalog
     // total: mark the subset explicitly — in BOTH the stdout line and
     // the detail file — so a stray dev env var can't masquerade as a
     // catalog-wide regression or improvement
     val subset =
       if (only.isDefined) s""","subset":${results.size}""" else ""
-    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val detail = results.map { case (k, (t, _)) => s"\"" + k + "\":" + t }
+      .mkString("{", ",\n ", "}")
+    val detailBuild = results.map { case (k, (_, b)) => s"\"" + k + "\":" + b }
       .mkString("{", ",\n ", "}")
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out,
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"calib_io":$calibIo,"contended":$contended,\n"queries":$detail,\n"errors":$errJson}\n""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"calib_io":$calibIo,"calib_segments":$segJson,"contended":$contended,"n_queries":${ok.size},"build_sec":$buildTotal,"families":$fams,\n"queries":$detail,\n"build":$detailBuild,\n"errors":$errJson}\n""".getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"calib_io":${fmt(calibIo)},"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"families":$fams,"build_sec":${fmt(buildTotal)},"slowest":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"calib_io":${fmt(calibIo)},"calib_segments":$segJson,"contended":$contended,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
     // The driver parses the LAST stdout JSON line; BENCH_r2-r4 all recorded
     // "parsed": null because Spark's shutdown logging and sbt's success
     // banner landed after (or interleaved with) the metric line. Defense in
