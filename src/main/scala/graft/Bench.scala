@@ -181,8 +181,12 @@ object Bench {
     //   build_s = fn call wall,   serve_s = noop action wall.
     // For pure-batch queries build_s is plan-construction only (~ms);
     // for maintainers it is exactly the amortizable artifact cost the
-    // SCALING.md composition note describes. Policy unchanged: min of
-    // N TOTALS is recorded; build/serve come from that same min run.
+    // SCALING.md composition note describes. Policy: min of N TOTALS is
+    // recorded (the steady-state number — with ArtifactCache the warm
+    // reps of a maintainer skip the shared build, exactly like a
+    // recurring production run); build_s records the MAX across reps —
+    // the cold artifact cost — so the skipped build stays visible data
+    // instead of silently vanishing into the memo.
     //
     // Interleaved contention probes (VERDICT r11 #3): the start-of-run
     // calibration pair cannot see load that wanders in mid-run (r11's
@@ -215,7 +219,8 @@ object Bench {
         timed
       }
       if (cpus == "32" && i == names.size - 1) segments ::= calibOnce()
-      name -> (if (times.nonEmpty) times.minBy(_._1) else (-1.0, -1.0))
+      name -> (if (times.nonEmpty) (times.map(_._1).min, times.map(_._2).max)
+               else (-1.0, -1.0))
     }
     // The stdout line must survive the driver's 2000-char tail-capture
     // window: BENCH_r11's line (200 queries × short keys, 2448 bytes)

@@ -115,7 +115,7 @@ object PipelineOps {
     */
   def incrementalDupClusters(s: SparkSession, d: String,
       jaccardThreshold: Double, dfCap: Int,
-      table: String = "graft_cluster_snapshot"): DataFrame = {
+      table: String = TextOps.SnapshotLshTable): DataFrame = {
     val sh = TextOps.docsWithShingles(s, d)
     // floor() on both sides of the engine pair — the q34c boundary rule
     val cut = sh.agg(
@@ -124,7 +124,14 @@ object PipelineOps {
       .filter(col("doc_id") < col("cut")).drop("cut")
     val inc = sh.crossJoin(broadcast(cut))
       .filter(col("doc_id") >= col("cut")).drop("cut")
-    incrementalDupClustersFrom(s, snap, inc, jaccardThreshold, dfCap, table)
+    // shared-artifact tags (ArtifactCache): the index is the one
+    // q34c/q109/q146/q148 probe; the labels additionally depend on the
+    // verify threshold, so it joins the tag
+    val tag =
+      if (table == TextOps.SnapshotLshTable && dfCap == 16)
+        TextOps.snapshotLshTag(d) else None
+    incrementalDupClustersFrom(s, snap, inc, jaccardThreshold, dfCap, table,
+      indexTag = tag, labelsTag = tag.map(t => s"$t|j$jaccardThreshold"))
   }
 
   /** [[incrementalDupClusters]] over explicit snapshot/increment relations
@@ -132,7 +139,8 @@ object PipelineOps {
     * from-scratch clustering of the union on planted merge shapes). */
   private[graft] def incrementalDupClustersFrom(s: SparkSession,
       snapRaw: DataFrame, incRaw: DataFrame, jaccardThreshold: Double,
-      dfCap: Int, table: String): DataFrame = {
+      dfCap: Int, table: String, indexTag: Option[String] = None,
+      labelsTag: Option[String] = None): DataFrame = {
     // Both sides are consumed ~3× each (index write / probe verify /
     // union verify); the shingle explode feeding them is the expensive
     // part, so persist the exploded relations once — without this the
@@ -141,14 +149,18 @@ object PipelineOps {
     val inc = incRaw.persist()
     // ---- build-once phase (the q34c demo concession: the snapshot's
     // artifacts are written in the same run; production wrote them when
-    // the snapshot itself was ingested)
-    TextOps.writeSnapshotLshIndex(s, snap, dfCap, table)
-    val snapPairs = TextOps
-      .pairsFromBandedIndex(s.table(table), snap, jaccardThreshold)
-      .select(col("id_a").as("a"), col("id_b").as("b"))
-    Tables.resetManagedTable(s, s"${table}_labels")
-    connectedComponents(snapPairs)
-      .write.mode("overwrite").saveAsTable(s"${table}_labels")
+    // the snapshot itself was ingested). Both artifacts are ArtifactCache-
+    // memoized under content tags, so family members sharing them
+    // (q34c/q109/q146/q148 the index; q146 the labels) build once per JVM.
+    TextOps.writeSnapshotLshIndex(s, snap, dfCap, table, indexTag)
+    ArtifactCache.once(s"${table}_labels", labelsTag) {
+      val snapPairs = TextOps
+        .pairsFromBandedIndex(s.table(table), snap, jaccardThreshold)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      Tables.resetManagedTable(s, s"${table}_labels")
+      connectedComponents(snapPairs)
+        .write.mode("overwrite").saveAsTable(s"${table}_labels")
+    }
 
     // ---- maintain phase: everything below is increment-sized
     val incBands = TextOps
@@ -286,6 +298,12 @@ object PipelineOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** The SHARED ER block index of the customer base (q160 builds/probes,
+    * q164's streaming gate probes) and its content tag per testdata dir. */
+  private[graft] val ErBlockIndexTable = "graft_er_block_index"
+  private[graft] def erBlockTag(d: String): Option[String] =
+    Some(s"$d|customer|er-prefix15-suffix5")
+
   /** q159/q160/q164's shared blocking: both passes (15-char prefix,
     * 5-char suffix) tagged and unioned — (pass, nk, bk, id, name). */
   private[graft] def erKeyed(df: DataFrame): DataFrame =
@@ -336,11 +354,22 @@ object PipelineOps {
     * versioned label store (q112's store layout). */
   private[graft] def buildClusterSnapshotStore(s: SparkSession,
       snap: DataFrame, dfCap: Int, table: String, labelStore: String,
-      jaccardThreshold: Double): Unit = {
-    TextOps.writeSnapshotLshIndex(s, snap, dfCap, table)
-    connectedComponents(TextOps
-        .pairsFromBandedIndex(s.table(table), snap, jaccardThreshold)
-        .select(col("id_a").as("a"), col("id_b").as("b")))
+      jaccardThreshold: Double, indexTag: Option[String] = None,
+      labelsTag: Option[String] = None): Unit = {
+    // index + labels are the SAME artifacts q144 builds — memoized under
+    // the same content tags (ArtifactCache), so whichever family member
+    // runs first this JVM pays the build. The versioned store's v0 is a
+    // copy of the (small, clustered-nodes-only) label table, because the
+    // stream folds new versions next to it per micro-batch.
+    TextOps.writeSnapshotLshIndex(s, snap, dfCap, table, indexTag)
+    ArtifactCache.once(s"${table}_labels", labelsTag) {
+      Tables.resetManagedTable(s, s"${table}_labels")
+      connectedComponents(TextOps
+          .pairsFromBandedIndex(s.table(table), snap, jaccardThreshold)
+          .select(col("id_a").as("a"), col("id_b").as("b")))
+        .write.mode("overwrite").saveAsTable(s"${table}_labels")
+    }
+    s.table(s"${table}_labels")
       .write.mode("overwrite").parquet(s"$labelStore/v0")
   }
 
@@ -2478,15 +2507,22 @@ object PipelineOps {
             expr("""substr(name, 1, CAST(id % 8 + 10 AS INT) - 1) ||
                     substr(name, CAST(id % 8 + 10 AS INT) + 1)""")
               .as("name"))
-        // build once: block index + snapshot labels store
-        val idxTable = "graft_er_block_index"
+        // build once: block index + snapshot labels store — both
+        // ArtifactCache-memoized; q164's streaming gate probes the same
+        // block index, so one of the two pays the build per JVM
+        val idxTable = ErBlockIndexTable
         val lblTable = "graft_er_labels"
-        graft.schema.Tables.resetManagedTable(s, idxTable)
-        graft.schema.Tables.resetManagedTable(s, lblTable)
-        erKeyed(base).write.mode("overwrite").saveAsTable(idxTable)
-        connectedComponents(erMatches(erKeyed(base), erKeyed(base))
-            .select(col("id_a").as("a"), col("id_b").as("b")))
-          .write.mode("overwrite").saveAsTable(lblTable)
+        val tag = erBlockTag(d)
+        ArtifactCache.once(idxTable, tag) {
+          graft.schema.Tables.resetManagedTable(s, idxTable)
+          erKeyed(base).write.mode("overwrite").saveAsTable(idxTable)
+        }
+        ArtifactCache.once(lblTable, tag) {
+          graft.schema.Tables.resetManagedTable(s, lblTable)
+          connectedComponents(erMatches(erKeyed(base), erKeyed(base))
+              .select(col("id_a").as("a"), col("id_b").as("b")))
+            .write.mode("overwrite").saveAsTable(lblTable)
+        }
         // maintain: increment blocks itself, probes the written index
         val incKeyed = erKeyed(inc)
         val cross = erMatches(s.table(idxTable), incKeyed)

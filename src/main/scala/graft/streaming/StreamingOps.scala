@@ -512,8 +512,11 @@ object StreamingOps {
         val cut = math.floor(
           (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
         val snap = docs.filter(col("doc_id") < cut)
-        val table = "graft_lsh_gate_index"
-        TextOps.writeSnapshotLshIndex(s, snap, dfCap = 16, table)
+        // the SHARED snapshot LSH index (ArtifactCache): q34c/q144/q146/
+        // q148 probe the same artifact; first builder this JVM pays it
+        val table = TextOps.SnapshotLshTable
+        TextOps.writeSnapshotLshIndex(s, snap, dfCap = 16, table,
+          TextOps.snapshotLshTag(d))
         val store = tempStore("graft_neardup_gate_out")
         runForeachBatch(s, d, "documents")(_.filter(col("doc_id") >= cut)) {
           (batch, _) =>
@@ -591,9 +594,11 @@ object StreamingOps {
         val docs = graft.schema.Tables.documents(s, d)
         val cut = math.floor(
           (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
-        val table = "graft_exact_gate_index"
+        // the SHARED snapshot hash index (ArtifactCache): q121/q148
+        // probe the same artifact; the first builder this JVM pays it
+        val table = TextOps.ExactHashTable
         TextOps.writeExactHashIndex(s,
-          docs.filter(col("doc_id") < cut), table)
+          docs.filter(col("doc_id") < cut), table, TextOps.exactHashTag(d))
         val store = tempStore("graft_exact_gate_out")
         runForeachBatch(s, d, "documents")(df =>
           // the increment, as the stream delivers it: fresh docs plus the
@@ -1372,10 +1377,14 @@ object StreamingOps {
         val base = graft.schema.Tables.customer(s, d).select(
           col("c_custkey").as("id"), col("c_nationkey").as("nk"),
           col("c_name").as("name"))
-        val table = "graft_er_gate_index"
-        graft.schema.Tables.resetManagedTable(s, table)
-        PipelineOps.erKeyed(base).write.mode("overwrite")
-          .saveAsTable(table)
+        // the SHARED ER block index (ArtifactCache): q160 builds/probes
+        // the same artifact; whichever runs first this JVM pays the build
+        val table = PipelineOps.ErBlockIndexTable
+        graft.ops.ArtifactCache.once(table, PipelineOps.erBlockTag(d)) {
+          graft.schema.Tables.resetManagedTable(s, table)
+          PipelineOps.erKeyed(base).write.mode("overwrite")
+            .saveAsTable(table)
+        }
         val store = tempStore("graft_er_gate_out")
         runForeachBatch(s, d, "customer")(df =>
           df.filter(col("c_custkey") % 5 === 0)
@@ -1524,12 +1533,15 @@ object StreamingOps {
         val allSh = TextOps.docsWithShingles(s, d).persist()
         val cut = math.floor(
           (allSh.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
-        val table = "graft_stream_cluster_index"
+        // the SHARED snapshot index + labels (ArtifactCache): q144 builds
+        // the same two artifacts; whichever runs first this JVM pays them
+        val table = TextOps.SnapshotLshTable
         val labelStore = tempStore("graft_cluster_labels")
         val bandStore = tempStore("graft_cluster_bands")
         PipelineOps.buildClusterSnapshotStore(s,
           allSh.filter(col("doc_id") < cut), dfCap = 16, table, labelStore,
-          jaccardThreshold = 0.5)
+          jaccardThreshold = 0.5, indexTag = TextOps.snapshotLshTag(d),
+          labelsTag = TextOps.snapshotLshTag(d).map(t => s"$t|j0.5"))
         runForeachBatch(s, d, "documents")(_.filter(col("doc_id") >= cut)) {
           (batch, batchId) =>
             val bdocs = batch
