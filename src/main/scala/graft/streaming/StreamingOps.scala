@@ -481,7 +481,8 @@ object StreamingOps {
         val queries = graft.schema.Tables.embeddings(s, d).filter(col("vec_id") < 10)
         VectorOps.gatedAnnVerification(s.read.parquet(store), corpus,
           VectorOps.cosineTopK(queries, corpus, k = 5),
-          k = 5, recallFloor = 0.3)
+          k = 5,
+          recallFloor = VectorOps.RecallFloors("q108_stream_ann_serving"))
       },
       // avg_recall pinned to the sf0.01 measurement (VERDICT r10 #3);
       // equals q44b's by construction (same index params, same queries)

@@ -504,4 +504,27 @@ class VectorOpsSpec extends SparkSpec {
     val same = top1.count { case (q, n) => q / 10 == n / 10 }
     assert(same >= 16, s"$same/20 top-1 neighbors in-cluster")
   }
+
+  test("every ANN query's MEASURED recall clears its pinned floor at both " +
+      "the oracle SF and the bench SF (VERDICT r11 #5)") {
+    // hold the verify gate open so the exact comparison runs at sf0.1
+    // (2000 vectors — above VerifyGate.MaxRows, where the benched plan
+    // honestly skips it); floors and the measurements they derive from
+    // are documented at VectorOps.RecallFloors
+    sys.props("graft.forceVerify") = "1"
+    try {
+      for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
+           name <- graft.tools.RecallProbe.AnnQueries) {
+        spark.catalog.clearCache()
+        val row = SparkEntry.queries(name)(spark, sf).head()
+        // (n_queries, all_returned_k, avg_recall, avg_recall_ok, verified)
+        assert(row.getBoolean(4), s"$name at $sf: gate held open => verified")
+        assert(row.getBoolean(1), s"$name at $sf: every query returned k")
+        val recall = row.getDouble(2)
+        val floor = VectorOps.RecallFloors(name)
+        assert(recall >= floor,
+          s"$name at $sf: measured recall $recall under floor $floor")
+      }
+    } finally sys.props -= "graft.forceVerify"
+  }
 }
