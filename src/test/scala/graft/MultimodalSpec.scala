@@ -136,4 +136,45 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == List((0L, 1L)), pairs)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("JPEG kernel: ImageIO roundtrip bounds tile-center error, sniffing " +
+      "dispatch decodes both codecs, cross-codec dedup finds exactly the " +
+      "planted ppm/jpeg pair (q182)") {
+    import spark.implicits._
+    // raw roundtrip: a 4-level block scene survives lossy JPEG with
+    // tile-center luminance error well inside the ±31 snap tolerance
+    val w = 48; val h = 40
+    val gray = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      gray(y * w + x) =
+        MultimodalOps.tileValue4(7L, (y * 8 / h) * 8 + x * 8 / w)
+    val jpeg = MediaKernels.encodeJpegGray(w, h, gray, 0.9f)
+    assert(jpeg(0) == 0xff.toByte && jpeg(1) == 0xd8.toByte, "JFIF magic")
+    val (dw, dh, dec) = MediaKernels.decodeJpegGray(jpeg)
+    assert((dw, dh) == ((w, h)))
+    var maxCenterErr = 0
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val x = (2 * cx + 1) * w / 16; val y = (2 * cy + 1) * h / 16
+      maxCenterErr = math.max(maxCenterErr,
+        math.abs((dec(y * w + x) & 0xff) - (gray(y * w + x) & 0xff)))
+    }
+    assert(maxCenterErr <= 20, s"tile-center JPEG error $maxCenterErr")
+    // sniffing dispatch + planted cross-codec pair end to end: docs 0/1
+    // share scene 0 (ppm + jpeg at different resolutions); 2/3/50 are
+    // their own scenes across both codecs (parity picks the codec)
+    val dir = java.nio.file.Files.createTempDirectory("q182spec").toString
+    Seq((0L, "a" * 20), (1L, "b" * 333), (2L, "c" * 77), (3L, "e" * 41),
+        (50L, "d" * 200))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val media = MultimodalOps.mixedCodecImageTable(spark, dir).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(new String(media(0L).payload.take(2), "US-ASCII") == "P6")
+    assert(media(1L).payload(0) == 0xff.toByte)
+    val out = SparkEntry.queries("q182_media_dedup_crosscodec")(spark, dir)
+      .as[(Long, Long, String, String)].collect().toList
+    assert(out == List((0L, 1L, "ppm", "jpeg")), out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
