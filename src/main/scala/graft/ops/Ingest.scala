@@ -236,6 +236,93 @@ object Ingest {
                 AS value_cents
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- Avro roundtrip (q183, VERDICT r11 #8): the fourth interchange
+    // format (parquet q21, CSV q24, ORC q167). spark-avro does NOT ship
+    // in this container, but avro-core DOES (Spark depends on it), so the
+    // roundtrip runs the REAL codec path at the mapPartitions kernel
+    // boundary instead of declining the format: each partition writes one
+    // Avro Object Container File (schema JSON header, sync markers,
+    // deflate-compressed blocks) through DataFileWriter, and the read
+    // side streams GenericRecords back through DataFileReader. Types
+    // cross the format as long/string(Utf8)/double; aggregate equality
+    // with the parquet-side oracle — counts + integer-cents sums (the
+    // q167 discipline) — proves fidelity bit-exactly. The two driver-side
+    // actions are bounded by construction: 8 (path, row-count) rows from
+    // the write pass, 8 paths listed for the read. At scale the same
+    // kernels run per-shard with paths on shared storage — write
+    // fan-out = partition count, read fan-out = file count, payload rows
+    // never touch the driver.
+    Q("q183_avro_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val dir = TempDirs.scratch("graft_avro_store_")
+        val schemaJson =
+          """{"type":"record","name":"Order","fields":[
+            {"name":"o_orderkey","type":"long"},
+            {"name":"o_orderstatus","type":"string"},
+            {"name":"o_totalprice","type":"double"}]}"""
+        val written = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .as[(Long, String, Double)]
+          .repartition(8)
+          .mapPartitions { rows =>
+            val schema =
+              new org.apache.avro.Schema.Parser().parse(schemaJson)
+            val f = java.io.File.createTempFile("orders_", ".avro",
+              new java.io.File(dir))
+            val w = new org.apache.avro.file.DataFileWriter(
+              new org.apache.avro.generic.GenericDatumWriter[
+                org.apache.avro.generic.GenericRecord](schema))
+            w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+            w.create(schema, f)
+            var n = 0L
+            rows.foreach { case (k, st, tp) =>
+              val r = new org.apache.avro.generic.GenericData.Record(schema)
+              r.put("o_orderkey", k)
+              r.put("o_orderstatus", st)
+              r.put("o_totalprice", tp)
+              w.append(r)
+              n += 1
+            }
+            w.close()
+            Iterator.single(n)
+          }.collect() // bounded: one row count per partition
+        require(written.length == 8, s"expected 8 avro shards: $written")
+        val files = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).toSeq
+        s.createDataset(files).repartition(files.size)
+          .mapPartitions(_.flatMap { p =>
+            val rd = new org.apache.avro.file.DataFileReader(
+              new java.io.File(p),
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord]())
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, String, Double)]
+            while (rd.hasNext) {
+              val r = rd.next()
+              buf += ((r.get("o_orderkey").asInstanceOf[Long],
+                r.get("o_orderstatus").toString,
+                r.get("o_totalprice").asInstanceOf[Double]))
+            }
+            rd.close()
+            buf.iterator
+          })
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .as("price_cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              count(DISTINCT o_orderkey) AS n_keys,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS price_cents
+              FROM orders GROUP BY o_orderstatus
+              ORDER BY o_orderstatus""")),
+
     // ---- S1' DataSource V2 load generator: 10k deterministic users in 16
     // partitions through the full secure transform. The source has no
     // DuckDB twin, but its generator is pure arithmetic
