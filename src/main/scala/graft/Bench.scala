@@ -142,24 +142,11 @@ object Bench {
     // maintainers pay a write-once artifact build a recurring pipeline
     // amortizes. The bench self-reports the split so the 2× clause can be
     // read like-for-like instead of re-derived by hand each round.
-    // Streaming membership is programmatic (the StreamingOps catalog);
-    // the maintainer set lists the batch queries whose body REBUILDS a
-    // write-once artifact (snapshot index / versioned store / layout /
-    // MV / label store) every run — verifiable against the measured
-    // per-query build_sec below.
-    val streamSet = graft.streaming.StreamingOps.catalog.map(_.name).toSet
-    val maintSet = Set(
-      "q34b_minhash_lsh_indexed", "q34c_minhash_incremental",
-      "q44b_ann_ivf_indexed", "q44c_ann_ivf_incremental",
-      "q117_contamination_indexed", "q121_dedup_indexed",
-      "q122_time_travel", "q125_zorder", "q127_compaction",
-      "q128_incremental_mv", "q133_zorder_maintain", "q139_quantile_mv",
-      "q142_shard_manifest", "q144_cluster_maintain", "q148_crawl_delta",
-      "q149_semantic_dedup_incremental", "q158_winsorize_maintain",
-      "q160_entity_resolution_incremental",
-      "q165_dataset_card_incremental", "q178_zscore_maintain")
-    def family(n: String): String =
-      if (streamSet(n)) "stream" else if (maintSet(n)) "maint" else "batch"
+    // Membership lives in graft.Families (shared with the CATALOG.md
+    // generator): streaming is programmatic (the StreamingOps catalog),
+    // maintainers are the explicit artifact-rebuilding set — verifiable
+    // against the measured per-query build_sec below.
+    def family(n: String): String = Families.of(n)
     // Checkpoint-backed queries (driver-loop localCheckpoint or streaming
     // RocksDB/HDFS state dirs) see ±40% one-shot variance from fs/scheduler
     // noise (BASELINE.md) — min-of-3 for JUST those, min-of-2 elsewhere, so
