@@ -29,7 +29,8 @@ object PipelineOps {
     * @param edges undirected edge list, columns (a, b)
     * @return (node, cluster_id) — cluster_id = min node id in the component
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      driverGateEdges: Int = 200000): DataFrame = {
     // Materialize the edge pipeline FIRST, at the session's full
     // parallelism: `edges` is typically the expensive part (e.g. q45 feeds
     // the exact-Jaccard inverted-index join through here), and it executes
@@ -40,16 +41,56 @@ object PipelineOps {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(true)
-    // The label table is O(nodes-with-duplicates), tiny relative to the
-    // corpus — run the iterative shuffles at a partition count sized to IT
-    // (same principle as the streaming state stores), restoring the
-    // session setting afterwards. At billion-edge scale this would instead
-    // be left to AQE coalescing.
     val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try connectedComponentsImpl(sym, maxIter)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // Size-gated hybrid (Spark's own broadcast-threshold pattern, round
+    // 12): the distributed min-label loop pays ~0.5 s/round of FIXED
+    // localCheckpoint+count overhead regardless of graph size — which
+    // dwarfs the real work on delta-sized graphs (the incremental
+    // maintainers' contracted graphs are a few hundred edges; oracle-SF
+    // dup-cluster graphs a few thousand). Below the gate — one bounded
+    // count over the already-checkpointed symmetric edges — a driver
+    // union-find with min-root union produces the IDENTICAL
+    // (node, min-member-id) labeling from one ≤ gate-row collect (≤ ~3 MB
+    // at the default gate); above it the distributed loop runs unchanged
+    // (a 100 TB corpus delta can exceed any driver bound). Equality of
+    // the two paths is asserted by PipelineOpsSpec on randomized graphs
+    // (the spec forces the loop with driverGateEdges = 0).
+    if (sym.limit(driverGateEdges + 1).count() <= driverGateEdges) {
+      val es = sym.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // union under the SMALLER root: both roots are their sets' minima,
+        // so the merged root is the component minimum — exactly the
+        // min-label propagation fixpoint
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      import spark.implicits._
+      spark.createDataset(parent.keys.toSeq.map(n => (n, find(n))))
+        .toDF("node", "cluster_id")
+    } else {
+      // The label table is O(nodes-with-duplicates), tiny relative to the
+      // corpus — run the iterative shuffles at a partition count sized to
+      // IT (same principle as the streaming state stores), restoring the
+      // session setting afterwards. At billion-edge scale this would
+      // instead be left to AQE coalescing.
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try connectedComponentsImpl(sym, maxIter)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   private def connectedComponentsImpl(sym: DataFrame,
@@ -113,10 +154,16 @@ object PipelineOps {
     * verify ∝ increment, closure ∝ delta edges, relabel ∝ touched
     * clusters; the written artifacts are upserted, never rebuilt.
     */
+  /** q144's entry — LAZY shingle inputs: snapshot/increment/lookup all
+    * derive from the un-persisted shingle relation, so a warm run
+    * (ArtifactCache hit on the shared index + labels) tokenizes only the
+    * increment and the candidates' verify lookups — the corpus-wide
+    * shingle cache is never materialized (measured: the persisted-input
+    * formulation re-cached corpus shingles up to three times per run once
+    * the artifact builds went memo-warm, 11.2 s vs 5.5 s at sf0.1). */
   def incrementalDupClusters(s: SparkSession, d: String,
-      jaccardThreshold: Double, dfCap: Int,
-      table: String = TextOps.SnapshotLshTable): DataFrame = {
-    val sh = TextOps.docsWithShingles(s, d)
+      jaccardThreshold: Double, dfCap: Int): DataFrame = {
+    val sh = TextOps.docsWithShinglesLazy(s, d)
     // floor() on both sides of the engine pair — the q34c boundary rule
     val cut = sh.agg(
       floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
@@ -127,11 +174,11 @@ object PipelineOps {
     // shared-artifact tags (ArtifactCache): the index is the one
     // q34c/q109/q146/q148 probe; the labels additionally depend on the
     // verify threshold, so it joins the tag
-    val tag =
-      if (table == TextOps.SnapshotLshTable && dfCap == 16)
-        TextOps.snapshotLshTag(d) else None
-    incrementalDupClustersFrom(s, snap, inc, jaccardThreshold, dfCap, table,
-      indexTag = tag, labelsTag = tag.map(t => s"$t|j$jaccardThreshold"))
+    val tag = TextOps.snapshotLshTag(d)
+    incrementalDupClustersFrom(s, snap, inc, jaccardThreshold, dfCap,
+      TextOps.SnapshotLshTable, indexTag = tag,
+      labelsTag = tag.map(t => s"$t|j$jaccardThreshold"),
+      lookupSh = Some(sh))
   }
 
   /** [[incrementalDupClusters]] over explicit snapshot/increment relations
@@ -140,26 +187,32 @@ object PipelineOps {
   private[graft] def incrementalDupClustersFrom(s: SparkSession,
       snapRaw: DataFrame, incRaw: DataFrame, jaccardThreshold: Double,
       dfCap: Int, table: String, indexTag: Option[String] = None,
-      labelsTag: Option[String] = None): DataFrame = {
-    // Both sides are consumed ~3× each (index write / probe verify /
-    // union verify); the shingle explode feeding them is the expensive
-    // part, so persist the exploded relations once — without this the
-    // tokenize+shingle scan re-executed five times (11.7 → ~7 s at sf0.1).
-    val snap = snapRaw.persist()
+      labelsTag: Option[String] = None,
+      lookupSh: Option[DataFrame] = None): DataFrame = {
+    // The INCREMENT is consumed ~3× (banding / self pairs / verify) —
+    // persist it. The SNAPSHOT shingles persist only inside the cold
+    // build blocks (index build persists internally; the labels block
+    // persists here), and candidate verification goes through `lookupSh`
+    // with the pre-tokenizer semi-join prune, so a warm run
+    // (ArtifactCache hit on both artifacts) never materializes
+    // corpus-wide shingles at all.
     val inc = incRaw.persist()
     // ---- build-once phase (the q34c demo concession: the snapshot's
     // artifacts are written in the same run; production wrote them when
     // the snapshot itself was ingested). Both artifacts are ArtifactCache-
     // memoized under content tags, so family members sharing them
     // (q34c/q109/q146/q148 the index; q146 the labels) build once per JVM.
-    TextOps.writeSnapshotLshIndex(s, snap, dfCap, table, indexTag)
+    TextOps.writeSnapshotLshIndex(s, snapRaw, dfCap, table, indexTag)
     ArtifactCache.once(s"${table}_labels", labelsTag) {
-      val snapPairs = TextOps
-        .pairsFromBandedIndex(s.table(table), snap, jaccardThreshold)
-        .select(col("id_a").as("a"), col("id_b").as("b"))
-      Tables.resetManagedTable(s, s"${table}_labels")
-      connectedComponents(snapPairs)
-        .write.mode("overwrite").saveAsTable(s"${table}_labels")
+      val snap = snapRaw.persist()
+      try {
+        val snapPairs = TextOps
+          .pairsFromBandedIndex(s.table(table), snap, jaccardThreshold)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        Tables.resetManagedTable(s, s"${table}_labels")
+        connectedComponents(snapPairs)
+          .write.mode("overwrite").saveAsTable(s"${table}_labels")
+      } finally { snap.unpersist(); () }
     }
 
     // ---- maintain phase: everything below is increment-sized
@@ -172,8 +225,11 @@ object PipelineOps {
         col("doc_id").as("id_b")), Seq("band", "bucket"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .persist() // feeds the id-set prune + both verify joins
     val crossEdges = TextOps
-      .verifyJaccardCandidates(crossCand, snap.unionByName(inc),
+      .verifyJaccardCandidates(crossCand,
+        TextOps.lookupForCandidates(
+          lookupSh.getOrElse(snapRaw.unionByName(inc)), crossCand),
         jaccardThreshold)
       .select(col("id_a"), col("id_b"))
     val incEdges = TextOps
@@ -363,11 +419,14 @@ object PipelineOps {
     // stream folds new versions next to it per micro-batch.
     TextOps.writeSnapshotLshIndex(s, snap, dfCap, table, indexTag)
     ArtifactCache.once(s"${table}_labels", labelsTag) {
-      Tables.resetManagedTable(s, s"${table}_labels")
-      connectedComponents(TextOps
-          .pairsFromBandedIndex(s.table(table), snap, jaccardThreshold)
-          .select(col("id_a").as("a"), col("id_b").as("b")))
-        .write.mode("overwrite").saveAsTable(s"${table}_labels")
+      val sp = snap.persist()
+      try {
+        Tables.resetManagedTable(s, s"${table}_labels")
+        connectedComponents(TextOps
+            .pairsFromBandedIndex(s.table(table), sp, jaccardThreshold)
+            .select(col("id_a").as("a"), col("id_b").as("b")))
+          .write.mode("overwrite").saveAsTable(s"${table}_labels")
+      } finally { sp.unpersist(); () }
     }
     s.table(s"${table}_labels")
       .write.mode("overwrite").parquet(s"$labelStore/v0")
@@ -413,10 +472,9 @@ object PipelineOps {
         col("doc_id").as("id_b")), Seq("band", "bucket"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val candIds = crossCand.select(col("id_a").as("doc_id"))
-      .union(crossCand.select(col("id_b"))).distinct()
+      .persist() // feeds the id-set prune + both verify joins
     val crossEdges = TextOps.verifyJaccardCandidates(crossCand,
-        allSh.join(candIds, Seq("doc_id"), "left_semi"), jaccardThreshold)
+        TextOps.lookupForCandidates(allSh, crossCand), jaccardThreshold)
       .select(col("id_a"), col("id_b"))
     val selfEdges = TextOps
       .pairsFromBandedIndex(bands, bdocs, jaccardThreshold)
@@ -429,6 +487,7 @@ object PipelineOps {
         col("doc_id"))
       .write.mode("overwrite").parquet(s"$bandStore/b$batchId")
     bands.unpersist()
+    crossCand.unpersist()
     ()
   }
 

@@ -509,7 +509,9 @@ object StreamingOps {
     Q("q109_stream_neardup_gate",
       (s, d) => {
         import graft.ops.TextOps
-        val docs = TextOps.docsWithShingles(s, d)
+        // LAZY shingles: a warm run (shared index built) tokenizes only
+        // each arriving batch + the candidates' verify lookups
+        val docs = TextOps.docsWithShinglesLazy(s, d)
         val cut = math.floor(
           (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
         val snap = docs.filter(col("doc_id") < cut)
@@ -536,12 +538,15 @@ object StreamingOps {
                 Seq("band", "bucket"))
               .select(col("id_a"), col("id_b"))
               .dropDuplicates("id_a", "id_b")
+              .persist() // feeds the id-set prune + both verify joins
             TextOps.verifyJaccardCandidates(cand,
-                snap.unionByName(bdocs), threshold = 0.5)
+                TextOps.lookupForCandidates(snap.unionByName(bdocs), cand),
+                threshold = 0.5)
               .select(col("id_a"), col("id_b"),
                 round(col("jaccard"), 4).as("jaccard"))
               .write.mode("append").parquet(store)
             bdocs.unpersist()
+            cand.unpersist()
             ()
         }
         s.read.parquet(store).orderBy(col("id_a"), col("id_b"))
@@ -1531,7 +1536,11 @@ object StreamingOps {
     Q("q146_stream_cluster_maintain",
       (s, d) => {
         import graft.ops.{PipelineOps, TextOps}
-        val allSh = TextOps.docsWithShingles(s, d).persist()
+        // LAZY shingles: warm runs (shared artifacts already built) only
+        // tokenize each batch + candidate verify lookups — the corpus
+        // shingle cache is never materialized (the fold's semi-join
+        // pushes below the tokenizer to the documents scan)
+        val allSh = TextOps.docsWithShinglesLazy(s, d)
         val cut = math.floor(
           (allSh.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
         // the SHARED snapshot index + labels (ArtifactCache): q144 builds
@@ -1557,11 +1566,9 @@ object StreamingOps {
             bdocs.unpersist()
             ()
         }
-        val out = s.read.parquet(Upsert.latestVersionPath(s, labelStore))
+        s.read.parquet(Upsert.latestVersionPath(s, labelStore))
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
           .orderBy(col("cluster_id"))
-        allSh.unpersist()
-        out
       },
       Some(graft.ops.PipelineOps.DupClustersSql))
   )

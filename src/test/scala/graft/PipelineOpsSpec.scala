@@ -32,6 +32,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(components(Seq((2L, 7L))) === Map(2L -> 2L, 7L -> 2L))
   }
 
+  test("driver union-find (below the size gate) labels identically to " +
+      "the distributed min-label loop on randomized graphs") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 30 + rng.nextInt(60)
+      val edges = (0 until n).map(_ =>
+        (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("a", "b")
+      val viaUnionFind = PipelineOps.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLoop = PipelineOps
+        .connectedComponents(df, driverGateEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaUnionFind === viaLoop, s"trial $trial edges=$edges")
+    }
+  }
+
   test("LSH-fed cluster resolution equals the exact-pair formulation") {
     // the production composition (q45b) must resolve the same clusters as
     // the exact inverted-index path (q45) — same docs, same labels

@@ -505,15 +505,16 @@ class VectorOpsSpec extends SparkSpec {
     assert(same >= 16, s"$same/20 top-1 neighbors in-cluster")
   }
 
-  test("every ANN query's MEASURED recall clears its pinned floor at both " +
-      "the oracle SF and the bench SF (VERDICT r11 #5)") {
+  test("every ANN query's MEASURED recall clears its pinned floor at every " +
+      "testdata SF (VERDICT r11 #5)") {
     // hold the verify gate open so the exact comparison runs at sf0.1
     // (2000 vectors — above VerifyGate.MaxRows, where the benched plan
     // honestly skips it); floors and the measurements they derive from
     // are documented at VectorOps.RecallFloors
     sys.props("graft.forceVerify") = "1"
     try {
-      for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
+      for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+             "/root/testdata/sf0.1");
            name <- graft.tools.RecallProbe.AnnQueries) {
         spark.catalog.clearCache()
         val row = SparkEntry.queries(name)(spark, sf).head()
