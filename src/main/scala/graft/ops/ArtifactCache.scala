@@ -11,7 +11,11 @@ package graft.ops
   *    q148 — three builds;
   *  - the snapshot cluster labels (closure over the LSH snapshot pairs at
   *    j ≥ 0.5): q144, q146 — two builds;
-  *  - the ER block index of the customer base + its labels: q160, q164.
+  *  - the ER block index of the customer base + its labels: q160, q164;
+  *  - (round 12) the full-corpus LSH pair set (j ≥ 0.5, dfCap 16) and
+  *    its cluster-label closure: q34, q45 (gated path), q45b, q85, q86
+  *    — five detection sweeps and four closures of one identical
+  *    relation collapsed to one of each.
   *
   * Production posture: a snapshot artifact is written ONCE at ingest and
   * every consumer probes it. This memo gives the demo catalog the same

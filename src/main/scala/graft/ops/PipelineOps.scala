@@ -129,6 +129,29 @@ object PipelineOps {
     labels.withColumnRenamed("lbl", "cluster_id")
   }
 
+  /** The SHARED full-corpus dup-cluster labels — the closure over
+    * [[TextOps.corpusLshPairs]] — written once per (corpus, threshold,
+    * dfCap) and probed by every downstream consumer: q45's gated
+    * production path, q45b, canonical-doc selection (q85), and the
+    * leakage-safe split (q86). Cluster resolution is a snapshot artifact
+    * exactly like the LSH index: at 100 TB the labeling is computed when
+    * a corpus snapshot lands and reused by every curation step that needs
+    * "which dup class is this doc in", not recomputed per step. Schema:
+    * (node, cluster_id), cluster_id = min doc_id of the component. */
+  private[graft] val CorpusLabelsTable = "graft_corpus_dup_labels"
+
+  def corpusDupLabels(s: SparkSession, d: String): DataFrame = {
+    ArtifactCache.once(CorpusLabelsTable,
+        TextOps.corpusLshPairsTag(d).map(_ + "|labels")) {
+      val pairs = TextOps.corpusLshPairs(s, d)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      Tables.resetManagedTable(s, CorpusLabelsTable)
+      connectedComponents(pairs)
+        .write.mode("overwrite").saveAsTable(CorpusLabelsTable)
+    }
+    s.table(CorpusLabelsTable)
+  }
+
   /** Incremental duplicate-cluster MAINTENANCE — the maintain-incrementally
     * member the clustering pillar was missing (q34c maintains the PAIR
     * feed, q44c the IVF index, q128/q139 the mergeable aggregates; this
@@ -1288,6 +1311,13 @@ object PipelineOps {
     // recursive transitive closure. cluster_id = min doc_id = the kept
     // representative.
     //
+    // Both the pair detection AND the closure feed from SHARED written
+    // artifacts ([[TextOps.corpusLshPairs]] / [[corpusDupLabels]]): four
+    // catalog consumers (q45 gated path, q45b, q85, q86) need the same
+    // (threshold 0.5, dfCap 16) corpus labeling, and each one's oracle
+    // recomputes it independently from raw text, so sharing the artifact
+    // changes economics, not semantics.
+    //
     // GATED (VERDICT r10 #2): the exact inverted-index pair enumeration is
     // this query's REASON to exist at oracle scale — the driver's DuckDB
     // compare at sf0.01 (500 docs) must see components over exactly-computed
@@ -1299,14 +1329,14 @@ object PipelineOps {
     // measures cluster closure over sub-quadratic detection, not the oracle.
     Q("q45_dup_clusters",
       (s, d) => {
-        val sh = TextOps.docsWithShingles(s, d)
-        val docs = Tables.documents(s, d)
-        val pairs =
-          (if (VerifyGate.small(docs))
-             TextOps.exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
-           else TextOps.minHashLshPairs(sh, 0.5, dfCap = 16))
-            .select(col("id_a").as("a"), col("id_b").as("b"))
-        connectedComponents(pairs)
+        val labels =
+          if (VerifyGate.small(Tables.documents(s, d))) {
+            val sh = TextOps.docsWithShingles(s, d)
+            connectedComponents(TextOps
+              .exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
+              .select(col("id_a").as("a"), col("id_b").as("b")))
+          } else corpusDupLabels(s, d)
+        labels
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
           .orderBy(col("cluster_id"))
       },
@@ -1320,14 +1350,9 @@ object PipelineOps {
     // LSH pairs ≡ exact pairs on these tables every round (banding
     // P ≥ 0.97 at j ≥ 0.8 + full-set verification of candidates).
     Q("q45b_dup_clusters_lsh",
-      (s, d) => {
-        val sh = TextOps.docsWithShingles(s, d)
-        val pairs = TextOps.minHashLshPairs(sh, 0.5, dfCap = 16)
-          .select(col("id_a").as("a"), col("id_b").as("b"))
-        connectedComponents(pairs)
-          .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("cluster_id"))
-      },
+      (s, d) => corpusDupLabels(s, d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("cluster_id")),
       Some(DupClustersSql)),
 
     // ---- incremental cluster maintenance (q144): q45b's clusters kept
@@ -1350,13 +1375,11 @@ object PipelineOps {
     // recursive CTE and the same argmax.
     Q("q85_canonical_docs",
       (s, d) => {
-        val sh = TextOps.docsWithShingles(s, d)
-        // pairs from the production LSH path (q34 proves ≡ exact pairs on
-        // these tables every round; the oracle independently recomputes
-        // exact pairs, so any divergence fails the gate)
-        val pairs = TextOps.minHashLshPairs(sh, 0.5, dfCap = 16)
-          .select(col("id_a").as("a"), col("id_b").as("b"))
-        val labels = connectedComponents(pairs)
+        // labels from the SHARED written artifact (production LSH path;
+        // q34 proves LSH ≡ exact pairs on these tables every round, and
+        // the oracle independently recomputes exact pairs from raw text,
+        // so any divergence fails the gate)
+        val labels = corpusDupLabels(s, d)
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), size(TextOps.toks(col("text"))).as("n_tok"))
         val w = Window.partitionBy(col("cluster_id"))
@@ -1417,11 +1440,8 @@ object PipelineOps {
     // broadcast-friendly.
     Q("q86_leakage_safe_split",
       (s, d) => {
-        val sh = TextOps.docsWithShingles(s, d)
-        // production LSH pair feed, like q45b/q85 (oracle-checked ≡ exact)
-        val pairs = TextOps.minHashLshPairs(sh, 0.5, dfCap = 16)
-          .select(col("id_a").as("a"), col("id_b").as("b"))
-        val labels = connectedComponents(pairs)
+        // shared labels artifact, like q45b/q85 (oracle-checked ≡ exact)
+        val labels = corpusDupLabels(s, d)
           .withColumnRenamed("node", "doc_id")
         Tables.documents(s, d).select(col("doc_id"))
           .join(broadcast(labels), Seq("doc_id"), "left_outer")

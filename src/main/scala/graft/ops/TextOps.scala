@@ -542,9 +542,13 @@ object TextOps {
     // on the real tables every round. Cap chosen above the p99 shingle df
     // at sf0.1 (18) — measured zero qualifying pairs whose shared shingles
     // are all above it at either SF.
+    // Round 12: the pair set comes from the SHARED written artifact
+    // ([[corpusLshPairs]] — first consumer per JVM pays the detection
+    // sweep, recorded as build_sec); the exact-pairs oracle still
+    // recomputes every pair from raw text, so the LSH ≡ exact proof this
+    // query exists for is unchanged.
     Q("q34_minhash_lsh",
-      (s, d) => minHashLshPairs(docsWithShingles(s, d),
-          jaccardThreshold = 0.5, dfCap = 16)
+      (s, d) => corpusLshPairs(s, d)
         .orderBy(col("id_a"), col("id_b")),
       Some(ExactJaccardSql)),
 
@@ -553,9 +557,15 @@ object TextOps {
     // shuffle-free — the recurring-run shape at 100 TB, where the index is
     // built once per corpus snapshot and reused. Same output, same
     // exact-pairs oracle as q34.
+    // LAZY shingles (round 12): the memoized build tokenizes the corpus
+    // once inside the write job; warm probes fetch only the surviving
+    // candidates' shingle sets (the lookup's semi-join prune reaches the
+    // documents scan), so the corpus-wide shingle cache never
+    // materializes on a warm run.
     Q("q34b_minhash_lsh_indexed",
-      (s, d) => minHashLshPairsBucketedIndex(s, docsWithShingles(s, d),
-          jaccardThreshold = 0.5, dfCap = 16)
+      (s, d) => minHashLshPairsBucketedIndex(s, docsWithShinglesLazy(s, d),
+          jaccardThreshold = 0.5, dfCap = 16,
+          tag = Some(s"$d|documents|full|dfCap16"))
         .orderBy(col("id_a"), col("id_b")),
       Some(ExactJaccardSql)),
 
@@ -1384,6 +1394,33 @@ object TextOps {
       dfCap: Int = Int.MaxValue): DataFrame =
     pairsFromBandedIndex(bandedSignatures(docs, dfCap), docs, jaccardThreshold)
 
+  /** The SHARED full-corpus LSH near-dup pair artifact (j ≥ 0.5, dfCap
+    * 16) — the round-12 extension of the [[ArtifactCache]] posture from
+    * indexes to DETECTION OUTPUT: pair detection is dedup's expensive
+    * pass, it is a pure function of the corpus snapshot, and before this
+    * memo q34/q45/q45b/q85/q86 each re-ran it per query (five
+    * tokenize→shingle→minhash→band→verify sweeps per bench run of one
+    * identical relation). Production writes the pair set once when a
+    * corpus snapshot lands and every consumer — dedup reporting, cluster
+    * closure, canonical-doc selection, leakage-safe splitting — probes
+    * the written table. The first family member per JVM pays the build
+    * (recorded as its build_sec); correctness is unchanged because each
+    * consumer's oracle independently recomputes exact pairs from raw text
+    * in DuckDB, so a stale or wrong artifact fails four hash gates. */
+  private[graft] val CorpusLshPairsTable = "graft_corpus_lsh_pairs"
+  private[graft] def corpusLshPairsTag(d: String): Option[String] =
+    Some(s"$d|documents|j0.5|dfCap16")
+
+  def corpusLshPairs(s: SparkSession, d: String): DataFrame = {
+    ArtifactCache.once(CorpusLshPairsTable, corpusLshPairsTag(d)) {
+      Tables.resetManagedTable(s, CorpusLshPairsTable)
+      minHashLshPairs(docsWithShingles(s, d), jaccardThreshold = 0.5,
+          dfCap = 16)
+        .write.mode("overwrite").saveAsTable(CorpusLshPairsTable)
+    }
+    s.table(CorpusLshPairsTable)
+  }
+
   /** The banded LSH index: (doc_id, band, bucket), one row per doc per
     * band — the relation SURVEY §9 promises "becomes a written table
     * reused across runs" at scale (see [[minHashLshPairsBucketedIndex]]
@@ -1464,11 +1501,26 @@ object TextOps {
     * exact-pairs oracle, asserted by TextOpsSpec and the driver gate. */
   def minHashLshPairsBucketedIndex(s: SparkSession, docs: DataFrame,
       jaccardThreshold: Double, dfCap: Int,
-      table: String = "graft_lsh_band_index"): DataFrame = {
-    Tables.resetManagedTable(s, table)
-    bandedSignatures(docs, dfCap)
-      .write.bucketBy(8, "band", "bucket")
-      .mode("overwrite").saveAsTable(table)
+      table: String = "graft_lsh_band_index",
+      tag: Option[String] = None): DataFrame = {
+    // the index build is [[ArtifactCache]]-memoized when the caller can
+    // state a content tag (round 12) — the written-index posture this
+    // query exists to demonstrate implies the build runs once per corpus
+    // snapshot, not once per consumer run
+    ArtifactCache.once(table, tag) {
+      // persist INSIDE the cold block only (the writeSnapshotLshIndex
+      // rule): the build consumes the shingle relation twice (df stats +
+      // bands) and without the barrier alias substitution re-inlines
+      // tokenize+shingle per consumer (measured 49 s vs 2 s at sf0.1);
+      // warm probes never touch this and stay candidate-sized lazy
+      val dp = docs.persist()
+      try {
+        Tables.resetManagedTable(s, table)
+        bandedSignatures(dp, dfCap)
+          .write.bucketBy(8, "band", "bucket")
+          .mode("overwrite").saveAsTable(table)
+      } finally { dp.unpersist(); () }
+    }
     pairsFromBandedIndex(s.table(table), docs, jaccardThreshold)
   }
 
