@@ -1503,6 +1503,67 @@ object PipelineOps {
                 count(DISTINCT label) AS n_groups
               FROM sp GROUP BY split ORDER BY split""")),
 
+    // ---- cross-source redundancy attribution (q185): WHERE does the
+    // near-dup mass come from? Every near-dup pair attributes to its
+    // docs' (source, source) combination — unordered, normalized
+    // lexicographically — so diagonal cells meter a feed's
+    // self-redundancy and off-diagonal cells meter overlap BETWEEN
+    // feeds: the report that decides which crawl to deprioritize. Pure
+    // consumer of the shared written pair artifact
+    // ([[TextOps.corpusLshPairs]]): the pair table is collision-sized
+    // (≪ corpus), so it BROADCASTS to both source-attribution joins and
+    // the corpus side is two scans of the 2-column (doc_id, source)
+    // projection — no corpus shuffle. Jaccard mass is summed in integer
+    // basis points (round(j·10⁴)) per the cross-engine quantization rule.
+    Q("q185_source_overlap",
+      (s, d) => {
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val pairs = TextOps.corpusLshPairs(s, d)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard") * 10000, 0).cast("long").as("j_bp"))
+        broadcast(pairs)
+          .join(src.select(col("doc_id").as("id_a"),
+            col("source").as("sa")), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"),
+            col("source").as("sb")), Seq("id_b"))
+          .select(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"), col("j_bp"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("j_bp")).as("j_bp_sum"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+                  i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                       regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                       regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+                FROM documents),
+              e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+              sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
+              inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              prs AS (
+                SELECT id_a, id_b,
+                  CAST(round(round(ni * 1.0 / (sa.sz + sb.sz - ni), 4)
+                    * 10000, 0) AS BIGINT) AS j_bp
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5),
+              attr AS (
+                SELECT least(da.source, db.source) AS src_a,
+                  greatest(da.source, db.source) AS src_b, j_bp
+                FROM prs
+                JOIN documents da ON da.doc_id = prs.id_a
+                JOIN documents db ON db.doc_id = prs.id_b)
+              SELECT src_a, src_b, count(*) AS n_pairs,
+                CAST(sum(j_bp) AS BIGINT) AS j_bp_sum
+              FROM attr GROUP BY src_a, src_b
+              ORDER BY src_a, src_b""")),
+
     // ---- deterministic stratified train/valid/test split (80/10/10): the
     // split key is a multiplicative hash of doc_id, NOT a random() — so
     // the split is reproducible run-to-run, stable under corpus growth
@@ -1811,6 +1872,53 @@ object PipelineOps {
               WHERE d.bucket < r.cut
               GROUP BY r.lang, r.n_in, r.cut
               ORDER BY r.lang""")),
+
+    // ---- exact-quota stratified sample (q184): q91's rate cut keeps
+    // ~rate·n_i docs per lang — fine for a training mix, wrong for eval
+    // sets, which need EXACTLY quota_i rows per stratum ("1000 per
+    // language", here 30% floored). Docs rank within their lang by the
+    // q46 multiplicative hash (doc_id tie-break: the hash space has
+    // collisions) and rank ≤ quota survives — deterministic given the
+    // snapshot; the documented trade vs q91 is that corpus growth can
+    // displace boundary ranks, where the rate cut never moves a kept doc.
+    // Quota arithmetic is integer division (n·3 DIV 10) on BOTH engines —
+    // no float boundary (ADVICE r11 #2's rule). Scale: one shuffle by
+    // lang + a per-lang sort; lang cardinality is tiny but per-lang
+    // volume skews, so at 100 TB the full within-stratum sort gives way
+    // to a two-pass order statistic — approximate the quota-th hash with
+    // a fixed-grid histogram (q139's machinery), then exact-scan only the
+    // boundary bin. Same output, shuffle ∝ boundary bin.
+    Q("q184_stratified_quota_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          (col("doc_id") % 1000000007L * lit(2654435761L) % 1000000007L)
+            .as("hk"))
+        val per = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+          .withColumn("quota", expr("n_in * 3 DIV 10"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("hk"), col("doc_id"))
+        docs.join(broadcast(per), Seq("lang"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= col("quota"))
+          .groupBy(col("lang"), col("n_in"), col("quota"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, lang,
+                  (doc_id % 1000000007 * 2654435761) % 1000000007 AS hk
+                FROM documents),
+              per AS (SELECT lang, count(*) AS n_in,
+                        count(*) * 3 // 10 AS quota
+                      FROM docs GROUP BY lang),
+              r AS (SELECT d.lang, d.doc_id, p.n_in, p.quota,
+                      row_number() OVER (PARTITION BY d.lang
+                        ORDER BY d.hk, d.doc_id) AS rk
+                    FROM docs d JOIN per p ON d.lang = p.lang)
+              SELECT lang, n_in, quota, count(*) AS n_kept,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+              FROM r WHERE rk <= quota
+              GROUP BY lang, n_in, quota ORDER BY lang""")),
 
     // ---- BPE-style merge ranking (q84): tokenizer training's inner-loop
     // decision — count adjacent token pairs corpus-wide, rank merge

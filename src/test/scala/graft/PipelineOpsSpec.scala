@@ -242,6 +242,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("exact-quota stratified sample keeps exactly quota docs per lang — " +
+      "the lowest-ranked (hash, id) prefix (q184)") {
+    val d = "/root/testdata/sf0.001"
+    val docs = schema.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    def hk(id: Long) = id % 1000000007L * 2654435761L % 1000000007L
+    val expected = docs.groupBy(_._2).map { case (lang, ds) =>
+      val quota = ds.length * 3 / 10
+      val kept = ds.map(_._1).sortBy(id => (hk(id), id)).take(quota)
+      lang -> (ds.length.toLong, quota.toLong, kept.length.toLong, kept.sum)
+    }
+    val got = SparkEntry.queries("q184_stratified_quota_sample")(spark, d)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expected, "per-lang (n_in, quota, n_kept, id_sum)")
+    got.foreach { case (lang, (_, quota, kept, _)) =>
+      assert(kept === quota, s"$lang kept $kept != quota $quota")
+    }
+  }
+
+  test("source-overlap matrix ties out to the exact pair set joined to " +
+      "sources (q185)") {
+    val d = "/root/testdata/sf0.001"
+    val src = schema.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .collect().toMap
+    // independent reference: the EXACT formulation's pairs (q35), not the
+    // shared LSH artifact q185 consumes
+    val pairs = SparkEntry.queries("q35_ngram_jaccard")(spark, d)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    val expected = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (src(a), src(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, ps) =>
+      k -> (ps.length.toLong, ps.map(p => math.round(p._3 * 10000)).sum)
+    }
+    val got = SparkEntry.queries("q185_source_overlap")(spark, d)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+  }
+
   test("quality filter emits both keeps and drops on the corpus") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q47_quality_filter")(spark, d)
