@@ -241,29 +241,35 @@ object PipelineOps {
     // ---- maintain phase: everything below is increment-sized
     val incBands = TextOps
       .bandedSignaturesFrozenHot(inc, s.table(s"${table}_hot"))
-      .persist() // two consumers: index probe + internal self-pairs
+      .persist() // two consumers: index probe + internal self-candidates
+    // ONE candidate set, ONE verify (round 12): the cross candidates
+    // (index-probe join — only increment-hit buckets of the bucketed
+    // index ever aggregate) union the increment-internal candidates, and
+    // the exact-verify machinery (id-set prune + two shingle-lookup
+    // joins) runs once over the union instead of once per leg — the two
+    // legs are disjoint by construction (cross pairs have an old
+    // endpoint), so no dedup is needed across them.
     val crossCand = s.table(table)
       .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(incBands.select(col("band"), col("bucket"),
         col("doc_id").as("id_b")), Seq("band", "bucket"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val cand = crossCand
+      .unionByName(TextOps.candidatesFromBandedIndex(incBands))
       .persist() // feeds the id-set prune + both verify joins
-    val crossEdges = TextOps
-      .verifyJaccardCandidates(crossCand,
+    val edges = TextOps
+      .verifyJaccardCandidates(cand,
         TextOps.lookupForCandidates(
-          lookupSh.getOrElse(snapRaw.unionByName(inc)), crossCand),
+          lookupSh.getOrElse(snapRaw.unionByName(inc)), cand),
         jaccardThreshold)
-      .select(col("id_a"), col("id_b"))
-    val incEdges = TextOps
-      .pairsFromBandedIndex(incBands, inc, jaccardThreshold)
       .select(col("id_a"), col("id_b"))
 
     // ---- contraction + serve: the shared delta-merge algebra — see
     // [[mergeDeltaIntoLabels]]. Untouched clusters pass through
     // label-stable; at scale the merged label table is the upsert applied
     // back to `table`_labels.
-    mergeDeltaIntoLabels(s.table(s"${table}_labels"), crossEdges, incEdges)
+    mergeDeltaIntoLabels(s.table(s"${table}_labels"), edges)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("cluster_id"))
   }
@@ -282,9 +288,9 @@ object PipelineOps {
     * cluster's min; singleton/new nodes stand for themselves), so the
     * merged table equals a from-scratch clustering EXACTLY.
     *
-    * @param lbl        stored labels (node, cluster_id)
-    * @param crossEdges (id_a = old-corpus endpoint, id_b = new endpoint)
-    * @param selfEdges  (id_a, id_b) both new
+    * @param lbl   stored labels (node, cluster_id)
+    * @param edges delta edges (id_a, id_b), any orientation — old-new
+    *              and new-new mixed freely (both endpoints contract)
     */
   /** q168/q169's shared dimension-version derivation: base segments
     * effective 1990, every 4th customer re-segments 1997, every 8th
@@ -407,13 +413,20 @@ object PipelineOps {
       .distinct()
 
   private[graft] def mergeDeltaIntoLabels(lbl: DataFrame,
-      crossEdges: DataFrame, selfEdges: DataFrame): DataFrame = {
-    val contracted = crossEdges
-      .join(lbl.withColumnRenamed("node", "id_a"), Seq("id_a"), "left_outer")
-      .select(coalesce(col("cluster_id"), col("id_a")).as("a"),
-        col("id_b").as("b"))
-      .unionByName(selfEdges
-        .select(col("id_a").as("a"), col("id_b").as("b")))
+      edges: DataFrame): DataFrame = {
+    // contract BOTH endpoints (round 12): an endpoint with a stored label
+    // collapses to it (the label IS its cluster's min, so contraction
+    // preserves component minima), an unlabeled endpoint stands for
+    // itself — edge orientation therefore no longer matters and callers
+    // feed ONE unordered delta-edge stream (cross ∪ self), which is what
+    // lets the incremental paths verify their candidate sets once
+    val contracted = edges
+      .join(lbl.select(col("node").as("id_a"), col("cluster_id").as("ca")),
+        Seq("id_a"), "left_outer")
+      .join(lbl.select(col("node").as("id_b"), col("cluster_id").as("cb")),
+        Seq("id_b"), "left_outer")
+      .select(coalesce(col("ca"), col("id_a")).as("a"),
+        coalesce(col("cb"), col("id_b")).as("b"))
     val relabel = connectedComponents(contracted)
       .select(col("node"), col("cluster_id").as("nlbl"))
     val fromOld = lbl
@@ -484,33 +497,36 @@ object PipelineOps {
       labelStore: String, batchId: Long, jaccardThreshold: Double): Unit = {
     val bands = TextOps
       .bandedSignaturesFrozenHot(bdocs, s.table(s"${table}_hot"))
-      .persist() // three consumers: cross probe, self pairs, store append
+      .persist() // three consumers: cross probe, self candidates, append
     val prior = s.table(table)
       .select(col("band").cast("int").as("band"), col("bucket"),
         col("doc_id"))
       .unionByName(streamBandsBefore(s, bandStore, batchId))
+    // ONE candidate set, ONE verify — the q144 maintain-phase shape
+    // (cross and batch-internal legs are disjoint: cross pairs have a
+    // prior endpoint), with candidate texts point-looked-up from the
+    // corpus relation for BOTH legs (batch docs are corpus rows too)
     val crossCand = prior
       .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(bands.select(col("band").cast("int").as("band"), col("bucket"),
         col("doc_id").as("id_b")), Seq("band", "bucket"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val cand = crossCand
+      .unionByName(TextOps.candidatesFromBandedIndex(bands))
       .persist() // feeds the id-set prune + both verify joins
-    val crossEdges = TextOps.verifyJaccardCandidates(crossCand,
-        TextOps.lookupForCandidates(allSh, crossCand), jaccardThreshold)
-      .select(col("id_a"), col("id_b"))
-    val selfEdges = TextOps
-      .pairsFromBandedIndex(bands, bdocs, jaccardThreshold)
+    val edges = TextOps.verifyJaccardCandidates(cand,
+        TextOps.lookupForCandidates(allSh, cand), jaccardThreshold)
       .select(col("id_a"), col("id_b"))
     val base = Upsert.versionsOf(s, labelStore).filter(_ <= batchId).max
     val lbl = s.read.parquet(s"$labelStore/v$base")
-    mergeDeltaIntoLabels(lbl, crossEdges, selfEdges)
+    mergeDeltaIntoLabels(lbl, edges)
       .write.mode("overwrite").parquet(s"$labelStore/v${batchId + 1}")
     bands.select(col("band").cast("int").as("band"), col("bucket"),
         col("doc_id"))
       .write.mode("overwrite").parquet(s"$bandStore/b$batchId")
     bands.unpersist()
-    crossCand.unpersist()
+    cand.unpersist()
     ()
   }
 
@@ -2714,7 +2730,7 @@ object PipelineOps {
         val incKeyed = erKeyed(inc)
         val cross = erMatches(s.table(idxTable), incKeyed)
         val self = erMatches(incKeyed, incKeyed)
-        mergeDeltaIntoLabels(s.table(lblTable), cross, self)
+        mergeDeltaIntoLabels(s.table(lblTable), cross.unionByName(self))
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_records"))
           .orderBy(col("cluster_id"))
       },

@@ -1463,19 +1463,7 @@ object TextOps {
     * (freshly derived or read back from a written index table). */
   private[graft] def pairsFromBandedIndex(banded: DataFrame, docs: DataFrame,
       jaccardThreshold: Double): DataFrame = {
-    // Bucket-pair expansion as ONE aggregation instead of a self-join: the
-    // join formulation computed the signature aggregate once PER SIDE (the
-    // banded subtree is cloned into both SMJ inputs — measured as the two
-    // dominant stages of q34) and shuffled the banded stream twice; this
-    // shape computes signatures once and shuffles bucket ids once. Bucket
-    // fanout is LSH-bounded identically under both shapes.
-    val cand = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"),
-        explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = candidatesFromBandedIndex(banded)
       .persist() // feeds the id-set prune + both verify joins
 
     // fetch the two shingle sets only for surviving candidates (rare by
@@ -1487,6 +1475,27 @@ object TextOps {
         jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Candidate (id_a < id_b) pairs from a banded relation — the
+    * generation half of [[pairsFromBandedIndex]], factored out (round 12)
+    * so the incremental paths can UNION cross- and self-candidate sets
+    * and pay the exact-verify machinery ONCE instead of once per leg.
+    *
+    * Bucket-pair expansion as ONE aggregation instead of a self-join: the
+    * join formulation computed the signature aggregate once PER SIDE (the
+    * banded subtree is cloned into both SMJ inputs — measured as the two
+    * dominant stages of q34) and shuffled the banded stream twice; this
+    * shape computes signatures once and shuffles bucket ids once. Bucket
+    * fanout is LSH-bounded identically under both shapes. Callers persist
+    * the result (it feeds the id-set prune + both verify joins). */
+  private[graft] def candidatesFromBandedIndex(banded: DataFrame): DataFrame =
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"),
+        explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
   /** q34's index-table posture: the banded LSH index is WRITTEN once as a
     * bucketed table and candidate generation reads it back — the at-scale
