@@ -25,7 +25,8 @@ object Families {
     "q142_shard_manifest", "q144_incremental_clusters", "q148_crawl_delta",
     "q149_semantic_dedup_incremental", "q158_winsorize_maintain",
     "q160_entity_resolution_incremental",
-    "q165_dataset_card_incremental", "q178_zscore_maintain")
+    "q165_dataset_card_incremental", "q178_zscore_maintain",
+    "q187_bm25_incremental")
 
   def of(name: String): String =
     if (streamSet(name)) "stream"

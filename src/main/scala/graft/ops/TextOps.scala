@@ -721,6 +721,39 @@ object TextOps {
       },
       Some(ExactJaccardSql)),
 
+    // ---- prefix-filter exact Jaccard join (q186): the AllPairs/PPJoin
+    // family (Bayardo et al. WWW'07; Xiao et al. WWW'08) — the third
+    // exact-threshold formulation next to q35's df-capped index and
+    // q34's probabilistic LSH, and the only one of the three that is
+    // sub-quadratic AND provably lossless on EVERY input distribution:
+    // q35's dfCap is an empirical bet (its oracle proves nothing is lost
+    // on THIS corpus; an adversarial corpus whose duplicates share only
+    // corpus-hot shingles would slip it), LSH is probabilistic by
+    // construction. Here each doc indexes only its p = sz − ceil(τ·sz)
+    // + 1 globally-RAREST shingles (the prefix under a total order by
+    // ascending document frequency); the prefix-filter theorem —
+    // J(a,b) ≥ τ forces |a∩b| ≥ ceil(τ·max(|a|,|b|)), and two sets
+    // whose prefixes are disjoint can share at most (sz_a − p_a) +
+    // … < that many tokens under a common total order — guarantees
+    // every qualifying pair collides on ≥ 1 prefix token. Cost shape:
+    // posting stream shrinks by the factor (1 − τ) AND the surviving
+    // tokens are by construction the rarest (smallest posting lists), so
+    // candidate fanout collapses without any cap; the τ·max ≤ min length
+    // filter prunes inside the bucket expansion before verification.
+    Q("q186_prefix_filter_jaccard",
+      (s, d) => {
+        // PERSISTED shingles (q35's posture, and the lazy-inlining
+        // hazard: the posting stream reads `sh` twice — size + explode —
+        // and a lazy relation would re-inline tokenize+shingle into each,
+        // including inside every element_at lambda)
+        val sh = docsWithShingles(s, d)
+        prefixFilterJaccardPairs(sh, 0.5)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(ExactJaccardSql)),
+
     // ---- SimHash near-dup: 64-bit signature (8 bytes/doc), candidates via
     // 16-bit chunk pigeonhole (hamming ≤ 3 ⇒ some chunk equal), verified by
     // bit_count(xor). The signature family (xxhash64) has no DuckDB twin,
@@ -1331,6 +1364,80 @@ object TextOps {
     * shingle joins df² pairs through one key — the cap turns the worst
     * key from corpus-sized into a constant.
     * Input: (doc_id, sh). Output: (id_a, id_b, jaccard), id_a < id_b. */
+  /** Exact-threshold Jaccard pairs via prefix filtering (q186). `docs` is
+    * (doc_id, sh); returns (id_a, id_b, jaccard) for J ≥ `threshold`,
+    * id_a < id_b — identical output contract to
+    * [[exactJaccardPairsCapped]], different completeness argument (a
+    * theorem, not a per-corpus proof; see the q186 catalog comment).
+    *
+    * Plan shape: one corpus-sized shuffle keys the posting stream by
+    * token for the df aggregate; the df join + per-doc rarity ranking
+    * reuse that keyed stream; the prefix filter then drops the
+    * (1 − τ)-tail of every posting list BEFORE the bucket expansion, so
+    * the quadratic part runs over rare-token buckets only. The rank
+    * window partitions by doc_id (never partition-less — PlanAuditSpec).
+    * Verification is candidate-sized: [[lookupForCandidates]]'s
+    * semi-join prune reaches the documents scan. */
+  def prefixFilterJaccardPairs(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val posts = docs
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("s0")).as("s"))
+    val dfRel = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // global total order by (df asc, token asc): rarest first, ties
+    // broken deterministically so both endpoints of a pair rank their
+    // common tokens identically — the property the theorem needs
+    val rarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("s"))
+    val prefix = posts.join(dfRel, Seq("s"))
+      .withColumn("rn", row_number().over(rarity))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("s"), col("df"), col("doc_id"), col("sz"), col("rn"))
+    // bucket expansion as ONE aggregation (the q35 shape), with the
+    // τ·max ≤ min length filter applied inside the expansion; the
+    // re-spread after the size filter keeps the quadratic stage wide
+    // (AQE sizes it by collect_set BYTES, not pair fanout)
+    val collisions = prefix.groupBy(col("s"), col("df"))
+      .agg(collect_set(struct(col("doc_id"), col("sz"), col("rn")))
+        .as("ids"))
+      .filter(size(col("ids")) > 1)
+      .repartition(col("s"))
+      .select(col("s"), col("df"), explode(col("ids")).as("a"), col("ids"))
+      .select(col("s"), col("df"),
+        col("a.doc_id").as("id_a"), col("a.sz").as("sz_a"),
+        col("a.rn").as("rn_a"),
+        explode(filter(col("ids"),
+          x => x("doc_id") > col("a.doc_id"))).as("b"))
+      .select(col("s"), col("df"), col("id_a"), col("sz_a"), col("rn_a"),
+        col("b.doc_id").as("id_b"), col("b.sz").as("sz_b"),
+        col("b.rn").as("rn_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        greatest(col("sz_a"), col("sz_b")) * threshold)
+    // PPJoin's positional filter (Xiao et al.): per pair, the FIRST
+    // common token in the global (df, s) order — which is provably the
+    // pair's globally-first common token outright: any earlier common
+    // token would rank inside both prefixes and collide first — leaves
+    // at most 1 + min(sz_a − rn_a, sz_b − rn_b) tokens that can still be
+    // common, and J ≥ τ needs overlap·(1+τ) ≥ τ·(sz_a + sz_b). This is
+    // the candidate killer: collision buckets pair docs that share ONE
+    // rare token, the bound demands they could still share ~a third of
+    // their shingles — measured at sf0.1 it cuts 310k candidates to the
+    // order of the true pair set before the verify joins run.
+    val cand = collisions
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(struct(col("df"), col("s"), col("rn_a"), col("rn_b"),
+        col("sz_a"), col("sz_b"))).as("m"))
+      .filter((lit(1) +
+        least(col("m.sz_a") - col("m.rn_a"), col("m.sz_b") - col("m.rn_b")))
+        .cast("double") * (1.0 + threshold) >=
+        (col("m.sz_a") + col("m.sz_b")) * threshold)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    verifyJaccardCandidates(cand, lookupForCandidates(docs, cand),
+      threshold)
+  }
+
   def exactJaccardPairsCapped(docs: DataFrame, threshold: Double,
       dfCap: Int): DataFrame = {
     val posts = docs.select(col("doc_id"), explode(col("sh")).as("s0"))

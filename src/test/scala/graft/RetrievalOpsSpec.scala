@@ -39,6 +39,27 @@ class RetrievalOpsSpec extends SparkSpec {
       s"floor $floorNll should exceed max observed $worstSeen")
   }
 
+  test("incremental BM25 serve equals the from-scratch full-corpus run " +
+      "bit-for-bit (q187)") {
+    val sf = "/root/testdata/sf0.001"
+    // tag = None forces a fresh snapshot build into a spec-private table;
+    // the assertion is the operator's whole point: algebraic stat merges
+    // (df, N, Σdl) make the maintained index EXACT, so the incrementally
+    // served top-20 must equal q58's full rebuild including scores
+    val inc = RetrievalOps.bm25Incremental(spark, sf,
+        table = "graft_bm25_spec_postings", tag = None)
+      .as[(Long, Double)].collect().toSeq
+    val full = SparkEntry.queries("q58_bm25")(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    assert(full.nonEmpty && inc === full)
+    // the serve probe must carry snapshot AND increment docs — otherwise
+    // the equality above could hold vacuously on a degenerate split
+    val cut = math.floor((spark.read.parquet(s"$sf/documents.parquet")
+      .agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+    assert(inc.exists(_._1 < cut) && inc.exists(_._1 >= cut),
+      s"top-20 $inc spans only one side of the $cut split")
+  }
+
   test("bigram quality matches the hand-computed interpolated LM") {
     // Corpus: d1 = "x y x", d2 = "x y".
     // Unigrams: c(x)=3, c(y)=2, N=5. Bigrams: c(x y)=2, c(y x)=1.

@@ -97,6 +97,51 @@ class TextOpsSpec extends SparkSpec {
     assert(maxDf > 16, s"expected hot shingles, max df = $maxDf")
   }
 
+  test("prefix filter: (pair, score) equality with uncapped exact pairs " +
+      "under corpus-hot boilerplate plus an 18-way duplicate class (q186)") {
+    // Both adversarial fixtures the df-cap needs rescue machinery for,
+    // in ONE corpus: universal boilerplate (corpus-hot shingles) and an
+    // identical-duplicate class whose every shingle is hot. The prefix
+    // filter needs no cap and no rescue — losslessness is a theorem —
+    // asserted here as full (id_a, id_b, jaccard) set equality.
+    val boiler = " this document is provided as is without any warranty"
+    val dupText = "zorple quandric flumina vexatron brillig slithy toves " +
+      "gyre gimble wabe mimsy borogoves outgrabe raths"
+    val background = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+      .select(col("doc_id"), concat(col("text"), lit(boiler)).as("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (id + 10000L, t) }.toSeq
+    val rows = (1L to 18L).map(i => (i, dupText)) ++ background
+    val sh = shingled(rows)
+    val uncapped = TextOps.exactJaccardPairs(sh, sh, 0.5)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.nonEmpty)
+    val prefix = TextOps.prefixFilterJaccardPairs(sh, 0.5)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefix == uncapped,
+      s"missing=${(uncapped -- prefix).take(5)} " +
+        s"extra=${(prefix -- uncapped).take(5)}")
+    // non-vacuous: at τ = 0.5 each doc indexes about half its shingles,
+    // so the prefix posting stream must be a strict minority of the full
+    // stream — the filter is doing real work in this corpus
+    val fullPosts = sh.select(explode(col("sh"))).count()
+    val dfRel = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s"))
+    val prefixPosts = dfRel
+      .join(dfRel.groupBy(col("s")).agg(count(lit(1)).as("df")), Seq("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * 0.5) + 1)
+      .count()
+    assert(prefixPosts * 3 < fullPosts * 2,
+      s"prefix stream $prefixPosts of $fullPosts is not a strict cut")
+  }
+
   test("df-floor rescue: an 18-way identical duplicate class survives the cap") {
     // The one family that violates the prefix-filtering safety condition:
     // every shared shingle of a (dfCap+1)-plus-way duplicate class is hot
