@@ -141,7 +141,7 @@ object RetrievalOps {
     * full-corpus run) and q187 (the incrementally-maintained index),
     * because the maintained index is EXACT: its serve run must equal a
     * from-scratch full-corpus run bit-for-bit. */
-  private val Bm25Sql =
+  private[graft] val Bm25Sql =
     """WITH tok AS (
          SELECT doc_id, unnest(regexp_extract_all(lower(text),
            '[a-z0-9]+')) AS t
@@ -241,14 +241,28 @@ object RetrievalOps {
       .groupBy(col("t"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .persist() // two consumers: delta df + the serve-probe union
+    val incStats = incTok.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("tk"))).as("sum_dl"))
+    bm25ServeMerged(s, table, incPost, incStats)
+  }
+
+  /** The shared serve phase of the maintained BM25 index: snapshot index
+    * tables ∪ increment deltas, every statistic merged algebraically,
+    * scored with [[bm25Weight]]. `incPost` is the increment's aggregated
+    * (t, doc_id, tf, dl) postings; `incStats` its (n_docs, sum_dl)
+    * moment row(s) — MULTIPLE rows sum cleanly, which is what lets the
+    * streaming twin (q188) feed one moment row per micro-batch. Used by
+    * q187 (batch increment) and q188 (streamed increment), so the two
+    * maintain legs cannot drift. */
+  private[graft] def bm25ServeMerged(s: SparkSession, table: String,
+      incPost: DataFrame, incStats: DataFrame): DataFrame = {
     val dfMerged = s.table(s"${table}_df")
       .filter(col("t").isin(QueryTerms: _*))
       .unionByName(incPost.filter(col("t").isin(QueryTerms: _*))
         .groupBy(col("t")).agg(count(lit(1)).as("df")))
       .groupBy(col("t")).agg(sum(col("df")).as("df"))
     val statsMerged = s.table(s"${table}_stats")
-      .unionByName(incTok.agg(count(lit(1)).as("n_docs"),
-        sum(size(col("tk"))).as("sum_dl")))
+      .unionByName(incStats)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       // Σdl and N are exact longs; ONE double division — the identical
       // IEEE value Spark's avg(dl) and DuckDB's avg produce from the
@@ -265,6 +279,54 @@ object RetrievalOps {
       .agg(round(sum(col("w")), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
+  }
+
+  /** One micro-batch's index delta (q188): the batch's aggregated
+    * postings land in `store/post/b<batchId>` and its moment row in
+    * `store/stats/b<batchId>` — OVERWRITE per batch id, so a replayed
+    * micro-batch rewrites its own delta instead of double-counting it
+    * (the q112 versioned-store rule in its append-free form: each batch
+    * owns a keyed slot, and retry is idempotent by construction). */
+  private[graft] def appendBm25Delta(batch: DataFrame, store: String,
+      batchId: Long): Unit = {
+    val tok = batch
+      .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+      .persist()
+    try {
+      tok.select(col("doc_id"), size(col("tk")).as("dl"),
+          explode(col("tk")).as("t"))
+        .groupBy(col("t"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$store/post/b$batchId")
+      tok.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk"))).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$store/stats/b$batchId")
+    } finally { tok.unpersist(); () }
+  }
+
+  /** Read back every micro-batch delta under `store` (q188 serve side):
+    * (postings, moment rows). Empty-safe so a zero-batch stream still
+    * serves the bare snapshot. */
+  private[graft] def readBm25Deltas(s: SparkSession,
+      store: String): (DataFrame, DataFrame) = {
+    def parts(sub: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$store/$sub")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.matches("b\\d+")).map(n => s"$store/$sub/$n")
+    }
+    val post = parts("post") match {
+      case Seq() => s.range(0).select(lit("").as("t"), lit(0L).as("doc_id"),
+        lit(0).as("dl"), lit(0L).as("tf"))
+      case ds => s.read.parquet(ds: _*)
+    }
+    val stats = parts("stats") match {
+      case Seq() => s.range(0).select(lit(0L).as("n_docs"),
+        lit(0L).as("sum_dl"))
+      case ds => s.read.parquet(ds: _*)
+    }
+    (post, stats)
   }
 
   val catalog: Seq[Q] = Seq(

@@ -636,6 +636,41 @@ object StreamingOps {
               FROM snap s JOIN inc i ON s.t = i.t
               ORDER BY snap_id, inc_id""")),
 
+    // ---- streaming BM25 index maintenance + serve (q188): the third
+    // leg of the retrieval triangle (q58 builds from scratch, q187
+    // maintains under a batch increment, this maintains under a STREAM).
+    // Static side: the shared snapshot postings index (ArtifactCache;
+    // q187 probes the same artifact). Stream side: each micro-batch of
+    // arriving docs tokenizes once and lands its aggregated postings
+    // plus one (n_docs, Σdl) moment row in a per-batch-id slot —
+    // OVERWRITE per slot, so a replayed batch rewrites its own delta
+    // instead of double-counting (the q112 idempotency rule without
+    // needing versioned snapshots: index deltas are disjoint by batch).
+    // Serve: snapshot ∪ all deltas with every statistic merged
+    // algebraically — BM25's inputs are all sums/counts, so the served
+    // top-20 equals a from-scratch full-corpus rebuild bit-for-bit and
+    // stream ≡ batch ≡ incremental by CONSTRUCTION (q187's serve path
+    // verbatim, fed from the store). Oracle: q58's SQL, the third
+    // engine path through one rule.
+    Q("q188_stream_bm25_serve",
+      (s, d) => {
+        import graft.ops.RetrievalOps
+        val docs = graft.schema.Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val table = RetrievalOps.Bm25PostingsTable
+        RetrievalOps.writeBm25SnapshotIndex(s,
+          docs.filter(col("doc_id") < cut), table, RetrievalOps.bm25Tag(d))
+        val store = tempStore("graft_bm25_stream")
+        runForeachBatch(s, d, "documents")(
+          _.filter(col("doc_id") >= cut)) { (batch, batchId) =>
+          RetrievalOps.appendBm25Delta(batch, store, batchId)
+        }
+        val (deltaPost, deltaStats) = RetrievalOps.readBm25Deltas(s, store)
+        RetrievalOps.bm25ServeMerged(s, table, deltaPost, deltaStats)
+      },
+      Some(graft.ops.RetrievalOps.Bm25Sql)),
+
     // ---- streaming CDC upsert WITH DELETES (q112, VERDICT r10 #7): q63
     // streams insert-if-absent and q76 batch-merges D/I/U — this closes
     // the gap between them: a changelog STREAM (synthesized from orders

@@ -341,6 +341,38 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() === before)
   }
 
+  test("streamed BM25 deltas are replay-idempotent and serve exactly the " +
+      "full-corpus run (q188)") {
+    import graft.ops.RetrievalOps
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = math.floor(
+      (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+    val table = "graft_bm25_spec_stream_postings"
+    RetrievalOps.writeBm25SnapshotIndex(spark,
+      docs.filter(col("doc_id") < cut), table, tag = None)
+    val store = Files.createTempDirectory("q188replay").toString
+    val inc = docs.filter(col("doc_id") >= cut)
+    // two "micro-batches" split by parity, then batch 1 RETRIED: the
+    // per-batch-id overwrite slot must leave the served result unchanged
+    RetrievalOps.appendBm25Delta(inc.filter(col("doc_id") % 2 === 0),
+      store, 0L)
+    RetrievalOps.appendBm25Delta(inc.filter(col("doc_id") % 2 === 1),
+      store, 1L)
+    def served(): Seq[(Long, Double)] = {
+      val (p, st) = RetrievalOps.readBm25Deltas(spark, store)
+      RetrievalOps.bm25ServeMerged(spark, table, p, st)
+        .as[(Long, Double)].collect().toSeq
+    }
+    val before = served()
+    val full = SparkEntry.queries("q58_bm25")(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    assert(before === full, "streamed serve must equal full rebuild")
+    RetrievalOps.appendBm25Delta(inc.filter(col("doc_id") % 2 === 1),
+      store, 1L)
+    assert(served() === before, "batch retry must not double-count")
+  }
+
   test("ts-consuming stream queries run against the DRIVER testdata's " +
       "actual timestamp type") {
     // The other streaming tests run on Spark-written fixtures (micros
