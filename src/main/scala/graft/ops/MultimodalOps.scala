@@ -173,9 +173,21 @@ object MultimodalOps {
     */
   def patternImageTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
-      .mapPartitions(_.map { case (docId, nChars) =>
+    patternImagesOf(Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id"), col("n_chars"))
+      .as[(Long, Long, Long)])
+  }
+
+  /** q119's scene synthesis over explicit (media_id, seed, n_chars) rows
+    * — factored out (round 12) so the streaming gate (q189) can re-derive
+    * a RE-CRAWLED asset's scene from its ORIGINAL doc id (`seed`) while
+    * publishing it under its re-fetch id (`media_id`), exactly like
+    * q137's re-crawl projection does for text. */
+  def patternImagesOf(
+      rows: Dataset[(Long, Long, Long)]): Dataset[MediaRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .mapPartitions(_.map { case (mediaId, docId, nChars) =>
         val pattern = if (docId % 97 < 2) docId - (docId % 97) else docId
         val w = (nChars % 64 + 16).toInt
         val h = (nChars % 48 + 16).toInt
@@ -192,7 +204,7 @@ object MultimodalOps {
           }
           y += 1
         }
-        MediaRow(docId, "image", MediaKernels.encodePpm(w, h, rgb),
+        MediaRow(mediaId, "image", MediaKernels.encodePpm(w, h, rgb),
           w, h, 3, 0, 1)
       })
   }
@@ -377,6 +389,42 @@ object MultimodalOps {
       .filter(col("a.sig") === col("b.sig"))
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
   }
+
+  /** The written snapshot signature index (q189) and its
+    * [[ArtifactCache]] content tag: 72 bytes/asset (media_id + aHash +
+    * 64-byte cell signature), bucketed by aHash so the streaming probe's
+    * equi-join satisfies the index side's distribution — only the
+    * arriving batch's signatures shuffle, never the index. The payloads
+    * that produced the signatures are NOT stored: the index is the
+    * byte-bounded derived state, which is the entire point of signature
+    * dedup at 100 TB of media. */
+  private[graft] val MediaSigTable = "graft_media_sig_index"
+  private[graft] def mediaSigTag(d: String): Option[String] =
+    Some(s"$d|documents|cut0.8|mediasig")
+
+  def writeMediaSigIndex(s: SparkSession, snapDocs: DataFrame,
+      table: String, tag: Option[String] = None): Unit =
+    ArtifactCache.once(table, tag) {
+      import s.implicits._
+      Tables.resetManagedTable(s, table)
+      imageSignatures(patternImagesOf(snapDocs
+          .select(col("doc_id"), col("doc_id"), col("n_chars"))
+          .as[(Long, Long, Long)]))
+        .toDF()
+        .write.bucketBy(8, "ahash").mode("overwrite").saveAsTable(table)
+    }
+
+  /** Probe the written signature index with one batch of arrival
+    * signatures (q189): aHash-equality bucket join + exact 64-byte
+    * signature verify — the q119 match rule verbatim, restricted to
+    * index × arrivals. */
+  private[graft] def probeMediaSigIndex(s: SparkSession, table: String,
+      arrivals: Dataset[ImageSig]): DataFrame =
+    s.table(table).as("a").join(arrivals.toDF().as("b"),
+        col("a.ahash") === col("b.ahash"))
+      .filter(col("a.sig") === col("b.sig"))
+      .select(col("a.media_id").as("snap_id"),
+        col("b.media_id").as("inc_id"))
 
   val catalog: Seq[Q] = Seq(
 

@@ -671,6 +671,86 @@ object StreamingOps {
       },
       Some(graft.ops.RetrievalOps.Bm25Sql)),
 
+    // ---- streaming perceptual-dedup gate (q189): the multimodal
+    // family's missing stream leg (q119/q182 are batch sweeps) — the
+    // media twin of q137's exact-text gate. Static side: the snapshot
+    // images (docs below the 80% cut) decode + signature ONCE into a
+    // written 72-byte/asset index bucketed by aHash; payloads are NOT
+    // stored — the index is the byte-bounded derived state, which is
+    // what makes signature dedup viable over 100 TB of media. Stream
+    // side: arrivals — fresh docs plus q137's every-7th re-crawl, whose
+    // re-fetched asset re-synthesizes the SAME scene under its re-fetch
+    // id — decode + signature per micro-batch (narrow mapPartitions,
+    // payloads never shuffle), probe the index by aHash equality, and
+    // exact-verify on the full 64-byte signature, so an aHash collision
+    // cannot admit a false pair. Per-batch cost ∝ arrival rate; the
+    // snapshot is never re-decoded. Matches land in per-batch-id
+    // OVERWRITE slots (the q188 idempotency rule). Oracle: pure doc_id
+    // arithmetic — every re-crawl matches its original, a re-crawled
+    // 97-group member also matches its scene partner, and a fresh
+    // arrival matches only across a cut-straddling 97-group.
+    Q("q189_stream_media_dedup_gate",
+      (s, d) => {
+        import graft.ops.MultimodalOps
+        val docs = graft.schema.Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val table = MultimodalOps.MediaSigTable
+        MultimodalOps.writeMediaSigIndex(s,
+          docs.filter(col("doc_id") < cut), table,
+          MultimodalOps.mediaSigTag(d))
+        val store = tempStore("graft_media_gate_out")
+        runForeachBatch(s, d, "documents")(df =>
+          df.filter(col("doc_id") >= cut || col("doc_id") % 7 === 0)
+            .select(
+              when(col("doc_id") < cut, col("doc_id") + lit(1000000L))
+                .otherwise(col("doc_id")).as("media_id"),
+              col("doc_id").as("seed"),
+              col("n_chars"))) { (batch, batchId) =>
+          import batch.sparkSession.implicits._
+          val sigs = MultimodalOps.imageSignatures(
+            MultimodalOps.patternImagesOf(batch.as[(Long, Long, Long)]))
+          MultimodalOps.probeMediaSigIndex(batch.sparkSession, table, sigs)
+            .write.mode("overwrite").parquet(s"$store/b$batchId")
+          ()
+        }
+        val root = new org.apache.hadoop.fs.Path(store)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
+        (if (slots.isEmpty)
+          s.range(0).select(lit(0L).as("snap_id"), lit(0L).as("inc_id"))
+        else s.read.parquet(slots: _*))
+          .orderBy(col("snap_id"), col("inc_id"))
+      },
+      Some("""WITH cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8)
+                AS BIGINT) AS cut FROM documents),
+              mx AS (SELECT max(doc_id) AS mx FROM documents),
+              recrawl AS (SELECT doc_id AS o FROM documents, cut
+                WHERE doc_id < cut.cut AND doc_id % 7 = 0),
+              self_p AS (SELECT o AS snap_id, o + 1000000 AS inc_id
+                FROM recrawl),
+              partner_p AS (
+                SELECT CASE WHEN o % 97 = 0 THEN o + 1 ELSE o - 1 END
+                    AS snap_id,
+                  o + 1000000 AS inc_id
+                FROM recrawl, cut, mx
+                WHERE o % 97 IN (0, 1)
+                  AND (CASE WHEN o % 97 = 0 THEN o + 1 ELSE o - 1 END)
+                    < cut.cut
+                  AND (CASE WHEN o % 97 = 0 THEN o + 1 ELSE o - 1 END)
+                    <= mx.mx),
+              fresh_p AS (
+                SELECT doc_id - 1 AS snap_id, doc_id AS inc_id
+                FROM documents, cut
+                WHERE doc_id >= cut.cut AND doc_id % 97 = 1
+                  AND doc_id - 1 < cut.cut)
+              SELECT snap_id, inc_id FROM (
+                SELECT * FROM self_p
+                UNION ALL SELECT * FROM partner_p
+                UNION ALL SELECT * FROM fresh_p)
+              ORDER BY snap_id, inc_id""")),
+
     // ---- streaming CDC upsert WITH DELETES (q112, VERDICT r10 #7): q63
     // streams insert-if-absent and q76 batch-merges D/I/U — this closes
     // the gap between them: a changelog STREAM (synthesized from orders

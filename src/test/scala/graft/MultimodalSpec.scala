@@ -177,4 +177,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out == List((0L, 1L, "ppm", "jpeg")), out)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("streaming media gate equals the batch index probe of the same " +
+      "arrivals (q189)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = math.floor(
+      (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+    // the gate itself (drains the stream, probes the shared index)
+    val streamed = SparkEntry.queries("q189_stream_media_dedup_gate")(
+        spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty)
+    // batch recomputation of the SAME rule: arrival signatures (fresh ∪
+    // re-crawl under re-fetch ids, scenes seeded by the ORIGINAL id)
+    // joined against snapshot signatures on (ahash, sig)
+    def sigsOf(rows: org.apache.spark.sql.DataFrame) =
+      MultimodalOps.imageSignatures(MultimodalOps.patternImagesOf(
+        rows.as[(Long, Long, Long)])).toDF()
+    val snapSigs = sigsOf(docs.filter(col("doc_id") < cut)
+      .select(col("doc_id"), col("doc_id"), col("n_chars")))
+    val arrSigs = sigsOf(docs
+      .filter(col("doc_id") >= cut || col("doc_id") % 7 === 0)
+      .select(
+        when(col("doc_id") < cut, col("doc_id") + lit(1000000L))
+          .otherwise(col("doc_id")).as("media_id"),
+        col("doc_id").as("seed"), col("n_chars")))
+    val batch = snapSigs.as("a").join(arrSigs.as("b"),
+        col("a.ahash") === col("b.ahash"))
+      .filter(col("a.sig") === col("b.sig"))
+      .select(col("a.media_id").as("snap_id"),
+        col("b.media_id").as("inc_id"))
+      .orderBy(col("snap_id"), col("inc_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed === batch, "stream must equal the batch probe")
+    // every re-crawl matches its original — the planted invariant the
+    // oracle arithmetic states
+    val recrawls = docs.filter(col("doc_id") < cut && col("doc_id") % 7 === 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val selfPairs = streamed.filter { case (s0, i) => i == s0 + 1000000L }
+      .map(_._1).toSet
+    assert(selfPairs === recrawls)
+  }
 }
