@@ -70,7 +70,8 @@ object ScaleCurve {
       "q174_benford_audit", "q175_attribution", "q177_rfm_segmentation", "q178_zscore_maintain", "q180_seasonality", "q181_curation_pipeline",
       "q182_media_dedup_crosscodec", "q183_avro_roundtrip",
       "q184_stratified_quota_sample", "q185_source_overlap",
-      "q186_prefix_filter_jaccard", "q187_bm25_incremental")
+      "q186_prefix_filter_jaccard", "q187_bm25_incremental",
+      "q190_containment_dedup")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running

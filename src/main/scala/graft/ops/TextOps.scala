@@ -754,6 +754,45 @@ object TextOps {
       },
       Some(ExactJaccardSql)),
 
+    // ---- exact containment (near-subset) dedup (q190): the asymmetric
+    // complement of the Jaccard family — c = |a∩b| / min(|a|,|b|) ≥ 0.8
+    // flags a document largely CONTAINED in another (quoted article
+    // inside an aggregator page, chapter inside a compilation), which
+    // symmetric Jaccard scores low because the union is page-sized. The
+    // published candidate scheme for containment thresholds: probe-prefix
+    // vs full index (see [[containmentPairs]] for the soundness argument
+    // and the fanout honesty note). Oracle: the uncapped exact SQL at
+    // the containment formula — losslessness checked per corpus AND held
+    // by the prefix theorem.
+    Q("q190_containment_dedup",
+      (s, d) => {
+        val sh = docsWithShingles(s, d)
+        containmentPairs(sh, 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("containment"), 4).as("containment"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (
+             SELECT doc_id, list_distinct(list_transform(
+               range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+             FROM documents),
+             e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+             sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
+             inter AS (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT id_a, id_b,
+               round(ni * 1.0 / least(sa.sz, sb.sz), 4) AS containment
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+             WHERE ni * 1.0 / least(sa.sz, sb.sz) >= 0.8
+             ORDER BY id_a, id_b""")),
+
     // ---- SimHash near-dup: 64-bit signature (8 bytes/doc), candidates via
     // 16-bit chunk pigeonhole (hamming ≤ 3 ⇒ some chunk equal), verified by
     // bit_count(xor). The signature family (xxhash64) has no DuckDB twin,
@@ -1436,6 +1475,59 @@ object TextOps {
       .persist()
     verifyJaccardCandidates(cand, lookupForCandidates(docs, cand),
       threshold)
+  }
+
+  /** Exact-threshold CONTAINMENT pairs (q190): c(a,b) = |a∩b| /
+    * min(|a|,|b|) ≥ `threshold`, id_a < id_b — the asymmetric near-SUBSET
+    * relation the whole Jaccard family is blind to (a short article
+    * embedded verbatim in a long aggregator page has high containment and
+    * LOW Jaccard, because the union is dominated by the page).
+    *
+    * Candidate scheme: probe-prefix vs FULL index (the published
+    * containment/overlap-join adaptation of prefix filtering — the
+    * symmetric prefix×prefix trick is unsound here because the larger
+    * doc's required prefix would depend on its partner's size). Each doc
+    * probes with its p = sz − ceil(τ·sz) + 1 rarest tokens against the
+    * full posting stream: if c ≥ τ and m is the smaller doc, the pair
+    * shares ≥ ceil(τ·sz_m) tokens, and missing m's whole prefix caps the
+    * shared count at sz_m − p_m = ceil(τ·sz_m) − 1 — so the smaller
+    * doc's prefix always collides and generating from BOTH sides is
+    * doubly safe. Fanout honesty: a probe prefix token joins its FULL
+    * posting list, so a corpus-hot token inside some doc's prefix costs
+    * its df — rarity ordering makes that the rarest-available token for
+    * that doc, and organic corpora keep rare-token df small, but unlike
+    * q186 there is no per-bucket quadratic bound; the verify stage is
+    * what bounds the OUTPUT. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val posts = docs
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("s0")).as("s"))
+    val dfRel = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("s"))
+    val prefix = posts.join(dfRel, Seq("s"))
+      .withColumn("rn", row_number().over(rarity))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("s"), col("doc_id").as("p_id"))
+    val cand = prefix
+      .join(posts.select(col("s"), col("doc_id").as("f_id")), Seq("s"))
+      .filter(col("p_id") =!= col("f_id"))
+      .select(least(col("p_id"), col("f_id")).as("id_a"),
+        greatest(col("p_id"), col("f_id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .persist()
+    val docsFor = lookupForCandidates(docs, cand)
+    cand
+      .join(docsFor.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(docsFor.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment", col("ni") /
+        least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
   }
 
   def exactJaccardPairsCapped(docs: DataFrame, threshold: Double,

@@ -142,6 +142,41 @@ class TextOpsSpec extends SparkSpec {
       s"prefix stream $prefixPosts of $fullPosts is not a strict cut")
   }
 
+  test("containment catches a near-subset pair that Jaccard misses, and " +
+      "equals the brute-force formula (q190)") {
+    // doc 1 = a short article; doc 2 = an "aggregator page" embedding it
+    // verbatim inside much more text: containment(1→2) = 1.0, Jaccard
+    // far below 0.5 because the union is page-sized
+    val article = "quick brown foxes jump over lazy dogs in autumn fields"
+    val filler = (1 to 120).map(i => s"filler$i word$i item$i").mkString(" ")
+    val background = spark.read.parquet(s"$sf/documents.parquet").limit(150)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => (id + 10000L, t) }.toSeq
+    val rows = Seq((1L, article), (2L, s"$filler $article")) ++ background
+    val sh = shingled(rows)
+    val out = TextOps.containmentPairs(sh, 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.contains((1L, 2L, 1.0)),
+      s"subset pair missing from $out")
+    // the same pair is invisible to the symmetric family at 0.5
+    val jac = TextOps.exactJaccardPairs(sh, sh, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)), "jaccard should miss the subset pair")
+    // full brute-force equality: every pair with ni/min(sz) >= 0.8
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))) /
+          least(size(col("a.sh")), size(col("b.sh")))).as("c"))
+      .filter(col("c") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("c"), 4).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === brute,
+      s"missing=${(brute -- out).take(5)} extra=${(out -- brute).take(5)}")
+  }
+
   test("df-floor rescue: an 18-way identical duplicate class survives the cap") {
     // The one family that violates the prefix-filtering safety condition:
     // every shared shingle of a (dfCap+1)-plus-way duplicate class is hot
