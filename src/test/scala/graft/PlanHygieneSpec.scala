@@ -47,6 +47,19 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("source"), p)
   }
 
+  test("q187: the serve probe bucket-prunes the postings index and plans " +
+      "the top-20 as TakeOrderedAndProject") {
+    val p = plan("q187_bm25_incremental")
+    // the isin(QueryTerms) filter must reach the bucketed scan as bucket
+    // pruning — the index-probe read that makes serve posting-list-sized
+    assert(p.contains("SelectedBucketsCount"), p)
+    // ... and prune to a strict subset of the 8 buckets
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(sel.exists(n => n >= 1 && n < 8), s"buckets=$sel\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("custom expressions stay inside codegen stages") {
     import org.apache.spark.sql.functions._
     val df = spark.range(10).select(
@@ -71,12 +84,20 @@ class PlanHygieneSpec extends SparkSpec {
   test("q34/q35: the df-cap's hot-shingle side broadcasts (no posting re-shuffle)") {
     // the stop-shingle anti-join must enter as a BroadcastExchange of the
     // tiny hot set — a df WINDOW here would instead shuffle the whole
-    // posting stream by shingle (the round-4 redesign this guards)
-    for (q <- Seq("q34_minhash_lsh", "q35_ngram_jaccard")) {
-      val p = plan(q)
+    // posting stream by shingle (the round-4 redesign this guards).
+    // q34's CATALOG plan became an artifact read when the shared pair
+    // table is warm (round 12's build-once memo), so the guard targets
+    // the DETECTION plan its build job runs; q35 still plans detection
+    // directly.
+    val docs = graft.ops.TextOps.docsWithShingles(spark, sf)
+    val plans = Seq(
+      "q34 detection" -> graft.ops.TextOps
+        .minHashLshPairs(docs, 0.5, dfCap = 16)
+        .queryExecution.executedPlan.toString,
+      "q35" -> plan("q35_ngram_jaccard"))
+    for ((q, p) <- plans)
       assert(p.contains("BroadcastHashJoin") &&
         p.contains("LeftAnti, BuildRight"), s"$q:\n$p")
-    }
   }
 
   test("q42b: the LSH bucket join shuffles ids, never embeddings") {
