@@ -793,6 +793,76 @@ object TextOps {
              WHERE ni * 1.0 / least(sa.sz, sb.sz) >= 0.8
              ORDER BY id_a, id_b""")),
 
+    // ---- incremental HLL cardinality maintenance (q191): the mergeable-
+    // sketch member of the maintainer family — per-language distinct-
+    // shingle cardinality (content-diversity monitoring: a crawl whose
+    // distinct-shingle curve flattens is re-fetching what it already
+    // has). The snapshot's per-lang DataSketches HLL sketches (lgK=12,
+    // 4 KB/lang) are the written artifact; an increment folds in as a
+    // register-wise union — HLL registers are per-bucket MAXima, so
+    // union is associative/commutative/idempotent and
+    // estimate(union(snap, inc)) EQUALS estimate(full rebuild) exactly,
+    // which the plan CHECKS (merge_equals_full) rather than assumes,
+    // alongside a 5% accuracy band against the exact count (integer
+    // cross-multiplication, no float threshold). At 100 TB the exact
+    // and full-rebuild legs are the VERIFICATION machinery (the oracle's
+    // job, here in-plan because both are one linear aggregate); the
+    // production read is the 4 KB-per-lang sketch table plus an
+    // increment-sized aggregate — the daily-rollup primitive mergeable
+    // sketches exist for.
+    Q("q191_hll_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cut = docs.agg(
+          floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+        val sh = docsWithShingles(s, d)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        val posts = sh.select(col("lang"), col("doc_id"),
+          explode(col("sh")).as("t"))
+        val table = "graft_hll_shingle_sketch"
+        ArtifactCache.once(table, Some(s"$d|documents|cut0.8|hll12")) {
+          Tables.resetManagedTable(s, table)
+          posts.crossJoin(broadcast(cut))
+            .filter(col("doc_id") < col("cut"))
+            .groupBy(col("lang"))
+            .agg(hll_sketch_agg(col("t"), 12).as("sk"))
+            .write.mode("overwrite").saveAsTable(table)
+        }
+        val incSk = posts.crossJoin(broadcast(cut))
+          .filter(col("doc_id") >= col("cut"))
+          .groupBy(col("lang"))
+          .agg(hll_sketch_agg(col("t"), 12).as("sk"))
+        val merged = s.table(table).unionByName(incSk)
+          .groupBy(col("lang"))
+          .agg(hll_sketch_estimate(
+            hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+            .as("est_m"))
+        val fullSk = posts.groupBy(col("lang"))
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("t"), 12))
+            .as("est_f"))
+        val exact = posts.groupBy(col("lang"))
+          .agg(countDistinct(col("t")).as("n_exact"))
+        exact.join(merged, Seq("lang")).join(fullSk, Seq("lang"))
+          .select(col("lang"), col("n_exact"),
+            (col("est_m") === col("est_f")).as("merge_equals_full"),
+            (abs(col("est_m") - col("n_exact")) * 20 <= col("n_exact"))
+              .as("within_5pct"))
+          .orderBy(col("lang"))
+      },
+      // exact counts recomputed in DuckDB; the two sketch invariants are
+      // pinned TRUE — a merge/accuracy break flips the row hash
+      Some("""WITH t AS (
+             SELECT lang, list_distinct(list_transform(
+               range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+             FROM documents),
+             e AS (SELECT lang, unnest(sh) AS s FROM t)
+             SELECT lang, count(DISTINCT s) AS n_exact,
+               true AS merge_equals_full, true AS within_5pct
+             FROM e GROUP BY lang ORDER BY lang""")),
+
     // ---- SimHash near-dup: 64-bit signature (8 bytes/doc), candidates via
     // 16-bit chunk pigeonhole (hamming ≤ 3 ⇒ some chunk equal), verified by
     // bit_count(xor). The signature family (xxhash64) has no DuckDB twin,

@@ -142,6 +142,34 @@ class TextOpsSpec extends SparkSpec {
       s"prefix stream $prefixPosts of $fullPosts is not a strict cut")
   }
 
+  test("HLL maintenance: merged estimate equals the full rebuild, stays " +
+      "in the 5% band, and unions associatively over 3-way splits (q191)") {
+    val out = SparkEntry.queries("q191_hll_incremental")(spark, sf)
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(out.length === 5)
+    out.foreach { case (lang, n, meq, w5) =>
+      assert(n > 1000, s"$lang shingle cardinality $n")
+      assert(meq, s"$lang merged sketch != full rebuild")
+      assert(w5, s"$lang estimate outside the 5% band of $n")
+    }
+    // register-max semantics: sketches over ANY disjoint 3-way split of
+    // the posting stream union to the same estimate as one direct pass —
+    // the q191 invariant generalized past the 80/20 cut it runs with
+    val posts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.ops.TextOps.toks(col("text"))).as("t"))
+    val direct = posts.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("t"), 12)))
+      .as[Long].head()
+    val threeWay = posts
+      .groupBy((col("doc_id") % 3).as("part"))
+      .agg(hll_sketch_agg(col("t"), 12).as("sk"))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), allowDifferentLgConfigK = false)))
+      .as[Long].head()
+    assert(direct === threeWay)
+  }
+
   test("containment catches a near-subset pair that Jaccard misses, and " +
       "equals the brute-force formula (q190)") {
     // doc 1 = a short article; doc 2 = an "aggregator page" embedding it
