@@ -812,56 +812,20 @@ object TextOps {
     // sketches exist for.
     Q("q191_hll_incremental",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val cut = docs.agg(
+        val cut = Tables.documents(s, d).agg(
           floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
-        val sh = docsWithShingles(s, d)
-          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        val posts = sh.select(col("lang"), col("doc_id"),
-          explode(col("sh")).as("t"))
-        val table = "graft_hll_shingle_sketch"
-        ArtifactCache.once(table, Some(s"$d|documents|cut0.8|hll12")) {
-          Tables.resetManagedTable(s, table)
-          posts.crossJoin(broadcast(cut))
-            .filter(col("doc_id") < col("cut"))
-            .groupBy(col("lang"))
-            .agg(hll_sketch_agg(col("t"), 12).as("sk"))
-            .write.mode("overwrite").saveAsTable(table)
-        }
+        val posts = langShinglePosts(s, d)
+        writeHllShingleSketch(s, d)
         val incSk = posts.crossJoin(broadcast(cut))
           .filter(col("doc_id") >= col("cut"))
           .groupBy(col("lang"))
           .agg(hll_sketch_agg(col("t"), 12).as("sk"))
-        val merged = s.table(table).unionByName(incSk)
-          .groupBy(col("lang"))
-          .agg(hll_sketch_estimate(
-            hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
-            .as("est_m"))
-        val fullSk = posts.groupBy(col("lang"))
-          .agg(hll_sketch_estimate(hll_sketch_agg(col("t"), 12))
-            .as("est_f"))
-        val exact = posts.groupBy(col("lang"))
-          .agg(countDistinct(col("t")).as("n_exact"))
-        exact.join(merged, Seq("lang")).join(fullSk, Seq("lang"))
-          .select(col("lang"), col("n_exact"),
-            (col("est_m") === col("est_f")).as("merge_equals_full"),
-            (abs(col("est_m") - col("n_exact")) * 20 <= col("n_exact"))
-              .as("within_5pct"))
-          .orderBy(col("lang"))
+        hllVerifiedEstimates(s, posts,
+          s.table(HllSketchTable).unionByName(incSk))
       },
       // exact counts recomputed in DuckDB; the two sketch invariants are
       // pinned TRUE — a merge/accuracy break flips the row hash
-      Some("""WITH t AS (
-             SELECT lang, list_distinct(list_transform(
-               range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
-               i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
-                    regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
-             FROM documents),
-             e AS (SELECT lang, unnest(sh) AS s FROM t)
-             SELECT lang, count(DISTINCT s) AS n_exact,
-               true AS merge_equals_full, true AS within_5pct
-             FROM e GROUP BY lang ORDER BY lang""")),
+      Some(HllVocabSql)),
 
     // ---- SimHash near-dup: 64-bit signature (8 bytes/doc), candidates via
     // 16-bit chunk pigeonhole (hamming ≤ 3 ⇒ some chunk equal), verified by
@@ -1545,6 +1509,78 @@ object TextOps {
       .persist()
     verifyJaccardCandidates(cand, lookupForCandidates(docs, cand),
       threshold)
+  }
+
+  /** The q191/q192 sketch machinery, shared so the incremental and
+    * streaming legs cannot drift: the (lang, doc_id, shingle) posting
+    * stream, the written snapshot sketch artifact (per-lang DataSketches
+    * HLL, lgK=12), and the verified-estimate serve shape (merged
+    * sketches checked against a full rebuild AND a 5% exact-count band,
+    * both emitted as oracle-hashed booleans). */
+  private[graft] val HllSketchTable = "graft_hll_shingle_sketch"
+
+  /** The q191/q192 oracle — exact per-lang distinct-shingle counts with
+    * both in-plan sketch invariants pinned TRUE (one rule, two engine
+    * paths: batch-incremental and streamed). LAZY because the catalog
+    * val above references it during object init, before declaration
+    * order reaches this line — an eager val would capture null into
+    * q191's oracle (exactly the bug a rows-only CORRECTNESS row would
+    * have surfaced a round late). */
+  private[graft] lazy val HllVocabSql =
+    """WITH t AS (
+       SELECT lang, list_distinct(list_transform(
+         range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+         i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+              regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+              regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+       FROM documents),
+       e AS (SELECT lang, unnest(sh) AS s FROM t)
+       SELECT lang, count(DISTINCT s) AS n_exact,
+         true AS merge_equals_full, true AS within_5pct
+       FROM e GROUP BY lang ORDER BY lang"""
+
+  private[graft] def langShinglePosts(s: SparkSession,
+      d: String): DataFrame =
+    docsWithShingles(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("lang"), col("doc_id"), explode(col("sh")).as("t"))
+
+  private[graft] def writeHllShingleSketch(s: SparkSession,
+      d: String): Unit =
+    ArtifactCache.once(HllSketchTable, Some(s"$d|documents|cut0.8|hll12")) {
+      val cut = Tables.documents(s, d).agg(
+        floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+      Tables.resetManagedTable(s, HllSketchTable)
+      langShinglePosts(s, d).crossJoin(broadcast(cut))
+        .filter(col("doc_id") < col("cut"))
+        .groupBy(col("lang"))
+        .agg(hll_sketch_agg(col("t"), 12).as("sk"))
+        .write.mode("overwrite").saveAsTable(HllSketchTable)
+    }
+
+  /** Union `sketches` (lang, sk — any number of rows per lang) and emit
+    * per-lang (n_exact, merge_equals_full, within_5pct) against a full
+    * rebuild over `posts` — the exact/full legs are the VERIFICATION
+    * machinery (one linear aggregate each, the oracle's job done
+    * in-plan); production reads stop at the union. */
+  private[graft] def hllVerifiedEstimates(s: SparkSession, posts: DataFrame,
+      sketches: DataFrame): DataFrame = {
+    val merged = sketches
+      .groupBy(col("lang"))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+        .as("est_m"))
+    val fullSk = posts.groupBy(col("lang"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("t"), 12)).as("est_f"))
+    val exact = posts.groupBy(col("lang"))
+      .agg(countDistinct(col("t")).as("n_exact"))
+    exact.join(merged, Seq("lang")).join(fullSk, Seq("lang"))
+      .select(col("lang"), col("n_exact"),
+        (col("est_m") === col("est_f")).as("merge_equals_full"),
+        (abs(col("est_m") - col("n_exact")) * 20 <= col("n_exact"))
+          .as("within_5pct"))
+      .orderBy(col("lang"))
   }
 
   /** Exact-threshold CONTAINMENT pairs (q190): c(a,b) = |a∩b| /

@@ -751,6 +751,52 @@ object StreamingOps {
                 UNION ALL SELECT * FROM fresh_p)
               ORDER BY snap_id, inc_id""")),
 
+    // ---- streaming HLL cardinality gate (q192): the sketch family's
+    // stream leg (q11b builds approximate distincts from scratch, q191
+    // maintains the written per-lang sketches under a batch increment;
+    // this maintains them under a STREAM). Each micro-batch sketches its
+    // arrivals' shingles per lang into a per-batch-id overwrite slot
+    // (4 KB/lang rows — the state a streaming rollup actually carries);
+    // serve unions snapshot ∪ all slots register-wise. The arrivals
+    // DELIBERATELY include q137's every-7th re-crawl: HLL register
+    // unions are idempotent PER ITEM (same shingle → same register
+    // max), so re-ingesting already-seen text cannot move the estimate
+    // — the served value still equals a full rebuild over the UNIQUE
+    // corpus, which the plan checks in-plan. That idempotency is the
+    // operational point: a crawler's re-fetches cost one batch-sized
+    // aggregate and corrupt nothing, with no dedup pass in front.
+    // Oracle: q191's SQL verbatim — one rule, two engine paths.
+    Q("q192_stream_hll_gate",
+      (s, d) => {
+        import graft.ops.TextOps
+        val docs = graft.schema.Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        TextOps.writeHllShingleSketch(s, d)
+        val store = tempStore("graft_hll_gate_out")
+        runForeachBatch(s, d, "documents")(
+          _.filter(col("doc_id") >= cut || col("doc_id") % 7 === 0)) {
+          (batch, batchId) =>
+            batch.select(col("lang"), TextOps.toks(col("text")).as("tk"))
+              .select(col("lang"), TextOps.shingles(col("tk")).as("sh"))
+              .select(col("lang"), explode(col("sh")).as("t"))
+              .groupBy(col("lang"))
+              .agg(hll_sketch_agg(col("t"), 12).as("sk"))
+              .write.mode("overwrite").parquet(s"$store/b$batchId")
+            ()
+        }
+        val root = new org.apache.hadoop.fs.Path(store)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
+        val streamed =
+          if (slots.isEmpty) s.table(TextOps.HllSketchTable).limit(0)
+          else s.read.parquet(slots: _*)
+        TextOps.hllVerifiedEstimates(s, TextOps.langShinglePosts(s, d),
+          s.table(TextOps.HllSketchTable).unionByName(streamed))
+      },
+      Some(graft.ops.TextOps.HllVocabSql)),
+
     // ---- streaming CDC upsert WITH DELETES (q112, VERDICT r10 #7): q63
     // streams insert-if-absent and q76 batch-merges D/I/U — this closes
     // the gap between them: a changelog STREAM (synthesized from orders

@@ -373,6 +373,32 @@ class StreamingSpec extends SparkSpec {
     assert(served() === before, "batch retry must not double-count")
   }
 
+  test("streaming HLL gate absorbs re-crawled arrivals without moving " +
+      "the estimate (q192)") {
+    val sf = "/root/testdata/sf0.001"
+    // the gate streams fresh docs PLUS every-7th re-crawls; both in-plan
+    // invariants must hold against the UNIQUE-corpus rebuild — i.e. the
+    // duplicate arrivals contributed nothing
+    val out = SparkEntry.queries("q192_stream_hll_gate")(spark, sf)
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(out.length === 5)
+    out.foreach { case (lang, n, meq, w5) =>
+      assert(n > 1000 && meq && w5, s"$lang n=$n meq=$meq w5=$w5")
+    }
+    // the algebraic root of that: unioning a sketch with itself is a
+    // no-op (register-wise max), asserted directly
+    val sk = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ops.TextOps.toks(col("text"))).as("t"))
+      .agg(hll_sketch_agg(col("t"), 12).as("sk"))
+    val self = sk.select(hll_sketch_estimate(col("sk")).as("one"))
+      .crossJoin(sk.unionByName(sk)
+        .agg(hll_sketch_estimate(
+          hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+          .as("two")))
+      .as[(Long, Long)].head()
+    assert(self._1 === self._2, s"self-union moved the estimate: $self")
+  }
+
   test("ts-consuming stream queries run against the DRIVER testdata's " +
       "actual timestamp type") {
     // The other streaming tests run on Spark-written fixtures (micros
