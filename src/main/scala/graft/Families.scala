@@ -26,7 +26,8 @@ object Families {
     "q149_semantic_dedup_incremental", "q158_winsorize_maintain",
     "q160_entity_resolution_incremental",
     "q165_dataset_card_incremental", "q178_zscore_maintain",
-    "q187_bm25_incremental", "q191_hll_incremental")
+    "q187_bm25_incremental", "q191_hll_incremental",
+    "q193_bottomk_quantile")
 
   def of(name: String): String =
     if (streamSet(name)) "stream"

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.schema.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -916,7 +916,55 @@ object EventOps {
                 FROM x WHERE event_type = 'purchase')
               SELECT channel, count(*) AS n_purchases,
                 CAST(sum(cents) AS BIGINT) AS revenue_cents
-              FROM p GROUP BY 1 ORDER BY 1"""))
+              FROM p GROUP BY 1 ORDER BY 1""")),
+
+    // ---- mergeable bottom-k quantile sketch, incrementally maintained
+    // (q193): the order-statistics member of the sketch-maintainer family
+    // (q191 = cardinality, q128 = algebraic aggregates; reference scope is
+    // single-snapshot pandas stats, e.g. transform.py's column derivations
+    // — recurring-corpus maintenance is the north-star extension).
+    // SURVEY/VERDICT record that t-digest-class sketches were DECLINED for
+    // their merge-order-dependent centroids (no exact oracle); the
+    // fixed-grid histograms (q139/q156) that replaced them carry a
+    // resolution floor and a frozen [mn,mx] grid that new data can
+    // overflow (q158's n_grid_clipped). This closes the gap with the
+    // third design point: a BOTTOM-K SAMPLE sketch — the k rows whose
+    // md5(event_id) hashes are smallest per group, values attached. It is
+    // a uniform k-sample (the hash is a deterministic uniform draw, the
+    // q89/q132 discipline), so any quantile estimates from it with the
+    // standard sample-rank error O(1/sqrt(k)); and it is EXACTLY
+    // mergeable: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B))
+    // is a set identity (an element of the union's true bottom-k is in
+    // its side's bottom-k a fortiori), with no randomness, no merge-order
+    // dependence, and per-item idempotence (same id → same hash; set
+    // union dedups re-ingests). The plan CHECKS merge ≡ full-rebuild
+    // per group (merge_equals_full) rather than assuming the theorem,
+    // and bounds both estimates against their exact full-corpus ranks
+    // (p50_ok/p90_ok, integer cross-multiplication — no float
+    // thresholds); those two legs are the VERIFICATION machinery (the
+    // oracle's job, in-plan because each is one linear aggregate). The
+    // production read is sketch-sized: k·|groups| rows (128·5 here), and
+    // the increment's cost is one TopKByScore partial aggregate over the
+    // increment alone — every map task reduces its slice to ≤ k rows per
+    // group BEFORE the exchange, so at 100 TB the shuffle carries
+    // k·groups·partitions rows, never the table. Unlike the fixed-grid
+    // family there is no grid to overflow and no resolution floor: the
+    // estimate is always a real data element at a sample rank.
+    Q("q193_bottomk_quantile",
+      (s, d) => {
+        val ev = hashedValues(s, d)
+        val cut = Tables.events(s, d).agg(
+          floor((max(col("event_id")) + lit(1)) * lit(0.8)).as("cut"))
+        writeBottomKSketch(s, d)
+        val inc = bottomKOf(ev.crossJoin(broadcast(cut))
+          .filter(col("event_id") >= col("cut"))
+          .drop("cut"))
+        val merged = bottomKOf(
+          s.table(BottomKTable).unionByName(inc)
+            .dropDuplicates("event_type", "event_id"))
+        bottomKVerifiedQuantiles(s, ev, merged)
+      },
+      Some(BottomKQuantileSql))
   )
 
   /** q156's clamp bounds: per event_type [p05, p95) edges located on the
@@ -1016,4 +1064,136 @@ object EventOps {
   /** Clamp + report (q156). */
   def winsorReport(ev: DataFrame, bounds: DataFrame): DataFrame =
     winsorAgg(winsorClamp(ev, bounds))
+
+  // --------------------------------------------------------------------
+  // q193/q194 bottom-k quantile sketch machinery, shared so the
+  // incremental and streaming legs cannot drift (the q191/q192 pattern).
+  // --------------------------------------------------------------------
+
+  /** Sketch size: 128 value-carrying rows per group → sample-rank error
+    * ~ sqrt(q(1−q)/k) ≈ 4.4% at the median; the in-plan bands (±15% rank
+    * at p50, ±10% at p90) sit > 3σ out. */
+  private[graft] val BottomKK = 128
+
+  private[graft] val BottomKTable = "graft_bottomk_value_sketch"
+
+  /** (event_type, event_id, value, hk): hk is the deterministic uniform
+    * draw — first 13 hex chars of md5(event_id) as a BIGINT (< 2^52 so
+    * the double cast inside TopKByScore is exact; md5 is the one hash
+    * both engines share bit-for-bit, the q89/q132 discipline). */
+  private[graft] def hashValues(ev: DataFrame): DataFrame =
+    ev.filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"),
+        conv(substring(md5(col("event_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("hk"))
+
+  private[graft] def hashedValues(s: SparkSession, d: String): DataFrame =
+    hashValues(Tables.events(s, d))
+
+  /** The k smallest-hk rows per event_type, values attached. One
+    * TopKByScore pass (score = −hk): partial aggregation reduces every
+    * map slice to ≤ k candidates per group before the exchange, then the
+    * winners broadcast back against the input to re-attach (hk, value) —
+    * at corpus scale that join is a map-side broadcast semi-join; at
+    * merge time the input IS sketch-sized and the join is trivial. */
+  private[graft] def bottomKOf(rows: DataFrame): DataFrame = {
+    val sel = rows.groupBy(col("event_type"))
+      .agg(graft.expr.TopKAgg.topK(BottomKK)(
+        -col("hk").cast("double"), col("event_id")).as("sel"))
+      .select(col("event_type"), explode(col("sel")).as("s"))
+      .select(col("event_type"), col("s.id").as("event_id"))
+    rows.join(broadcast(sel), Seq("event_type", "event_id"))
+      .select(col("event_type"), col("event_id"), col("value"), col("hk"))
+  }
+
+  /** Write the snapshot (event_id < 80% cut) bottom-k sketch once per
+    * JVM (build-once artifact; the bench records the first builder's
+    * build_sec). */
+  private[graft] def writeBottomKSketch(s: SparkSession, d: String): Unit =
+    ArtifactCache.once(BottomKTable, Some(s"$d|events|cut0.8|k$BottomKK")) {
+      val cut = Tables.events(s, d).agg(
+        floor((max(col("event_id")) + lit(1)) * lit(0.8)).as("cut"))
+      Tables.resetManagedTable(s, BottomKTable)
+      bottomKOf(hashedValues(s, d).crossJoin(broadcast(cut))
+          .filter(col("event_id") < col("cut")).drop("cut"))
+        .write.mode("overwrite").saveAsTable(BottomKTable)
+    }
+
+  /** Quantile estimates from a merged sketch, with both in-plan
+    * verification legs: merge_equals_full compares the merged id set
+    * against a full-corpus rebuild (the merge theorem, CHECKED), and
+    * p50_ok/p90_ok bound each estimate's exact full-corpus rank inside
+    * integer cross-multiplied bands. Estimates are REAL data elements
+    * (the sample value at rank ceil(q·sn)) so they hash byte-identically
+    * cross-engine — no float thresholds anywhere. */
+  private[graft] def bottomKVerifiedQuantiles(s: SparkSession,
+      ev: DataFrame, merged: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = merged
+      .withColumn("vr", row_number().over(
+        byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("sn", count(lit(1)).over(byType))
+    // ceil(q·sn) as integer arithmetic: ceil(sn/2) = (sn+1) div 2,
+    // ceil(9·sn/10) = (9·sn+9) div 10 (Spark `/` is double division;
+    // floor() recovers the integer quotient exactly for these magnitudes)
+    val est = ranked.groupBy(col("event_type"))
+      .agg(
+        max(when(col("vr") === floor((col("sn") + 1) / lit(2)),
+          col("value"))).as("est_p50"),
+        max(when(col("vr") === floor((col("sn") * 9 + 9) / lit(10)),
+          col("value"))).as("est_p90"))
+    val full = bottomKOf(ev)
+    val nFull = full.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_full"))
+    val nMerged = merged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_merged"))
+    val nBoth = merged.join(full, Seq("event_type", "event_id"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_both"))
+    val ranks = ev.join(broadcast(est), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("est_p50"), 1L).otherwise(0L))
+          .as("r50"),
+        sum(when(col("value") <= col("est_p90"), 1L).otherwise(0L))
+          .as("r90"))
+    ranks.join(est, Seq("event_type"))
+      .join(nFull, Seq("event_type"))
+      .join(nMerged, Seq("event_type"))
+      .join(nBoth, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("est_p50"), col("est_p90"),
+        (col("n_both") === col("n_full") &&
+          col("n_merged") === col("n_full")).as("merge_equals_full"),
+        (abs(col("r50") * 100 - col("n") * 50) <= col("n") * 15)
+          .as("p50_ok"),
+        (abs(col("r90") * 10 - col("n") * 9) <= col("n")).as("p90_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The q193/q194 oracle: DuckDB replays the full-corpus bottom-k
+    * construction (merged ≡ full is the checked theorem, so the oracle
+    * states the full build) and the rank-extraction arithmetic; the two
+    * in-plan invariants are pinned TRUE — a merge or accuracy break
+    * flips the row hash. LAZY: referenced by the catalog val during
+    * object init (the q191 lesson). */
+  private[graft] lazy val BottomKQuantileSql =
+    """WITH ev AS (SELECT event_type, event_id, value,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13)
+           AS BIGINT) AS hk
+         FROM events WHERE value IS NOT NULL),
+       samp AS (SELECT * FROM (
+         SELECT ev.*, row_number() OVER (PARTITION BY event_type
+           ORDER BY hk, event_id) AS rn FROM ev) WHERE rn <= 128),
+       ranked AS (SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY value, event_id) AS vr,
+         count(*) OVER (PARTITION BY event_type) AS sn FROM samp),
+       est AS (SELECT event_type,
+         max(CASE WHEN vr = (sn + 1) // 2 THEN value END) AS est_p50,
+         max(CASE WHEN vr = (sn * 9 + 9) // 10 THEN value END) AS est_p90
+         FROM ranked GROUP BY 1),
+       n AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1)
+       SELECT e.event_type, CAST(n.n AS BIGINT) AS n, est_p50, est_p90,
+         true AS merge_equals_full, true AS p50_ok, true AS p90_ok
+       FROM est e JOIN n USING (event_type)
+       ORDER BY event_type"""
 }

@@ -804,6 +804,52 @@ object StreamingOps {
       },
       Some(graft.ops.TextOps.HllVocabSql)),
 
+    // ---- streaming bottom-k quantile gate (q194): q193's order-
+    // statistics sketch maintained under a STREAM (the q192 posture —
+    // one sketch algebra, three engine paths: batch build, batch
+    // increment, stream). Each micro-batch reduces its arrivals to their
+    // per-group bottom-k (one TopKByScore partial-aggregating pass,
+    // ≤ k·groups rows out) into a per-batch-id overwrite slot — replay
+    // rewrites the same slot, so a retried batch cannot double-
+    // contribute; serve SET-unions snapshot ∪ slots by (event_type,
+    // event_id) and re-bottom-ks. The arrivals DELIBERATELY include
+    // q137's every-7th re-crawl: the sketch row is a pure per-item
+    // function of (event_id, value) and merge is a set union, so a
+    // re-ingested event lands on its existing key and moves nothing —
+    // the served estimates still equal a full rebuild over the unique
+    // corpus, which the plan CHECKS (merge_equals_full) alongside the
+    // exact-rank bands. Oracle: q193's SQL verbatim — one rule, two
+    // engine paths.
+    Q("q194_stream_bottomk_gate",
+      (s, d) => {
+        import graft.ops.EventOps
+        val ev = graft.schema.Tables.events(s, d)
+        val cut = math.floor(
+          (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+        EventOps.writeBottomKSketch(s, d)
+        val store = tempStore("graft_bottomk_gate_out")
+        runForeachBatch(s, d, "events")(
+          _.filter(col("value").isNotNull &&
+            (col("event_id") >= cut || col("event_id") % 7 === 0))) {
+          (batch, batchId) =>
+            EventOps.bottomKOf(EventOps.hashValues(batch))
+              .write.mode("overwrite").parquet(s"$store/b$batchId")
+        }
+        val root = new org.apache.hadoop.fs.Path(store)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
+        val streamed =
+          if (slots.isEmpty) s.table(EventOps.BottomKTable).limit(0)
+          else s.read.parquet(slots: _*)
+        val merged = EventOps.bottomKOf(
+          s.table(EventOps.BottomKTable).unionByName(streamed)
+            .dropDuplicates("event_type", "event_id"))
+        EventOps.bottomKVerifiedQuantiles(s,
+          EventOps.hashedValues(s, d), merged)
+      },
+      Some(graft.ops.EventOps.BottomKQuantileSql)),
+
     // ---- streaming CDC upsert WITH DELETES (q112, VERDICT r10 #7): q63
     // streams insert-if-absent and q76 batch-merges D/I/U — this closes
     // the gap between them: a changelog STREAM (synthesized from orders

@@ -347,4 +347,41 @@ class EventOpsSpec extends SparkSpec {
       ("b", 1L, 1L, 0L, 0.0)), out)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
+
+  test("bottom-k sketch: merge of any split equals the full build, " +
+      "re-ingest is a no-op, and the estimate is the sample-rank element") {
+    import graft.ops.EventOps
+    // 500 rows, one group — big enough that bottom-128 is a real subset
+    val rows = (0L until 500L).map(i =>
+      (i, ts("2024-01-01 10:00:00"), 1L, "a", i.toDouble, "{}"))
+    val d = eventsDir(rows)
+    val ev = EventOps.hashedValues(spark, d)
+    val full = EventOps.bottomKOf(ev)
+    val fullIds = full.select("event_id").as[Long].collect().toSet
+    assert(fullIds.size === 128)
+    // merge theorem at three arbitrary split points (incl. lopsided)
+    for (cut <- Seq(1L, 137L, 499L)) {
+      val a = EventOps.bottomKOf(ev.filter(col("event_id") < cut))
+      val b = EventOps.bottomKOf(ev.filter(col("event_id") >= cut))
+      val merged = EventOps.bottomKOf(
+        a.unionByName(b).dropDuplicates("event_type", "event_id"))
+      assert(merged.select("event_id").as[Long].collect().toSet ===
+        fullIds, s"cut=$cut")
+    }
+    // per-item idempotence: re-ingesting the whole corpus into an
+    // existing sketch moves nothing once set-union dedups the keys
+    val reIngested = EventOps.bottomKOf(
+      full.unionByName(EventOps.bottomKOf(ev))
+        .dropDuplicates("event_type", "event_id"))
+    assert(reIngested.select("event_id").as[Long].collect().toSet ===
+      fullIds)
+    // the estimate is the value at rank ceil(q·sn) of the value-sorted
+    // sample — recomputed by hand from the sketch rows
+    val sampleVals = full.select("value").as[Double].collect().sorted
+    val est = EventOps.bottomKVerifiedQuantiles(spark, ev, full)
+      .select("est_p50", "est_p90").as[(Double, Double)].head()
+    assert(est._1 === sampleVals((128 + 1) / 2 - 1))
+    assert(est._2 === sampleVals((128 * 9 + 9) / 10 - 1))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
 }

@@ -399,6 +399,22 @@ class StreamingSpec extends SparkSpec {
     assert(self._1 === self._2, s"self-union moved the estimate: $self")
   }
 
+  test("streaming bottom-k gate absorbs re-crawled arrivals and serves " +
+      "full-rebuild-identical quantiles (q194)") {
+    val sf = "/root/testdata/sf0.001"
+    // arrivals include every-7th re-crawls; merge_equals_full asserts the
+    // served sketch is IDENTICAL (as a set) to a full unique-corpus
+    // rebuild — stronger than an estimate band — and the rank bands hold
+    val out = SparkEntry.queries("q194_stream_bottomk_gate")(spark, sf)
+      .as[(String, Long, Double, Double, Boolean, Boolean, Boolean)]
+      .collect()
+    assert(out.length === 5)
+    out.foreach { case (t, n, p50, p90, meq, ok50, ok90) =>
+      assert(n > 100 && meq && ok50 && ok90 && p50 < p90,
+        s"$t n=$n meq=$meq ok50=$ok50 ok90=$ok90 p50=$p50 p90=$p90")
+    }
+  }
+
   test("ts-consuming stream queries run against the DRIVER testdata's " +
       "actual timestamp type") {
     // The other streaming tests run on Spark-written fixtures (micros
