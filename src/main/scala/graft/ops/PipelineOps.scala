@@ -1936,6 +1936,72 @@ object PipelineOps {
               FROM r WHERE rk <= quota
               GROUP BY lang, n_in, quota ORDER BY lang""")),
 
+    // ---- importance-weighted data selection (q195): the DSIR recipe
+    // (Data Selection via Importance Resampling, Xie et al. 2023) — pick
+    // raw-corpus docs whose hashed-n-gram feature distribution looks
+    // like a small TARGET set (here q90's benchmark docs, doc_id%50=0;
+    // in production the high-quality seed corpus). The published shape
+    // verbatim: tokens hash into B=256 buckets, each bucket gets the
+    // log-likelihood ratio ln(p_target(b)/p_raw(b)) with +1 smoothing,
+    // a doc's importance is the sum over its token occurrences, and the
+    // top-N by weight become the selected training mix. Exactness: the
+    // per-bucket log-ratio is quantized to integer MICRO-NATS once (256
+    // values; a ratio of exact integer counts, the q115 psi discipline)
+    // and doc scores are then BIGINT sums — partition-order-exact and
+    // engine-exact, no float accumulation anywhere. Scale: the bucket
+    // table is 256 rows (broadcast), doc scoring is map-side join +
+    // one groupBy(doc_id) whose shuffle carries (doc_id, bucket) ids —
+    // never text — and the final cut is TakeOrderedAndProject. The
+    // corpus-sized work is one tokenize pass (persisted across its two
+    // consumers: bucket counts and doc scoring).
+    Q("q195_dsir_resample",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("t"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("t")), 1, 13), 16, 10).cast("long")
+              % 256).as("bk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cnt = b.groupBy(col("bk")).agg(
+          sum(when(col("doc_id") % 50 === 0, 1L).otherwise(0L)).as("ct"),
+          sum(when(col("doc_id") % 50 =!= 0, 1L).otherwise(0L)).as("cr"))
+        val tot = cnt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+        val w = cnt.crossJoin(broadcast(tot))
+          .select(col("bk"),
+            round(log(((col("ct") + 1) * (col("nr") + 256)).cast("double") /
+              ((col("cr") + 1) * (col("nt") + 256)).cast("double")) * 1e6)
+              .cast("long").as("w"))
+        b.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(w), Seq("bk"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("w")).as("log_w_micro"))
+          .orderBy(col("log_w_micro").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+              FROM documents),
+              b AS (SELECT doc_id,
+                CAST('0x' || substr(md5(t), 1, 13) AS BIGINT) % 256 AS bk
+              FROM tok),
+              cnt AS (SELECT bk,
+                sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS ct,
+                sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS cr
+              FROM b GROUP BY 1),
+              tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt),
+              w AS (SELECT bk,
+                CAST(round(ln(CAST((ct + 1) * (nr + 256) AS DOUBLE) /
+                  CAST((cr + 1) * (nt + 256) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w
+              FROM cnt, tot)
+              SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(w) AS BIGINT) AS log_w_micro
+              FROM b JOIN w USING (bk)
+              WHERE doc_id % 50 <> 0
+              GROUP BY doc_id
+              ORDER BY log_w_micro DESC, doc_id LIMIT 100""")),
+
     // ---- BPE-style merge ranking (q84): tokenizer training's inner-loop
     // decision — count adjacent token pairs corpus-wide, rank merge
     // candidates by frequency. One posexplode + per-doc lead() window

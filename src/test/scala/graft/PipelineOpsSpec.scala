@@ -657,4 +657,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(incr === rows("q159_entity_resolution"))
     assert(incr.nonEmpty)
   }
+
+  test("DSIR importance weights rank target-like raw docs above " +
+      "target-unlike ones, and the benchmark docs never select " +
+      "themselves (q195)") {
+    // target (doc_id % 50 == 0) speaks {alpha, beta}; raw docs split
+    // into target-like ({alpha, beta}) and target-unlike ({zeta, omega})
+    val docs = Seq(
+      (0L, "alpha beta alpha beta", "en", "s", 0L), // target
+      (50L, "beta alpha beta alpha", "en", "s", 0L), // target
+      (1L, "alpha beta alpha beta", "en", "s", 0L), // raw, target-like
+      (2L, "alpha beta zeta omega", "en", "s", 0L), // raw, mixed
+      (3L, "zeta omega zeta omega", "en", "s", 0L)) // raw, target-unlike
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q195_dsir_resample")(spark, dir)
+      .select("doc_id", "log_w_micro").as[(Long, Long)].collect().toList
+    assert(out.map(_._1) === List(1L, 2L, 3L),
+      s"expected target-like > mixed > unlike ordering, got $out")
+    val scores = out.toMap
+    assert(scores(1L) > scores(2L) && scores(2L) > scores(3L), scores)
+    // the unlike doc's weight must be NEGATIVE (its buckets are raw-only)
+    assert(scores(3L) < 0L, scores)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
