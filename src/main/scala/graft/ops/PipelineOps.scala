@@ -1948,7 +1948,14 @@ object PipelineOps {
     // per-bucket log-ratio is quantized to integer MICRO-NATS once (256
     // values; a ratio of exact integer counts, the q115 psi discipline)
     // and doc scores are then BIGINT sums — partition-order-exact and
-    // engine-exact, no float accumulation anywhere. Scale: the bucket
+    // engine-exact, no float accumulation anywhere. Residual cross-engine
+    // risk (ADVICE r12): the ln itself is computed independently by JVM
+    // Math.log and DuckDB's libm; a 1-ulp divergence landing exactly on a
+    // round()*1e6 half-way boundary would flip one bucket weight. The
+    // argument is a ratio of small exact integers, so boundary landings
+    // are measure-zero in practice — accepted under the q115 discipline;
+    // if a fixture ever trips it, derive the weight by comparing
+    // cross-multiplied integer counts instead of quantizing the log. Scale: the bucket
     // table is 256 rows (broadcast), doc scoring is map-side join +
     // one groupBy(doc_id) whose shuffle carries (doc_id, bucket) ids —
     // never text — and the final cut is TakeOrderedAndProject. The
