@@ -176,7 +176,7 @@ object TextOps {
        FROM shared WHERE n_shared * 1.0 / n_sh >= 0.5
        ORDER BY doc_id"""
 
-  def catalog: Seq[Q] = catalog1 ++ catalog2
+  def catalog: Seq[Q] = catalog1 ++ catalog2 ++ catalog3
 
   private val catalog1: Seq[Q] = Seq(
 
@@ -1226,6 +1226,315 @@ object TextOps {
                   '[ \t]+', ' ', 'g')) AS clean_text
               FROM documents ORDER BY doc_id"""))
   )
+
+  /** Round-13 sketch additions: count-min frequencies (q196) and KMV
+    * cross-source overlap (q198). */
+  private val catalog3: Seq[Q] = Seq(
+
+    // ---- count-min frequency sketch with RETRACTION (q196): the
+    // point-frequency member of the sketch family, and the only LINEAR
+    // one — q130/q134's Misra-Gries answers "which keys are heavy",
+    // q191's HLL "how many distinct", q193's bottom-k "what are the
+    // quantiles"; CMS answers "how often does key X occur" for ANY x
+    // from d×w = 4×1024 counters, and because the sketch is a linear
+    // map of the input multiset it is the one sketch that accepts
+    // NEGATIVE updates (the turnstile model, Cormode & Muthukrishnan
+    // 2005). That is the capability this query exercises end-to-end:
+    // the snapshot sketch (shingle document-frequencies of the 80% cut)
+    // is the written artifact; an increment folds in by bucket-wise SUM,
+    // and a RETRACTION batch (every-9th snapshot doc — a takedown/GDPR
+    // purge) folds in with negated counts. HLL cannot unsee an item and
+    // Misra-Gries cannot subtract one; CMS handles the purge with one
+    // sketch-sized sum, no corpus rescan. Linearity makes
+    // merged ≡ full-rebuild-over-live-corpus EXACT (not approximate),
+    // which the plan CHECKS bucket-for-bucket (merge_equals_full)
+    // rather than assumes; estimate quality is checked against exact
+    // counts (overestimates: one-sided error is the CMS theorem;
+    // within_band: est − exact ≤ 4N/w by integer cross-multiplication).
+    // The exact legs are the VERIFICATION machinery (one linear
+    // aggregate each — the oracle's job done in-plan); the production
+    // read is 32 KB of counters plus increment-sized aggregates. At
+    // 100 TB: the (t, c) pre-aggregation shuffles vocabulary-sized
+    // partials (never postings), the sketch fold is 4096 rows, and the
+    // retraction costs the retracted slice's aggregate only.
+    Q("q196_cms_frequency",
+      (s, d) => {
+        val sh = docsWithShingles(s, d)
+        val cut = broadcast(Tables.documents(s, d).agg(
+          floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut")))
+        writeCmsSnapshot(s, d)
+        val inc = cmsOf(shingleDfCounts(
+          sh.crossJoin(cut).filter(col("doc_id") >= col("cut"))))
+        val ret = cmsOf(shingleDfCounts(
+          sh.crossJoin(cut).filter(col("doc_id") < col("cut") &&
+            col("doc_id") % 9 === 0)))
+          .select(col("r"), col("b"), (-col("cnt")).as("cnt"))
+        val live = sh.crossJoin(cut)
+          .filter(!(col("doc_id") % 9 === 0 && col("doc_id") < col("cut")))
+        cmsVerifiedTop(live,
+          s.table(CmsSketchTable).unionByName(inc).unionByName(ret))
+      },
+      Some(CmsLiveSql)),
+
+    // ---- KMV cross-source overlap estimate (q198): vocabulary overlap
+    // between source pairs from k-minimum-values signatures (Bar-Yossef
+    // et al. 2002; the "theta sketch" set algebra) — the SET-INTERSECTION
+    // member of the sketch family. q185 measures near-dup PAIR overlap
+    // between sources; this measures shared VOCABULARY (Jaccard of
+    // distinct-shingle sets), the redundancy signal that says two crawl
+    // sources are re-serving the same content domain. Per source the
+    // state is the k = 256 smallest md5-hashes of its distinct shingles
+    // (one TopKByScore partial-aggregating pass — map slices reduce to
+    // ≤ k rows before the exchange, the q193 discipline, 2 KB/source);
+    // a pair's Jaccard estimate is the match fraction inside the
+    // UNION's bottom-k (the standard KMV estimator m/k, stderr
+    // ~ sqrt(J(1−J)/k) ≈ 3% here). Verification in-plan: the exact
+    // per-pair Jaccard over the full posting sets (the oracle's
+    // formulation — one shingle-keyed self-join) bounds every estimate
+    // inside ±0.12 (4σ), and the bottom-k merge identity — bottom-k of
+    // a union equals bottom-k of the union of per-side bottom-ks, a set
+    // identity, no randomness — is CHECKED against a full-corpus rebuild
+    // (merge_equals_full). At 100 TB the exact leg is verification
+    // machinery; production keeps k·S rows of state and answers all
+    // S² pair overlaps from signatures alone, never re-touching text.
+    Q("q198_kmv_overlap",
+      (s, d) => {
+        val posts = docsWithShingles(s, d)
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+          .select(col("source"), explode(col("sh")).as("t"))
+          .distinct()
+          .select(col("source"), col("t"), kmvHash(col("t")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kmvVerifiedOverlap(posts)
+      },
+      Some(KmvOverlapSql))
+  )
+
+  // --------------------------------------------------------------------
+  // q196/q197 count-min machinery, shared so the retraction-capable
+  // maintainer and the streaming gate cannot drift (the q191/q192
+  // pattern): the (t, c) shingle-df aggregation, the d×w sketch fold,
+  // the written snapshot artifact, and the verified-estimate serve.
+  // --------------------------------------------------------------------
+
+  private[graft] val CmsSketchTable = "graft_cms_shingle_sketch"
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 1024L
+
+  /** Per-shingle document frequency of a (doc_id, sh) relation slice —
+    * (t, c). The explode's shuffle carries vocabulary-sized partials
+    * (partial+final count agg), never the posting stream. */
+  private[graft] def shingleDfCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(col("sh")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+
+  /** CMS rows of a (t, c) relation: (r, b, cnt), ≤ d·w rows. Row-r's
+    * hash is xxhash64(t, r) mod w — engine-local is fine, the sketch
+    * never crosses engines (invariants are checked in-plan and pinned
+    * in the oracle). */
+  private[graft] def cmsOf(tc: DataFrame): DataFrame =
+    tc.select(explode(sequence(lit(0), lit(CmsD - 1))).as("r"),
+        col("t"), col("c"))
+      .select(col("r"),
+        pmod(xxhash64(col("t"), col("r")), lit(CmsW)).cast("int").as("b"),
+        col("c"))
+      .groupBy(col("r"), col("b")).agg(sum(col("c")).as("cnt"))
+
+  /** Bucket-wise sum of stacked CMS relations — the linear merge. */
+  private[graft] def cmsSummed(sks: DataFrame): DataFrame =
+    sks.groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Write the snapshot (doc_id < 80% cut) CMS once per JVM (build-once
+    * artifact; the bench records the first builder's build_sec). */
+  private[graft] def writeCmsSnapshot(s: SparkSession, d: String): Unit =
+    ArtifactCache.once(CmsSketchTable,
+      Some(s"$d|documents|cut0.8|cms${CmsD}x$CmsW")) {
+      val cut = Tables.documents(s, d).agg(
+        floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+      Tables.resetManagedTable(s, CmsSketchTable)
+      cmsOf(shingleDfCounts(docsWithShinglesLazy(s, d)
+          .crossJoin(broadcast(cut))
+          .filter(col("doc_id") < col("cut"))))
+        .write.mode("overwrite").saveAsTable(CmsSketchTable)
+    }
+
+  /** Top-20 live-corpus shingles by exact document frequency, with the
+    * three in-plan sketch invariants: merge_equals_full (bucket-for-
+    // bucket vs a rebuild over `live` — exact by linearity),
+    * overestimates (CMS one-sided error theorem, checked), within_band
+    * (est − exact ≤ 4N/w, integer cross-multiplication). `live` is the
+    * (doc_id, sh) relation the merged sketch should equal. */
+  private[graft] def cmsVerifiedTop(live: DataFrame,
+      sketches: DataFrame): DataFrame = {
+    val tc = shingleDfCounts(live)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merged = cmsSummed(sketches)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mism = merged.select(col("r"), col("b"), col("cnt").as("cm"))
+      .join(cmsOf(tc).select(col("r"), col("b"), col("cnt").as("cf")),
+        Seq("r", "b"), "full_outer")
+      .agg(sum(when(coalesce(col("cm"), lit(0L)) =!=
+        coalesce(col("cf"), lit(0L)), 1L).otherwise(0L)).as("n_bad"))
+    val tot = tc.agg(sum(col("c")).as("n_tot"))
+    val probes = tc.orderBy(col("c").desc, col("t")).limit(20)
+    probes
+      .select(col("t"), col("c"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+      .select(col("t"), col("c"), col("r"),
+        pmod(xxhash64(col("t"), col("r")), lit(CmsW)).cast("int").as("b"))
+      .join(broadcast(merged), Seq("r", "b"), "left_outer")
+      .groupBy(col("t"), col("c"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .crossJoin(broadcast(mism))
+      .crossJoin(broadcast(tot))
+      .select(col("t").as("shingle"), col("c").as("n_exact"),
+        (col("n_bad") === 0).as("merge_equals_full"),
+        (col("est") >= col("c")).as("overestimates"),
+        ((col("est") - col("c")) * lit(CmsW) <= col("n_tot") * lit(4L))
+          .as("within_band"))
+      .orderBy(col("n_exact").desc, col("shingle"))
+  }
+
+  /** q196's oracle — exact top-20 shingle document frequencies over the
+    * LIVE corpus (snapshot minus the every-9th retraction, plus the
+    * increment) with the three in-plan invariants pinned TRUE. LAZY:
+    * referenced from catalog3 during object init (the q191 lesson). */
+  private[graft] lazy val CmsLiveSql =
+    """WITH cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT)
+         AS cut FROM documents),
+       t AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+           i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+         FROM documents, cut
+         WHERE NOT (doc_id % 9 = 0 AND doc_id < cut.cut)),
+       e AS (SELECT unnest(sh) AS s FROM t),
+       c AS (SELECT s, count(*) AS n_exact FROM e GROUP BY 1)
+       SELECT s AS shingle, CAST(n_exact AS BIGINT) AS n_exact,
+         true AS merge_equals_full, true AS overestimates,
+         true AS within_band
+       FROM c ORDER BY n_exact DESC, shingle LIMIT 20"""
+
+  /** q197's oracle — the same report over the FULL corpus (snapshot ∪
+    * streamed arrivals, no retraction). */
+  private[graft] lazy val CmsFullSql =
+    """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+           i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+         FROM documents),
+       e AS (SELECT unnest(sh) AS s FROM t),
+       c AS (SELECT s, count(*) AS n_exact FROM e GROUP BY 1)
+       SELECT s AS shingle, CAST(n_exact AS BIGINT) AS n_exact,
+         true AS merge_equals_full, true AS overestimates,
+         true AS within_band
+       FROM c ORDER BY n_exact DESC, shingle LIMIT 20"""
+
+  // --------------------------------------------------------------------
+  // q198 KMV machinery.
+  // --------------------------------------------------------------------
+
+  private[graft] val KmvK = 256
+
+  /** 52-bit uniform hash — first 13 hex chars of md5 as a BIGINT (the
+    * q89/q132/q193 uniform-draw discipline; < 2^52 so the double cast
+    * inside TopKByScore is exact). */
+  private[graft] def kmvHash(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** Per-source bottom-k signatures of a distinct (source, h) posting
+    * relation, one TopKByScore partial-aggregating pass (score = −h). */
+  private[graft] def kmvSignatures(posts: DataFrame): DataFrame =
+    posts.groupBy(col("source"))
+      .agg(graft.expr.TopKAgg.topK(KmvK)(
+        -col("h").cast("double"), col("h")).as("sel"))
+      .select(col("source"), explode(col("sel")).as("s"))
+      .select(col("source"), col("s.id").as("h"))
+
+  /** Pairwise overlap report from `posts` (source, t, h — distinct per
+    * source): exact Jaccard per pair on SHINGLE TEXT (the verification
+    * leg — exact, no hash-collision exposure), KMV estimate from
+    * signatures, ±0.12 band check, and the global bottom-k merge
+    * identity checked against a full-corpus rebuild. */
+  private[graft] def kmvVerifiedOverlap(posts: DataFrame): DataFrame = {
+    val sig = kmvSignatures(posts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = posts.groupBy(col("source")).agg(count(lit(1)).as("z"))
+    val inter = posts.select(col("source").as("sa"), col("t"))
+      .join(posts.select(col("source").as("sb"), col("t")), Seq("t"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("ni"))
+    // per-pair union stream over SIGNATURES only (sketch-sized): rank the
+    // union's hashes, keep bottom-k, count hashes present on both sides
+    // (countDistinct(src) — a within-source 52-bit collision must not
+    // fake a cross-source match)
+    val srcs = sig.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val unionStream = pairs.join(sig.withColumnRenamed("source", "src"),
+        col("src") === col("sa") || col("src") === col("sb"))
+    val wPair = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+    val est = unionStream
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg((countDistinct(col("src")) === 2).as("both"))
+      .withColumn("rn", row_number().over(wPair))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(when(col("both"), 1L).otherwise(0L)).as("m"),
+        count(lit(1)).as("ku"))
+    // merge identity, checked globally: bottom-k of the union of per-
+    // source signatures == bottom-k of the full distinct-hash corpus
+    val mergedCorpus = sig.select(col("h")).distinct()
+      .orderBy(col("h")).limit(KmvK)
+      .select(col("h"), lit(1).as("x"))
+    val fullCorpus = posts.select(col("h")).distinct()
+      .orderBy(col("h")).limit(KmvK)
+      .select(col("h"), lit(1).as("y"))
+    val mm = mergedCorpus.join(fullCorpus, Seq("h"), "full_outer")
+      .agg(sum(when(col("x").isNull || col("y").isNull, 1L)
+        .otherwise(0L)).as("n_bad"))
+    inter
+      .join(sizes.select(col("source").as("sa"), col("z").as("za")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("z").as("zb")), "sb")
+      .withColumn("j_exact", col("ni") /
+        (col("za") + col("zb") - col("ni")).cast("double"))
+      .join(est, Seq("sa", "sb"))
+      .crossJoin(broadcast(mm))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        round(col("j_exact"), 4).as("j_exact"),
+        (abs(col("m") / col("ku").cast("double") - col("j_exact"))
+          <= 0.12).as("within_band"),
+        (col("n_bad") === 0).as("merge_equals_full"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** q198's oracle — exact per-pair distinct-shingle Jaccard with the
+    * two in-plan sketch invariants pinned TRUE. */
+  private[graft] lazy val KmvOverlapSql =
+    """WITH t AS (SELECT doc_id, source, list_distinct(list_transform(
+           range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+           i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+         FROM documents),
+       p AS (SELECT DISTINCT source, s
+             FROM (SELECT source, unnest(sh) AS s FROM t)),
+       sz AS (SELECT source, count(*) AS z FROM p GROUP BY 1),
+       inter AS (SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS ni
+         FROM p a JOIN p b ON a.s = b.s AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b,
+         round(ni * 1.0 / (za.z + zb.z - ni), 4) AS j_exact,
+         true AS within_band, true AS merge_equals_full
+       FROM inter
+       JOIN sz za ON za.source = src_a
+       JOIN sz zb ON zb.source = src_b
+       ORDER BY src_a, src_b"""
 
   /** q104's chunking Column tree, factored so the streaming twin (q107)
     * runs the SAME transform on a stream — one rule, two engine paths

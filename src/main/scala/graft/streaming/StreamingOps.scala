@@ -850,6 +850,60 @@ object StreamingOps {
       },
       Some(graft.ops.EventOps.BottomKQuantileSql)),
 
+    // ---- streaming count-min gate (q197): q196's linear frequency
+    // sketch maintained under a STREAM (one sketch algebra, three engine
+    // paths: batch build, batch increment+retraction, stream). Each
+    // micro-batch aggregates its arrivals to (shingle, df) partials and
+    // folds them into a 4×1024-counter slot written per batch-id —
+    // OVERWRITE per slot, so a replayed batch rewrites its own delta
+    // instead of double-counting. That exactly-once slot discipline is
+    // LOAD-BEARING here in a way it is not for q192: HLL registers are
+    // per-item idempotent (re-ingesting seen text moves nothing, so
+    // q192's arrivals deliberately include re-crawls), but a LINEAR
+    // sketch adds every update it sees — re-delivery would double-count
+    // — so the arrival filter takes fresh docs only and idempotence
+    // comes from the slot overwrite, not the algebra. The trade buys
+    // the turnstile capability (q196's retraction) that the idempotent
+    // sketches cannot express. Serve: snapshot ⊕ slots (bucket-wise
+    // sum), checked bucket-for-bucket against a full-corpus rebuild
+    // (exact by linearity) plus the estimate bounds, all in-plan.
+    // Oracle: the full-corpus twin of q196's SQL — one rule, two
+    // engine paths.
+    Q("q197_stream_cms_gate",
+      (s, d) => {
+        import graft.ops.TextOps
+        val docs = graft.schema.Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        TextOps.writeCmsSnapshot(s, d)
+        val store = tempStore("graft_cms_gate_out")
+        runForeachBatch(s, d, "documents")(
+          _.filter(col("doc_id") >= cut)) { (batch, batchId) =>
+          // tokens MATERIALIZED before the shingle lambda (the
+          // docsWithShingles barrier): without it the collapsed
+          // per-batch plan re-tokenizes inside every element_at
+          val tok = batch
+            .select(TextOps.toks(col("text")).as("tk"))
+            .persist()
+          try {
+            TextOps.cmsOf(
+              tok.select(explode(TextOps.shingles(col("tk"))).as("t"))
+                .groupBy(col("t")).agg(count(lit(1)).as("c")))
+              .write.mode("overwrite").parquet(s"$store/b$batchId")
+          } finally { tok.unpersist(); () }
+        }
+        val root = new org.apache.hadoop.fs.Path(store)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
+        val streamed =
+          if (slots.isEmpty) s.table(TextOps.CmsSketchTable).limit(0)
+          else s.read.parquet(slots: _*)
+        TextOps.cmsVerifiedTop(TextOps.docsWithShingles(s, d),
+          s.table(TextOps.CmsSketchTable).unionByName(streamed))
+      },
+      Some(graft.ops.TextOps.CmsFullSql)),
+
     // ---- streaming CDC upsert WITH DELETES (q112, VERDICT r10 #7): q63
     // streams insert-if-absent and q76 batch-merges D/I/U — this closes
     // the gap between them: a changelog STREAM (synthesized from orders

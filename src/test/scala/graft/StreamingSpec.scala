@@ -415,6 +415,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS gate: slot overwrite makes the LINEAR sketch " +
+      "replay-safe, and the served sum equals a direct one-pass build " +
+      "(q197)") {
+    import graft.ops.TextOps
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q197_stream_cms_gate")(spark, sf)
+      .as[(String, Long, Boolean, Boolean, Boolean)].collect()
+    assert(out.length === 20)
+    out.foreach { case (t, n, meq, over, band) =>
+      assert(n > 0 && meq && over && band,
+        s"$t n=$n meq=$meq over=$over band=$band")
+    }
+    // the load-bearing difference vs q192's HLL: a linear sketch is NOT
+    // per-item idempotent, so replay safety must come from the per-batch
+    // overwrite slot — a retried batch rewrites its slot and the summed
+    // result is unchanged (an append-mode slot would double-count)
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        TextOps.shingles(TextOps.toks(col("text"))).as("sh"))
+      .persist()
+    val store = Files.createTempDirectory("q197replay").toString
+    def write(b: Int, parity: Int): Unit =
+      TextOps.cmsOf(TextOps.shingleDfCounts(
+        sh.filter(col("doc_id") % 2 === parity)))
+        .write.mode("overwrite").parquet(s"$store/b$b")
+    write(0, 0); write(1, 1)
+    def summed(): Set[(Int, Int, Long)] =
+      TextOps.cmsSummed(spark.read.parquet(s"$store/b0", s"$store/b1"))
+        .as[(Int, Int, Long)].collect().toSet
+    val before = summed()
+    val direct = TextOps.cmsOf(TextOps.shingleDfCounts(sh))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(before === direct, "slot sum must equal the one-pass sketch")
+    write(1, 1) // batch 1 RETRIED
+    val after = summed()
+    sh.unpersist()
+    assert(after === before, "batch retry must not double-count")
+  }
+
   test("ts-consuming stream queries run against the DRIVER testdata's " +
       "actual timestamp type") {
     // The other streaming tests run on Spark-written fixtures (micros

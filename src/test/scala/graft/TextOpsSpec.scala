@@ -563,4 +563,77 @@ class TextOpsSpec extends SparkSpec {
     // the tree string renders whole-stage-codegen spans as "*(n) "
     assert("""\*\(\d+\) Project""".r.findFirstIn(qe).isDefined, qe)
   }
+
+  test("CMS maintenance: merge+retraction equal the live rebuild, " +
+      "estimates one-sided and banded, and the sketch is LINEAR over " +
+      "any split (q196)") {
+    val out = SparkEntry.queries("q196_cms_frequency")(spark, sf)
+      .as[(String, Long, Boolean, Boolean, Boolean)].collect()
+    assert(out.length === 20)
+    out.foreach { case (t, n, meq, over, band) =>
+      assert(n > 0, s"$t exact df $n")
+      assert(meq, s"$t: merged sketch != live rebuild")
+      assert(over, s"$t: CMS underestimated — linearity broken")
+      assert(band, s"$t: estimate outside the 4N/w band")
+    }
+    // linearity generalized past the 80/20+retraction split the query
+    // runs with: sketches over ANY disjoint 3-way doc split SUM to the
+    // direct one-pass sketch, bucket-for-bucket
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        expr("""array_distinct(transform(
+          sequence(1, greatest(size(filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')) - 2, 0)),
+          i -> concat_ws(' ',
+            element_at(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''), i),
+            element_at(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''), i + 1),
+            element_at(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''), i + 2))))""")
+          .as("sh"))
+      .persist()
+    val direct = TextOps.cmsOf(TextOps.shingleDfCounts(sh))
+    val summed = TextOps.cmsSummed(
+      (0 to 2).map(p => TextOps.cmsOf(TextOps.shingleDfCounts(
+        sh.filter(col("doc_id") % 3 === p)))).reduce(_ unionByName _))
+    val mism = direct.select(col("r"), col("b"), col("cnt").as("cd"))
+      .join(summed.select(col("r"), col("b"), col("cnt").as("cs")),
+        Seq("r", "b"), "full_outer")
+      .filter(coalesce(col("cd"), lit(0L)) =!= coalesce(col("cs"), lit(0L)))
+      .count()
+    assert(mism === 0L, s"$mism buckets differ between direct and summed")
+    // retraction round-trip: (A ⊕ B) ⊖ B == A exactly
+    val a = TextOps.cmsOf(TextOps.shingleDfCounts(
+      sh.filter(col("doc_id") % 3 === 0)))
+    val b = TextOps.cmsOf(TextOps.shingleDfCounts(
+      sh.filter(col("doc_id") % 3 =!= 0)))
+    val roundTrip = TextOps.cmsSummed(direct.unionByName(
+      b.select(col("r"), col("b"), (-col("cnt")).as("cnt"))))
+      .filter(col("cnt") =!= 0L)
+    val back = roundTrip.select(col("r"), col("b"), col("cnt").as("cr"))
+      .join(a.select(col("r"), col("b"), col("cnt").as("ca")),
+        Seq("r", "b"), "full_outer")
+      .filter(coalesce(col("cr"), lit(0L)) =!= coalesce(col("ca"), lit(0L)))
+      .count()
+    sh.unpersist()
+    assert(back === 0L, s"$back buckets differ after retraction round-trip")
+  }
+
+  test("KMV overlap: every pair estimate in band, merge identity holds, " +
+      "and per-source state is bounded by k (q198)") {
+    val out = SparkEntry.queries("q198_kmv_overlap")(spark, sf)
+      .as[(String, String, Double, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, j, band, meq) =>
+      assert(j > 0.0 && j <= 1.0, s"($a,$b) j_exact $j")
+      assert(band, s"($a,$b): KMV estimate outside ±0.12 of $j")
+      assert(meq, s"($a,$b): signature-union bottom-k != full rebuild")
+    }
+    // state bound: no source's signature exceeds k rows
+    val posts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        explode(TextOps.toks(col("text"))).as("t")).distinct()
+      .select(col("source"), TextOps.kmvHash(col("t")).as("h"))
+    val maxSig = TextOps.kmvSignatures(posts)
+      .groupBy(col("source")).count().agg(max(col("count")))
+      .as[Long].head()
+    assert(maxSig <= TextOps.KmvK, s"signature size $maxSig > k")
+  }
 }
