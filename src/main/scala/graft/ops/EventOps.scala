@@ -964,7 +964,93 @@ object EventOps {
             .dropDuplicates("event_type", "event_id"))
         bottomKVerifiedQuantiles(s, ev, merged)
       },
-      Some(BottomKQuantileSql))
+      Some(BottomKQuantileSql)),
+
+    // ---- CUSUM change-point detection (q199): the monitoring family's
+    // TEMPORAL member — q115/q116 ask "did the distribution drift
+    // between two snapshots", this asks WHEN a rate shifted, on the
+    // classic one-sided CUSUM (Page 1954): S_i = max(0, S_{i−1} + x_i −
+    // μ − slack), alarm when S crosses h. Two re-expressions make it
+    // exact and shuffle-parallel: (1) the max(0,·) recursion — not a
+    // linear window — equals the prefix identity S_i = P_i −
+    // min(0, min_{j≤i} P_j) with P the running sum of (x − μ − slack),
+    // so it becomes TWO frame aggregates over one per-type sort instead
+    // of a sequential fold; (2) everything is scaled into units of 4n
+    // (n = baseline days, B = baseline total): y = 4n·x − 5B encodes
+    // slack = μ/4 and h = 3μ becomes 12nB — all BIGINT, no float
+    // accumulation, engine-exact. The surge is PLANTED arithmetically
+    // (days ≥ the 80% date triple their count — the q130 planted-hot-key
+    // discipline), so the alarm is non-vacuous at every SF while the
+    // baseline still exercises the reflection (P dips and recovers).
+    // Scale: the daily rollup is the only corpus-sized pass (map-side
+    // (type, day) partials); the CUSUM windows run per type over ~365
+    // rows — constant state, the same posture a year of daily telemetry
+    // keeps at 100 TB.
+    Q("q199_cusum_changepoint",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val span = broadcast(ev.agg(
+          min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1")))
+        val daily = ev.groupBy(col("event_type"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c0"))
+          .crossJoin(span)
+          .withColumn("cut_day",
+            date_add(col("d0"), floor(datediff(col("d1"), col("d0")) *
+              lit(0.8)).cast("int")))
+          .withColumn("x",
+            when(col("day") >= col("cut_day"), col("c0") * 3)
+              .otherwise(col("c0")))
+        val base = daily.filter(col("day") < col("cut_day"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c0")).as("bsum"))
+        val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val run = byDay.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val scored = daily.join(broadcast(base), Seq("event_type"))
+          .withColumn("y", lit(4L) * col("n") * col("x") - lit(5L) * col("bsum"))
+          .withColumn("p", sum(col("y")).over(run))
+          .withColumn("s", col("p") -
+            least(min(col("p")).over(run), lit(0L)))
+          .withColumn("alarmed", col("s") >= lit(12L) * col("bsum"))
+        // alarm reported as a day INDEX (datediff from the span start) —
+        // integer, no cross-engine DATE dtype exposure
+        scored.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_base_days"),
+            max(col("s")).as("max_s"),
+            min(when(col("alarmed"),
+              datediff(col("day"), col("d0")))).as("alarm_day_idx"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0,
+                max(CAST(ts AS DATE)) AS d1 FROM events),
+              daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  count(*) AS c0
+                FROM events GROUP BY 1, 2),
+              marked AS (SELECT d.*, s.d0,
+                  s.d0 + CAST(floor(date_diff('day', s.d0, s.d1) * 0.8)
+                    AS INTEGER) AS cut_day
+                FROM daily d, span s),
+              m2 AS (SELECT *, CASE WHEN day >= cut_day THEN c0 * 3
+                  ELSE c0 END AS x FROM marked),
+              base AS (SELECT event_type, count(*) AS n, sum(c0) AS bsum
+                FROM m2 WHERE day < cut_day GROUP BY 1),
+              sc AS (SELECT m2.event_type, m2.day, m2.d0,
+                  4 * b.n * m2.x - 5 * b.bsum AS y, b.n, b.bsum
+                FROM m2 JOIN base b ON b.event_type = m2.event_type),
+              pp AS (SELECT *, sum(y) OVER w AS p FROM sc
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              ss AS (SELECT *, p - least(min(p) OVER w, 0) AS s FROM pp
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              SELECT event_type,
+                CAST(max(n) AS BIGINT) AS n_base_days,
+                CAST(max(s) AS BIGINT) AS max_s,
+                CAST(min(CASE WHEN s >= 12 * bsum
+                  THEN date_diff('day', d0, day) END) AS INTEGER)
+                  AS alarm_day_idx
+              FROM ss GROUP BY event_type ORDER BY event_type"""))
   )
 
   /** q156's clamp bounds: per event_type [p05, p95) edges located on the

@@ -384,4 +384,47 @@ class EventOpsSpec extends SparkSpec {
     assert(est._2 === sampleVals((128 * 9 + 9) / 10 - 1))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
+
+  test("CUSUM: the prefix-min reflection equals the sequential " +
+      "max(0, .) fold exactly, and alarms fire only after the planted " +
+      "surge (q199)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q199_cusum_changepoint")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSeq
+    assert(out.length === 5)
+    // recompute per type with the literal sequential recursion the
+    // relational plan re-expresses — S_i = max(0, S_{i-1} + y_i) —
+    // and compare max_s and the first alarm index exactly
+    val daily = graft.schema.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c0"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2)))
+    val d0 = daily.map(_._2).min
+    val d1 = daily.map(_._2).max
+    val cutIdx = math.floor(
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d1) * 0.8).toInt
+    out.foreach { case (t, nOut, maxsOut, alarmOut) =>
+      val series = daily.filter(_._1 == t).sortBy(_._2).map { case (_, dy, c) =>
+        val idx = java.time.temporal.ChronoUnit.DAYS.between(d0, dy).toInt
+        (idx, if (idx >= cutIdx) c * 3 else c, c)
+      }
+      val base = series.filter(_._1 < cutIdx)
+      val n = base.length.toLong
+      val bsum = base.map(_._3).sum
+      var s = 0L; var maxS = 0L; var alarm: Option[Int] = None
+      series.foreach { case (idx, x, _) =>
+        s = math.max(0L, s + 4L * n * x - 5L * bsum)
+        maxS = math.max(maxS, s)
+        if (alarm.isEmpty && s >= 12L * bsum) alarm = Some(idx)
+      }
+      assert(nOut === n, s"$t baseline days")
+      assert(maxsOut === maxS, s"$t: reflection != sequential fold")
+      assert(alarmOut === alarm, s"$t alarm index")
+      assert(alarm.nonEmpty, s"$t never alarmed despite the 3x surge")
+      alarm.foreach(a => assert(a >= cutIdx,
+        s"$t false alarm at $a before the surge at $cutIdx"))
+    }
+  }
 }
