@@ -162,6 +162,94 @@ object GraphOps {
                   JOIN deg d ON d.src = e.src, nn
                 GROUP BY e.dst, nn.n)
               SELECT node AS part, r AS rank_scaled FROM it5
-              ORDER BY rank_scaled DESC, part LIMIT 20"""))
+              ORDER BY rank_scaled DESC, part LIMIT 20""")),
+
+    // ---- near-dup graph transitivity (q200): triangle count + global
+    // clustering coefficient of the LSH near-dup pair graph — the
+    // STRUCTURE check on dedup output. Near-duplication is empirically
+    // near-transitive (a≈b and b≈c usually forces a≈c), so the dup graph
+    // of a healthy corpus closes most of its wedges; a LOW transitivity
+    // score is the smoking gun for threshold-boundary chaining (the
+    // pathology that makes q45's cluster collapse over-merge: long
+    // chains of pairwise-similar docs whose endpoints share nothing).
+    // This is the diagnostic you run before trusting connected-component
+    // dedup at a new threshold. Edges come from the SHARED written pair
+    // artifact (corpusLshPairs — the q34/q45 family's build, reused, not
+    // rebuilt). Triangle enumeration is the classic ordered three-way
+    // self-join: edges are stored (id_a < id_b), so each triangle
+    // a<b<c is counted exactly once as ab⋈bc⋈ac — relational, shuffle-
+    // parallel, no adjacency structure in memory. At corpus scale the
+    // standard degree-ordering relabel bounds wedge fanout at hub nodes
+    // (orient edges low-degree → high-degree before the join); the dup
+    // graph here is hub-free (max cluster ~18), so id-ordering suffices
+    // and the relabel is documented rather than paid. Wedges = Σ C(d,2)
+    // over undirected degrees; transitivity = 3·T/W emitted in integer
+    // BASIS POINTS ((30000·T) div W) — BIGINT-exact, no float division.
+    Q("q200_dupgraph_transitivity",
+      (s, d) => transitivityReport(
+        graft.ops.TextOps.corpusLshPairs(s, d)
+          .select(col("id_a"), col("id_b"))),
+      // exact pairs recomputed from raw text (the q34 oracle discipline:
+      // a wrong/stale pair artifact fails this hash), then the identical
+      // integer triangle/wedge arithmetic
+      Some("""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
+           i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+                regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+         FROM documents),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+         sizes AS (SELECT doc_id, len(sh) AS sz FROM t),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS ni
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE ni * 1.0 / (sa.sz + sb.sz - ni) >= 0.5),
+         tri AS (SELECT count(*) AS n_triangles FROM pairs ab
+           JOIN pairs bc ON ab.id_b = bc.id_a
+           JOIN pairs ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b),
+         deg AS (SELECT v, count(*) AS dg FROM (
+             SELECT id_a AS v FROM pairs
+             UNION ALL SELECT id_b AS v FROM pairs) GROUP BY 1),
+         wed AS (SELECT count(*) AS n_nodes,
+             sum(dg * (dg - 1) // 2) AS n_wedges FROM deg)
+         SELECT (SELECT count(*) FROM pairs) AS n_edges,
+           CAST(wed.n_nodes AS BIGINT) AS n_nodes,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CAST(wed.n_wedges AS BIGINT) AS n_wedges,
+           CAST(CASE WHEN wed.n_wedges > 0
+             THEN (30000 * tri.n_triangles) // wed.n_wedges
+             ELSE 0 END AS BIGINT) AS transitivity_bp
+         FROM tri, wed"""))
   )
+
+  /** Triangle/wedge/transitivity report over an undirected edge relation
+    * stored ordered (id_a < id_b, deduplicated) — q200's body, factored
+    * for golden-graph testing. One row out: (n_edges, n_nodes,
+    * n_triangles, n_wedges, transitivity_bp). */
+  def transitivityReport(edges: DataFrame): DataFrame = {
+    val e = edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.id_b") === col("bc.id_a"))
+      .join(e.as("ac"), col("ac.id_a") === col("ab.id_a") &&
+        col("ac.id_b") === col("bc.id_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wed = e.select(col("id_a").as("v"))
+      .unionAll(e.select(col("id_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wed))
+      .crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_nodes"),
+        col("n_triangles"), col("n_wedges"),
+        expr("""CASE WHEN n_wedges > 0
+            THEN (30000 * n_triangles) div n_wedges
+            ELSE 0 END""").as("transitivity_bp"))
+  }
 }

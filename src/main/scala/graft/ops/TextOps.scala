@@ -90,11 +90,23 @@ object TextOps {
       Seq("doc_id"), "left_semi")
       .persist()
 
-  // MinHash parameters: 32 hash functions, 8 bands × 4 rows. Collision
-  // probability 1-(1-j^4)^8: j=0.5 → 0.40, j=0.8 → 0.97, j=0.9 → 0.996 —
-  // tuned to catch the ≥0.8 near-dup band reliably.
-  private val NumHashes = 32
-  private val NumBands = 8
+  // MinHash parameters: 96 hash functions, 32 bands × 3 rows.
+  //
+  // Round 13 re-tuning from a MEASURED miss: the previous 8 bands × 4
+  // rows had per-pair recall 1-(1-j^4)^8 = 0.95 at j=0.75 — and at
+  // sf0.1 the q34 sweep dropped a true j=0.8 pair (capped-j 0.75, docs
+  // 1568/2466) on exactly that 5% tail, the first observed divergence
+  // from the exact oracle at any SF. The corpus's j landscape is
+  // bimodal (true pairs ≥ 0.8 full-set, background < 0.2, nothing in
+  // [0.2, 0.5) at any SF — measured), so the banding is sized for
+  // near-certain recall in the ≥ 0.7 capped-j zone rather than at the
+  // 0.5 admission threshold: P(miss) = (1-j^3)^32 is 1.5e-6 at j=0.7
+  // and 3e-8 at j=0.75, while background inflation stays candidate-
+  // sized (j=0.05 pairs collide with p ≈ 4e-3; the exact verify stage
+  // absorbs them). Cost: 3× hash work in the one detection sweep and
+  // 4× banded-index rows — both shared-artifact builds, paid once.
+  private val NumHashes = 96
+  private val NumBands = 32
   private val RowsPerBand = NumHashes / NumBands
 
   /** Exact all-pairs shingle-Jaccard ≥ 0.5 in DuckDB SQL — the oracle for

@@ -92,4 +92,18 @@ class GraphOpsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
     assert(run(1) == run(7))
   }
+
+  test("transitivity report: 4-clique + 3-chain golden graph, ordered " +
+      "enumeration counts each triangle once (q200)") {
+    // K4 on {1,2,3,4} (4 triangles, every wedge closed) plus the chain
+    // 10-11-12 (0 triangles, 1 open wedge at 11). Totals: E=8, V=7,
+    // T=4; wedges by degree: clique nodes 3 each (4*C(3,2)=12), chain
+    // middle 2 (1), ends 1 (0) -> W=13; 3*4*10000 div 13 = 9230 bp.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val out = graft.ops.GraphOps.transitivityReport(edges)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out === ((8L, 7L, 4L, 13L, 9230L)), out)
+  }
 }
