@@ -987,71 +987,95 @@ object EventOps {
     // rows — constant state, the same posture a year of daily telemetry
     // keeps at 100 TB.
     Q("q199_cusum_changepoint",
-      (s, d) => {
-        val ev = Tables.events(s, d)
-        val span = broadcast(ev.agg(
-          min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1")))
-        val daily = ev.groupBy(col("event_type"),
-            to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("c0"))
-          .crossJoin(span)
-          .withColumn("cut_day",
-            date_add(col("d0"), floor(datediff(col("d1"), col("d0")) *
-              lit(0.8)).cast("int")))
-          .withColumn("x",
-            when(col("day") >= col("cut_day"), col("c0") * 3)
-              .otherwise(col("c0")))
-        val base = daily.filter(col("day") < col("cut_day"))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("c0")).as("bsum"))
-        val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
-        val run = byDay.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)
-        val scored = daily.join(broadcast(base), Seq("event_type"))
-          .withColumn("y", lit(4L) * col("n") * col("x") - lit(5L) * col("bsum"))
-          .withColumn("p", sum(col("y")).over(run))
-          .withColumn("s", col("p") -
-            least(min(col("p")).over(run), lit(0L)))
-          .withColumn("alarmed", col("s") >= lit(12L) * col("bsum"))
-        // alarm reported as a day INDEX (datediff from the span start) —
-        // integer, no cross-engine DATE dtype exposure
-        scored.groupBy(col("event_type"))
-          .agg(max(col("n")).as("n_base_days"),
-            max(col("s")).as("max_s"),
-            min(when(col("alarmed"),
-              datediff(col("day"), col("d0")))).as("alarm_day_idx"))
-          .orderBy(col("event_type"))
-      },
-      Some("""WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0,
-                max(CAST(ts AS DATE)) AS d1 FROM events),
-              daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-                  count(*) AS c0
-                FROM events GROUP BY 1, 2),
-              marked AS (SELECT d.*, s.d0,
-                  s.d0 + CAST(floor(date_diff('day', s.d0, s.d1) * 0.8)
-                    AS INTEGER) AS cut_day
-                FROM daily d, span s),
-              m2 AS (SELECT *, CASE WHEN day >= cut_day THEN c0 * 3
-                  ELSE c0 END AS x FROM marked),
-              base AS (SELECT event_type, count(*) AS n, sum(c0) AS bsum
-                FROM m2 WHERE day < cut_day GROUP BY 1),
-              sc AS (SELECT m2.event_type, m2.day, m2.d0,
-                  4 * b.n * m2.x - 5 * b.bsum AS y, b.n, b.bsum
-                FROM m2 JOIN base b ON b.event_type = m2.event_type),
-              pp AS (SELECT *, sum(y) OVER w AS p FROM sc
-                WINDOW w AS (PARTITION BY event_type ORDER BY day
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-              ss AS (SELECT *, p - least(min(p) OVER w, 0) AS s FROM pp
-                WINDOW w AS (PARTITION BY event_type ORDER BY day
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-              SELECT event_type,
-                CAST(max(n) AS BIGINT) AS n_base_days,
-                CAST(max(s) AS BIGINT) AS max_s,
-                CAST(min(CASE WHEN s >= 12 * bsum
-                  THEN date_diff('day', d0, day) END) AS INTEGER)
-                  AS alarm_day_idx
-              FROM ss GROUP BY event_type ORDER BY event_type"""))
+      (s, d) => cusumFromCounts(dailyCounts(Tables.events(s, d))),
+      Some(CusumSql))
   )
+
+  // --------------------------------------------------------------------
+  // q199/q202 CUSUM machinery, shared so the batch detector and the
+  // streaming gate cannot drift (the q191/q192 pattern): the (type, day,
+  // c0) daily-count state — LINEAR, so per-batch partials merge by SUM,
+  // the CMS/q197 slot discipline — and the scaled integer CUSUM scorer.
+  // --------------------------------------------------------------------
+
+  /** Daily event counts: (event_type, day, c0) — the mergeable state
+    * behind CUSUM (counts are linear; slot partials sum). The only
+    * corpus-sized pass; map-side (type, day) partials shuffle. */
+  private[graft] def dailyCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c0"))
+
+  /** Scaled integer CUSUM over a (event_type, day, c0) relation — the
+    * q199 scorer: surge-marked series, baseline (n, B) per type, y =
+    * 4n·x − 5B, S via the prefix-min reflection, alarm at 12B, reported
+    * as (n_base_days, max_s, alarm_day_idx). All arithmetic BIGINT. */
+  private[graft] def cusumFromCounts(daily0: DataFrame): DataFrame = {
+    val span = broadcast(daily0.agg(
+      min(col("day")).as("d0"), max(col("day")).as("d1")))
+    val daily = daily0
+      .crossJoin(span)
+      .withColumn("cut_day",
+        date_add(col("d0"), floor(datediff(col("d1"), col("d0")) *
+          lit(0.8)).cast("int")))
+      .withColumn("x",
+        when(col("day") >= col("cut_day"), col("c0") * 3)
+          .otherwise(col("c0")))
+    val base = daily.filter(col("day") < col("cut_day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c0")).as("bsum"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val run = byDay.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val scored = daily.join(broadcast(base), Seq("event_type"))
+      .withColumn("y",
+        lit(4L) * col("n") * col("x") - lit(5L) * col("bsum"))
+      .withColumn("p", sum(col("y")).over(run))
+      .withColumn("s", col("p") -
+        least(min(col("p")).over(run), lit(0L)))
+      .withColumn("alarmed", col("s") >= lit(12L) * col("bsum"))
+    // alarm reported as a day INDEX (datediff from the span start) —
+    // integer, no cross-engine DATE dtype exposure
+    scored.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_base_days"),
+        max(col("s")).as("max_s"),
+        min(when(col("alarmed"),
+          datediff(col("day"), col("d0")))).as("alarm_day_idx"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q199/q202's shared oracle — the identical scaled-integer CUSUM in
+    * DuckDB (one rule, two engine paths). LAZY: referenced from the
+    * catalog during object init (the q191 lesson). */
+  private[graft] lazy val CusumSql: String =
+    """WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0,
+         max(CAST(ts AS DATE)) AS d1 FROM events),
+       daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS c0
+         FROM events GROUP BY 1, 2),
+       marked AS (SELECT d.*, s.d0,
+           s.d0 + CAST(floor(date_diff('day', s.d0, s.d1) * 0.8)
+             AS INTEGER) AS cut_day
+         FROM daily d, span s),
+       m2 AS (SELECT *, CASE WHEN day >= cut_day THEN c0 * 3
+           ELSE c0 END AS x FROM marked),
+       base AS (SELECT event_type, count(*) AS n, sum(c0) AS bsum
+         FROM m2 WHERE day < cut_day GROUP BY 1),
+       sc AS (SELECT m2.event_type, m2.day, m2.d0,
+           4 * b.n * m2.x - 5 * b.bsum AS y, b.n, b.bsum
+         FROM m2 JOIN base b ON b.event_type = m2.event_type),
+       pp AS (SELECT *, sum(y) OVER w AS p FROM sc
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       ss AS (SELECT *, p - least(min(p) OVER w, 0) AS s FROM pp
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n_base_days,
+         CAST(max(s) AS BIGINT) AS max_s,
+         CAST(min(CASE WHEN s >= 12 * bsum
+           THEN date_diff('day', d0, day) END) AS INTEGER)
+           AS alarm_day_idx
+       FROM ss GROUP BY event_type ORDER BY event_type"""
 
   /** q156's clamp bounds: per event_type [p05, p95) edges located on the
     * 128-bin fixed-grid histogram of `value`. Input: (event_type, value);

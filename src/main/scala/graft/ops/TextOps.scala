@@ -1288,6 +1288,42 @@ object TextOps {
       },
       Some(CmsLiveSql)),
 
+    // ---- Pareto-frontier data selection (q201): the multi-criteria
+    // curation primitive — the skyline of documents under two MAXIMIZED
+    // integer features (token count; lexical diversity in basis points,
+    // distinct·10000 div total), i.e. the docs no other doc beats on
+    // both axes. Published pipelines threshold each quality signal
+    // independently (q47's posture); the frontier is the principled
+    // alternative when signals trade off — nothing below it can belong
+    // to any monotone-utility optimum. Algorithm: the naive definition
+    // is the O(n²) NOT-EXISTS (the oracle); in-plan it is (1) a GRID
+    // PRE-PRUNE — 256 fixed-width a-buckets, per-bucket max b, running
+    // max over strictly-higher buckets broadcast back: any point with
+    // b ≤ that threshold is dominated by a point in a higher bucket
+    // (whose a is strictly greater by bucket disjointness) and drops
+    // map-side — then (2) the exact two-window test over the SURVIVORS
+    // (max b over a' > a via an integer range frame; max b within the
+    // same a): both windows are unpartitioned sorts, safe only because
+    // the survivor set is prune-bounded (≤ distinct-b-above-threshold
+    // per bucket; 256-row bucket stats at any corpus size). The prune
+    // is lossless by construction — a true skyline point's b exceeds
+    // every higher bucket's max — and the oracle proves it per corpus.
+    Q("q201_pareto_frontier",
+      (s, d) => {
+        val f = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .select(size(col("tk")).cast("long").as("a"),
+            size(array_distinct(col("tk"))).cast("long").as("nd"),
+            size(col("tk")).cast("long").as("nt"))
+          .filter(col("nt") > 0)
+          .select(col("a"), expr("nd * 10000L div nt").as("b"))
+        paretoFrontier2D(f)
+          .select(col("a").as("n_tokens"), col("b").as("diversity_bp"),
+            col("n_docs"))
+          .orderBy(col("n_tokens"), col("diversity_bp"))
+      },
+      Some(ParetoSql)),
+
     // ---- KMV cross-source overlap estimate (q198): vocabulary overlap
     // between source pairs from k-minimum-values signatures (Bar-Yossef
     // et al. 2002; the "theta sketch" set algebra) — the SET-INTERSECTION
@@ -1444,6 +1480,63 @@ object TextOps {
          true AS merge_equals_full, true AS overestimates,
          true AS within_band
        FROM c ORDER BY n_exact DESC, shingle LIMIT 20"""
+
+  // --------------------------------------------------------------------
+  // q201 Pareto machinery.
+  // --------------------------------------------------------------------
+
+  /** 2-D skyline (both axes MAXIMIZED) of an integer (a, b) relation,
+    * with multiplicity: output (a, b, n_docs) — the distinct frontier
+    * points. Grid pre-prune (lossless, see q201's scaladoc) + exact
+    * two-window test over the survivors. */
+  private[graft] def paretoFrontier2D(pts: DataFrame): DataFrame = {
+    val p = pts.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_docs"))
+    val mm = p.agg(min(col("a")).as("a0"), max(col("a")).as("a1"))
+    val bucketed = p.crossJoin(broadcast(mm))
+      .withColumn("bk",
+        when(col("a1") > col("a0"),
+          expr("(a - a0) * 256L div (a1 - a0 + 1)")).otherwise(lit(0L)))
+      .drop("a0", "a1")
+    // per-bucket max b, then the running max over STRICTLY higher
+    // buckets (256 rows — the unpartitioned window is stats-sized)
+    val wHigher = Window.orderBy(col("bk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = bucketed.groupBy(col("bk")).agg(max(col("b")).as("mb"))
+      .withColumn("thr", max(col("mb")).over(wHigher))
+      .select(col("bk"), col("thr"))
+    val survivors = bucketed.join(broadcast(thr), Seq("bk"))
+      .filter(col("thr").isNull || col("thr") < col("b"))
+    // exact dominance test over the pruned set: dominated iff some point
+    // with a' > a has b' ≥ b (integer RANGE frame ending at a-1), or a
+    // point with the same a has b' > b
+    val byAHigher = Window.orderBy(col("a"))
+      .rangeBetween(1, Window.unboundedFollowing)
+    val sameA = Window.partitionBy(col("a"))
+    survivors
+      .withColumn("mba", max(col("b")).over(byAHigher))
+      .withColumn("mbs", max(col("b")).over(sameA))
+      .filter((col("mba").isNull || col("mba") < col("b")) &&
+        col("mbs") === col("b"))
+      .select(col("a"), col("b"), col("n_docs"))
+  }
+
+  /** q201's oracle — the O(n²) NOT-EXISTS skyline definition, proving
+    * the grid prune lossless on the real corpus. */
+  private[graft] lazy val ParetoSql =
+    """WITH f AS (SELECT
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt,
+         len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS nd
+       FROM documents
+       WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+       p AS (SELECT nt AS a, (nd * 10000) // nt AS b, count(*) AS n_docs
+         FROM f GROUP BY 1, 2),
+       sky AS (SELECT * FROM p WHERE NOT EXISTS (
+         SELECT 1 FROM p q WHERE q.a >= p.a AND q.b >= p.b
+           AND (q.a > p.a OR q.b > p.b)))
+       SELECT CAST(a AS BIGINT) AS n_tokens, CAST(b AS BIGINT)
+         AS diversity_bp, n_docs
+       FROM sky ORDER BY n_tokens, diversity_bp"""
 
   // --------------------------------------------------------------------
   // q198 KMV machinery.

@@ -904,6 +904,40 @@ object StreamingOps {
       },
       Some(graft.ops.TextOps.CmsFullSql)),
 
+    // ---- streaming CUSUM gate (q202): q199's change-point detector fed
+    // from a STREAM — the shape a monitoring pipeline actually runs
+    // (telemetry arrives continuously; the detector re-scores as days
+    // fill in). The daily-count state is LINEAR (counts sum), so each
+    // micro-batch reduces its arrivals to (event_type, day, c0) partials
+    // in a per-batch-id overwrite slot (the q197 discipline — replay
+    // rewrites, never double-counts) and serve sums slots day-wise and
+    // re-runs the scaled integer CUSUM scorer over the day-level state
+    // (~30 rows/type — the window pass is state-sized, never
+    // event-sized). Stream ≡ batch by linearity of the count merge plus
+    // determinism of the scorer; oracle: q199's SQL verbatim — one
+    // rule, two engine paths.
+    Q("q202_stream_cusum_gate",
+      (s, d) => {
+        import graft.ops.EventOps
+        val store = tempStore("graft_cusum_gate_out")
+        runForeachBatch(s, d, "events")(identity) { (batch, batchId) =>
+          EventOps.dailyCounts(batch)
+            .write.mode("overwrite").parquet(s"$store/b$batchId")
+        }
+        val root = new org.apache.hadoop.fs.Path(store)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
+        val daily =
+          if (slots.isEmpty)
+            EventOps.dailyCounts(graft.schema.Tables.events(s, d)).limit(0)
+          else s.read.parquet(slots: _*)
+            .groupBy(col("event_type"), col("day"))
+            .agg(sum(col("c0")).as("c0"))
+        EventOps.cusumFromCounts(daily)
+      },
+      Some(graft.ops.EventOps.CusumSql)),
+
     // ---- streaming CDC upsert WITH DELETES (q112, VERDICT r10 #7): q63
     // streams insert-if-absent and q76 batch-merges D/I/U — this closes
     // the gap between them: a changelog STREAM (synthesized from orders

@@ -454,6 +454,16 @@ class StreamingSpec extends SparkSpec {
     assert(after === before, "batch retry must not double-count")
   }
 
+  test("streaming CUSUM gate serves exactly the batch detector's " +
+      "output — stream ≡ batch by linearity of the daily counts (q202)") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("q202_stream_cusum_gate")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q199_cusum_changepoint")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty && stream === batch)
+  }
+
   test("ts-consuming stream queries run against the DRIVER testdata's " +
       "actual timestamp type") {
     // The other streaming tests run on Spark-written fixtures (micros

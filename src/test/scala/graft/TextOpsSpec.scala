@@ -636,4 +636,38 @@ class TextOpsSpec extends SparkSpec {
       .as[Long].head()
     assert(maxSig <= TextOps.KmvK, s"signature size $maxSig > k")
   }
+
+  test("Pareto frontier: golden points (same-a and equal-b dominance), " +
+      "and grid prune + window test equal the brute NOT-EXISTS on " +
+      "random data (q201)") {
+    // (3,3) is dominated by (4,3) (greater a, equal b); (5,1) occurs
+    // twice (multiplicity 2, undominated); the rest form the frontier
+    val pts = Seq((5L, 1L), (4L, 3L), (3L, 3L), (2L, 8L), (1L, 9L),
+      (5L, 1L)).toDF("a", "b")
+    val out = TextOps.paretoFrontier2D(pts)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((5L, 1L, 2L), (4L, 3L, 1L), (2L, 8L, 1L),
+      (1L, 9L, 1L)), out)
+    // random cloud: the relational path must equal the O(n^2) dominance
+    // definition computed directly
+    val rng = new scala.util.Random(7)
+    val rand = Seq.fill(3000)(
+      (rng.nextInt(500).toLong, rng.nextInt(500).toLong))
+    val fast = TextOpsSpecHelper.frontierOf(rand, spark)
+    val dist = rand.groupBy(identity).map { case (k, v) =>
+      (k._1, k._2, v.size.toLong) }.toSet
+    val brute = dist.filter { case (a, b, _) =>
+      !dist.exists { case (a2, b2, _) =>
+        a2 >= a && b2 >= b && (a2 > a || b2 > b) } }
+    assert(fast === brute)
+  }
+}
+
+private object TextOpsSpecHelper {
+  def frontierOf(rand: Seq[(Long, Long)],
+      spark: org.apache.spark.sql.SparkSession): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    graft.ops.TextOps.paretoFrontier2D(rand.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect().toSet
+  }
 }
