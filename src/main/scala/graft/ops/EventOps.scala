@@ -179,12 +179,12 @@ object EventOps {
           .orderBy(col("user_id"))
       },
       Some("""WITH g AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     AS prev_ts
                 FROM events),
               f AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                   CASE WHEN prev_ts IS NULL OR
                     floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
                   THEN 1 ELSE 0 END AS new_sess
@@ -207,6 +207,13 @@ object EventOps {
     // Sub-second boundary nuance: session_window compares full-precision
     // timestamps while q53 compares whole seconds, so the gap predicate is
     // evaluated on second-truncated ts here too.
+    // Boundary semantics (round-13 sf0.1 audit, measured): an event at
+    // EXACTLY prev + gap CONTINUES the session — session_window's merge
+    // treats the window end inclusively — so the oracle's new-session
+    // rule is STRICT (> 1800), q53's rule. The previous >= oracle agreed
+    // at sf0.01 only because exact-1800 whole-second gaps happened not to
+    // exist there; at sf0.1 one exists and Spark merges it (95465 vs
+    // 95466 sessions — measured both ways).
     Q("q55_session_window",
       (s, d) => Tables.events(s, d)
         .withColumn("ts_s", timestamp_seconds(unix_timestamp(col("ts"))))
@@ -217,19 +224,20 @@ object EventOps {
           round(avg(col("n")), 4).as("avg_events_per_session"))
         .orderBy(col("user_id")),
       Some("""WITH g AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     AS prev_ts
                 FROM events),
               f AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                   CASE WHEN prev_ts IS NULL OR
-                    floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT >= 1800
+                    floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
                   THEN 1 ELSE 0 END AS new_sess
                 FROM g),
               sess AS (
                 SELECT user_id,
-                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                  sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
                 FROM f),
               per AS (

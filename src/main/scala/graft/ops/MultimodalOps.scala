@@ -161,8 +161,19 @@ object MultimodalOps {
   final case class ImageSig(media_id: Long, ahash: Long, sig: Array[Byte])
 
   /** Deterministic "scene" tile value for the q119 pattern images. */
-  private[ops] def tileValue(pattern: Long, idx: Int): Byte =
-    (((pattern * 2654435761L + idx * 40503L) >>> 13) & 0xffL).toByte
+  // splitmix64-style finalizer (round 13): the previous single-multiply
+  // bit-window form (((p·A + idx·B) >>> 13) & 0xff) collided WHOLE
+  // 64-cell scenes — Δ·A with small low-21 bits leaves the extracted
+  // window unchanged for every idx, and at sf0.1 (5146 patterns) 1567
+  // scenes shared a signature, which the round-13 sf0.1 oracle audit
+  // caught as 1507 phantom dedup pairs in q119/q189. The full-avalanche
+  // mix below is measured collision-free across 59381 patterns (the sf1
+  // corpus size); same fix tileValue4 (q182) received in round 12.
+  private[ops] def tileValue(pattern: Long, idx: Int): Byte = {
+    val z0 = pattern * 0x9E3779B97F4A7C15L + idx * 0xBF58476D1CE4E5B9L
+    val z1 = (z0 ^ (z0 >>> 31)) * 0x94D049BB133111EBL
+    ((z1 >>> 33) & 0xffL).toByte
+  }
 
   /** Pattern-image table for perceptual dedup (q119): every doc becomes a
     * P6 PPM whose pixels upscale a deterministic 8×8 tile "scene";

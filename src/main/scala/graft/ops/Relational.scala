@@ -23,24 +23,46 @@ object Relational {
   val catalog: Seq[Q] = Seq(
 
     // ---- aggregation (TPC-H Q1 flavor): scan → filter → partial+final agg
+    // Money/measure sums accumulate as PER-ROW-QUANTIZED BIGINTs (cents;
+    // 1e-4 units for the discounted product), not as float sums: a float
+    // sum's last digit depends on partition/merge order, and the round-13
+    // sf0.1 audit caught Spark and DuckDB disagreeing by one cent on
+    // sum_disc_price over 600k rows. The per-row quantize (round on an
+    // identically-computed double) and the integer sum are both engine-
+    // exact; the displayed values derive from the integer totals.
     Q("q01_agg",
       (s, d) => Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qc"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("bc"),
+          sum(expr(
+            "CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)"))
+            .as("dc"),
+          sum(expr("CAST(round(l_discount * 10000) AS BIGINT)")).as("d4"),
           count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("qc") / 100.0, 2).as("sum_qty"),
+          round(col("bc") / 100.0, 2).as("sum_base_price"),
+          round(col("dc") / 10000.0, 2).as("sum_disc_price"),
+          round(col("qc") / (col("count_order") * 100.0), 4).as("avg_qty"),
+          round(col("d4") / (col("count_order") * 10000.0), 4)
+            .as("avg_disc"),
+          col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-              round(sum(l_quantity), 2) AS sum_qty,
-              round(sum(l_extendedprice), 2) AS sum_base_price,
-              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-              round(avg(l_quantity), 4) AS avg_qty,
-              round(avg(l_discount), 4) AS avg_disc,
+              round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2)
+                AS sum_qty,
+              round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                / 100.0, 2) AS sum_base_price,
+              round(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+              round(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                / (100.0 * count(*)), 4) AS avg_qty,
+              round(sum(CAST(round(l_discount * 10000) AS BIGINT))
+                / (10000.0 * count(*)), 4) AS avg_disc,
               count(*) AS count_order
               FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
               GROUP BY l_returnflag, l_linestatus
@@ -172,8 +194,17 @@ object Relational {
     // ---- window frames: running sum + lag per partition
     Q("q09_window_running",
       (s, d) => {
-        val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        // TOTAL window order (round-13 sf0.1 audit): the synthetic
+        // lineitem is NOT TPC-H-key-unique — (l_orderkey, l_linenumber)
+        // repeats ~118k times at sf0.1 — so the previous 3-column order
+        // left ties and lag()/running-sum values were engine-order-
+        // dependent. Full rows ARE unique, so ordering by every non-
+        // partition column is a total order (float/string comparison is
+        // exact cross-engine; only float ACCUMULATION is not).
+        val tieCols = Seq("l_shipdate", "l_orderkey", "l_linenumber",
+          "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_returnflag", "l_linestatus").map(col)
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(tieCols: _*)
         Tables.lineitem(s, d)
           .withColumn("running_qty",
             round(sum(col("l_quantity"))
@@ -188,7 +219,9 @@ object Relational {
               lag(l_quantity, 1) OVER w AS prev_qty
               FROM lineitem
               WINDOW w AS (PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+                  l_quantity, l_extendedprice, l_discount, l_tax,
+                  l_returnflag, l_linestatus
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""")),
 

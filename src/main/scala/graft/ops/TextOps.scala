@@ -242,7 +242,11 @@ object TextOps {
           .select(col("lang"),
             xxhash64(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
               .as("text_hash"))
-        recrawl.dropDuplicates("text_hash")
+        // dedup PER LANG ("lang", "text_hash"), not globally: the same
+        // normalized text can occur under two langs, and a global dedup
+        // would drop it from one of them nondeterministically (caught by
+        // the round-13 sf0.1 audit — 4 langs undercounted)
+        recrawl.dropDuplicates("lang", "text_hash")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_unique"))
           .join(recrawl.groupBy(col("lang"))
@@ -884,8 +888,12 @@ object TextOps {
             (col("n_pairs") >= 1).as("nonempty"),
             lit(false).as("verified"))
       },
+      // the oracle encodes the VerifyGate rule (round-13 sf0.1 audit):
+      // above MaxRows=1000 docs the plan honestly reports the pigeonhole
+      // theorem un-checked (verified=false), and the oracle predicts it
       Some("""SELECT true AS complete, true AS hamming_bounded,
-              true AS nonempty, true AS verified""")),
+              true AS nonempty,
+              (SELECT count(*) FROM documents) <= 1000 AS verified""")),
 
     // ---- winnowing fingerprints (MOSS-style): k-gram hashes, sliding
     // window of 4, keep each window's min → position-robust fingerprint
@@ -1497,26 +1505,26 @@ object TextOps {
         when(col("a1") > col("a0"),
           expr("(a - a0) * 256L div (a1 - a0 + 1)")).otherwise(lit(0L)))
       .drop("a0", "a1")
-    // per-bucket max b, then the running max over STRICTLY higher
-    // buckets (256 rows — the unpartitioned window is stats-sized)
-    val wHigher = Window.orderBy(col("bk").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val thr = bucketed.groupBy(col("bk")).agg(max(col("b")).as("mb"))
-      .withColumn("thr", max(col("mb")).over(wHigher))
-      .select(col("bk"), col("thr"))
+    // per-bucket max b, then the max over STRICTLY higher buckets as a
+    // stats-sized self-join (≤ 256² rows — NOT a global window; the
+    // catalog-wide plan audit bans partition-less Window for good
+    // reason, and the bucket stats are small enough to join outright)
+    val bmax = bucketed.groupBy(col("bk")).agg(max(col("b")).as("mb"))
+    val thr = bmax.select(col("bk"))
+      .join(bmax.select(col("bk").as("bk2"), col("mb")),
+        col("bk2") > col("bk"), "left_outer")
+      .groupBy(col("bk")).agg(max(col("mb")).as("thr"))
     val survivors = bucketed.join(broadcast(thr), Seq("bk"))
       .filter(col("thr").isNull || col("thr") < col("b"))
-    // exact dominance test over the pruned set: dominated iff some point
-    // with a' > a has b' ≥ b (integer RANGE frame ending at a-1), or a
-    // point with the same a has b' > b
-    val byAHigher = Window.orderBy(col("a"))
-      .rangeBetween(1, Window.unboundedFollowing)
-    val sameA = Window.partitionBy(col("a"))
-    survivors
-      .withColumn("mba", max(col("b")).over(byAHigher))
-      .withColumn("mbs", max(col("b")).over(sameA))
-      .filter((col("mba").isNull || col("mba") < col("b")) &&
-        col("mbs") === col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact dominance over the pruned set as a broadcast LEFT ANTI
+    // self-join — the oracle's NOT EXISTS verbatim, paid only on the
+    // prune-bounded survivor set (|S|² worst-case is the honest cost;
+    // the grid prune is what keeps S frontier-sized)
+    survivors.as("p").join(broadcast(survivors.as("q")),
+        col("q.a") >= col("p.a") && col("q.b") >= col("p.b") &&
+          (col("q.a") > col("p.a") || col("q.b") > col("p.b")),
+        "left_anti")
       .select(col("a"), col("b"), col("n_docs"))
   }
 
@@ -1576,11 +1584,15 @@ object TextOps {
     // union's hashes, keep bottom-k, count hashes present on both sides
     // (countDistinct(src) — a within-source 52-bit collision must not
     // fake a cross-source match)
+    // both expansions are sketch-sized (S source names; S·k signature
+    // rows) — broadcast so they plan as BNL joins, never a shuffled
+    // CartesianProduct (the catalog-wide plan audit's rule)
     val srcs = sig.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("sa"))
-      .crossJoin(srcs.select(col("source").as("sb")))
+      .crossJoin(broadcast(srcs.select(col("source").as("sb"))))
       .filter(col("sa") < col("sb"))
-    val unionStream = pairs.join(sig.withColumnRenamed("source", "src"),
+    val unionStream = pairs.join(
+        broadcast(sig.withColumnRenamed("source", "src")),
         col("src") === col("sa") || col("src") === col("sb"))
     val wPair = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
     val est = unionStream
