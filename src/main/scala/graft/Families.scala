@@ -27,7 +27,8 @@ object Families {
     "q160_entity_resolution_incremental",
     "q165_dataset_card_incremental", "q178_zscore_maintain",
     "q187_bm25_incremental", "q191_hll_incremental",
-    "q193_bottomk_quantile", "q196_cms_frequency")
+    "q193_bottomk_quantile", "q196_cms_frequency",
+    "q203_pareto_maintain")
 
   def of(name: String): String =
     if (streamSet(name)) "stream"

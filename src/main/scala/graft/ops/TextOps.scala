@@ -1317,20 +1317,38 @@ object TextOps {
     // is lossless by construction — a true skyline point's b exceeds
     // every higher bucket's max — and the oracle proves it per corpus.
     Q("q201_pareto_frontier",
-      (s, d) => {
-        val f = Tables.documents(s, d)
-          .select(col("doc_id"), toks(col("text")).as("tk"))
-          .select(size(col("tk")).cast("long").as("a"),
-            size(array_distinct(col("tk"))).cast("long").as("nd"),
-            size(col("tk")).cast("long").as("nt"))
-          .filter(col("nt") > 0)
-          .select(col("a"), expr("nd * 10000L div nt").as("b"))
-        paretoFrontier2D(f)
-          .select(col("a").as("n_tokens"), col("b").as("diversity_bp"),
-            col("n_docs"))
-          .orderBy(col("n_tokens"), col("diversity_bp"))
-      },
+      (s, d) => paretoFrontier2D(
+          docAxes(Tables.documents(s, d)).select(col("a"), col("b")))
+        .select(col("a").as("n_tokens"), col("b").as("diversity_bp"),
+          col("n_docs"))
+        .orderBy(col("n_tokens"), col("diversity_bp")),
       Some(ParetoSql)),
+
+    // ---- incremental Pareto-frontier maintenance (q203): the frontier
+    // is MERGEABLE — frontier(A ∪ B) = frontier(frontier(A) ∪ B) by
+    // dominance transitivity (a non-frontier point's dominator stays in
+    // the merged input), and counts survive because a merged-frontier
+    // point is necessarily on its own side's frontier. So the written
+    // artifact is frontier-sized (a handful of (a, b, n_docs) rows, not
+    // the corpus), an increment folds in with one frontier pass over
+    // stored ∪ increment-counts, and the serve equals a full rebuild —
+    // which the plan CHECKS point-for-point, counts included
+    // (merge_equals_full), rather than assumes. The same posture as the
+    // sketch maintainers (q191/q193/q196) for an operator that is not a
+    // sketch: the frontier is an EXACT summary with a merge identity.
+    Q("q203_pareto_maintain",
+      (s, d) => {
+        val ax = docAxes(Tables.documents(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cut = broadcast(Tables.documents(s, d).agg(
+          floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut")))
+        writeParetoSnapshot(s, d)
+        val inc = ax.crossJoin(cut).filter(col("doc_id") >= col("cut"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_docs"))
+        paretoVerifiedReport(
+          frontierOfCounts(s.table(ParetoTable).unionByName(inc)), ax)
+      },
+      Some(ParetoMaintSql)),
 
     // ---- KMV cross-source overlap estimate (q198): vocabulary overlap
     // between source pairs from k-minimum-values signatures (Bar-Yossef
@@ -1496,9 +1514,23 @@ object TextOps {
   /** 2-D skyline (both axes MAXIMIZED) of an integer (a, b) relation,
     * with multiplicity: output (a, b, n_docs) — the distinct frontier
     * points. Grid pre-prune (lossless, see q201's scaladoc) + exact
-    * two-window test over the survivors. */
-  private[graft] def paretoFrontier2D(pts: DataFrame): DataFrame = {
-    val p = pts.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_docs"))
+    * dominance anti-join over the survivors. */
+  private[graft] def paretoFrontier2D(pts: DataFrame): DataFrame =
+    frontierOfCounts(
+      pts.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_docs")))
+
+  /** [[paretoFrontier2D]]'s core over a pre-counted (a, b, n_docs)
+    * relation — the MERGEABLE form: frontier(A ∪ B) =
+    * frontier(frontier(A) ∪ B) is a theorem (dominance is transitive:
+    * a point of A absent from frontier(A) has a dominator that stays in
+    * the merged input), and counts survive because a merged-frontier
+    * point is necessarily on its own side's frontier, so its stored
+    * count is exact. Identical (a, b) points across inputs SUM their
+    * counts first — the maintainer/stream legs (q203/q204) feed
+    * stored-frontier ∪ increment rows here. */
+  private[graft] def frontierOfCounts(pc: DataFrame): DataFrame = {
+    val p = pc.groupBy(col("a"), col("b"))
+      .agg(sum(col("n_docs")).as("n_docs"))
     val mm = p.agg(min(col("a")).as("a0"), max(col("a")).as("a1"))
     val bucketed = p.crossJoin(broadcast(mm))
       .withColumn("bk",
@@ -1527,6 +1559,73 @@ object TextOps {
         "left_anti")
       .select(col("a"), col("b"), col("n_docs"))
   }
+
+  private[graft] val ParetoTable = "graft_pareto_frontier"
+
+  /** Per-doc skyline axes: (doc_id, a = token count, b = lexical
+    * diversity in basis points). Shared by q201/q203/q204. */
+  private[graft] def docAxes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("a"),
+        size(array_distinct(col("tk"))).cast("long").as("nd"),
+        size(col("tk")).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("a"), expr("nd * 10000L div nt").as("b"))
+
+  /** Write the snapshot (doc_id < 80% cut) frontier once per JVM — the
+    * maintainer family's artifact: frontier-sized (a, b, n_docs) rows,
+    * not the corpus. */
+  private[graft] def writeParetoSnapshot(s: SparkSession, d: String): Unit =
+    ArtifactCache.once(ParetoTable,
+      Some(s"$d|documents|cut0.8|pareto256")) {
+      val cut = Tables.documents(s, d).agg(
+        floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+      Tables.resetManagedTable(s, ParetoTable)
+      paretoFrontier2D(docAxes(Tables.documents(s, d))
+          .crossJoin(broadcast(cut))
+          .filter(col("doc_id") < col("cut"))
+          .select(col("a"), col("b")))
+        .write.mode("overwrite").saveAsTable(ParetoTable)
+    }
+
+  /** Merged-frontier report with the merge theorem CHECKED: the merged
+    * frontier compared point-for-point (counts included) against a
+    * full rebuild over `ax` — frontier(frontier(A) ∪ B) ≡ frontier(A∪B)
+    * is a theorem (see [[frontierOfCounts]]), and the plan verifies it
+    * rather than assumes it (the q191/q193/q196 discipline). */
+  private[graft] def paretoVerifiedReport(merged: DataFrame,
+      ax: DataFrame): DataFrame = {
+    val m = merged
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val full = paretoFrontier2D(ax.select(col("a"), col("b")))
+    val mism = m.select(col("a"), col("b"), col("n_docs").as("nm"))
+      .join(full.select(col("a"), col("b"), col("n_docs").as("nf")),
+        Seq("a", "b"), "full_outer")
+      .agg(sum(when(coalesce(col("nm"), lit(-1L)) =!=
+        coalesce(col("nf"), lit(-1L)), 1L).otherwise(0L)).as("n_bad"))
+    m.crossJoin(broadcast(mism))
+      .select(col("a").as("n_tokens"), col("b").as("diversity_bp"),
+        col("n_docs"), (col("n_bad") === 0).as("merge_equals_full"))
+      .orderBy(col("n_tokens"), col("diversity_bp"))
+  }
+
+  /** q203/q204's shared oracle — q201's NOT-EXISTS skyline over the
+    * full corpus with the merge invariant pinned TRUE. */
+  private[graft] lazy val ParetoMaintSql =
+    """WITH f AS (SELECT
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt,
+         len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS nd
+       FROM documents
+       WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+       p AS (SELECT nt AS a, (nd * 10000) // nt AS b, count(*) AS n_docs
+         FROM f GROUP BY 1, 2),
+       sky AS (SELECT * FROM p WHERE NOT EXISTS (
+         SELECT 1 FROM p q WHERE q.a >= p.a AND q.b >= p.b
+           AND (q.a > p.a OR q.b > p.b)))
+       SELECT CAST(a AS BIGINT) AS n_tokens, CAST(b AS BIGINT)
+         AS diversity_bp, n_docs, true AS merge_equals_full
+       FROM sky ORDER BY n_tokens, diversity_bp"""
 
   /** q201's oracle — the O(n²) NOT-EXISTS skyline definition, proving
     * the grid prune lossless on the real corpus. */

@@ -944,6 +944,43 @@ object StreamingOps {
       },
       Some(graft.ops.EventOps.CusumSql)),
 
+    // ---- streaming Pareto-frontier gate (q204): q203's merge identity
+    // under a STREAM — each micro-batch reduces its arrivals to
+    // (a, b, n_docs) counts in an overwrite slot (counts are linear →
+    // the q197 replay discipline), serve runs ONE frontier pass over
+    // snapshot-frontier ∪ slots and equals a full-corpus rebuild by the
+    // frontier merge theorem, which the plan CHECKS point-for-point.
+    // The state a streaming curation gate carries is the frontier
+    // itself plus batch-count deltas — never documents. Oracle: q203's
+    // SQL verbatim — one rule, two engine paths.
+    Q("q204_stream_pareto_gate",
+      (s, d) => {
+        import graft.ops.TextOps
+        val docs = graft.schema.Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        TextOps.writeParetoSnapshot(s, d)
+        val store = tempStore("graft_pareto_gate_out")
+        runForeachBatch(s, d, "documents")(
+          _.filter(col("doc_id") >= cut)) { (batch, batchId) =>
+          TextOps.docAxes(batch)
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_docs"))
+            .write.mode("overwrite").parquet(s"$store/b$batchId")
+        }
+        val root = new org.apache.hadoop.fs.Path(store)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
+        val streamed =
+          if (slots.isEmpty) s.table(TextOps.ParetoTable).limit(0)
+          else s.read.parquet(slots: _*)
+        TextOps.paretoVerifiedReport(
+          TextOps.frontierOfCounts(
+            s.table(TextOps.ParetoTable).unionByName(streamed)),
+          TextOps.docAxes(docs))
+      },
+      Some(graft.ops.TextOps.ParetoMaintSql)),
+
     // ---- streaming CDC upsert WITH DELETES (q112, VERDICT r10 #7): q63
     // streams insert-if-absent and q76 batch-merges D/I/U — this closes
     // the gap between them: a changelog STREAM (synthesized from orders

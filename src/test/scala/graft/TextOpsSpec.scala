@@ -661,6 +661,27 @@ class TextOpsSpec extends SparkSpec {
         a2 >= a && b2 >= b && (a2 > a || b2 > b) } }
     assert(fast === brute)
   }
+
+  test("frontier merge theorem with multiplicities: " +
+      "frontier(frontier(A) ∪ B) == frontier(A ∪ B) over random 3-way " +
+      "splits (q203/q204)") {
+    val rng = new scala.util.Random(13)
+    val all = Seq.fill(2000)(
+      (rng.nextInt(200).toLong, rng.nextInt(200).toLong, rng.nextInt(3)))
+    def counts(part: Int => Boolean) =
+      all.filter(t => part(t._3)).map(t => (t._1, t._2)).toDF("a", "b")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_docs"))
+    val direct = TextOps.frontierOfCounts(counts(_ => true))
+      .as[(Long, Long, Long)].collect().toSet
+    // fold the splits in one at a time through the stored-frontier form
+    val merged = TextOps.frontierOfCounts(
+      TextOps.frontierOfCounts(
+        TextOps.frontierOfCounts(counts(_ == 0)).unionByName(counts(_ == 1)))
+        .unionByName(counts(_ == 2)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === direct,
+      s"missing=${(direct -- merged).take(3)} extra=${(merged -- direct).take(3)}")
+  }
 }
 
 private object TextOpsSpecHelper {
