@@ -71,7 +71,11 @@ object ScaleCurve {
       "q182_media_dedup_crosscodec", "q183_avro_roundtrip",
       "q184_stratified_quota_sample", "q185_source_overlap",
       "q186_prefix_filter_jaccard", "q187_bm25_incremental",
-      "q190_containment_dedup", "q191_hll_incremental")
+      "q190_containment_dedup", "q191_hll_incremental",
+      "q193_bottomk_quantile", "q195_dsir_resample",
+      "q196_cms_frequency", "q198_kmv_overlap",
+      "q199_cusum_changepoint", "q200_dupgraph_transitivity",
+      "q201_pareto_frontier", "q203_pareto_maintain")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running
