@@ -35,7 +35,12 @@ import org.apache.spark.sql.SparkSession
   *    baseline (VERDICT r11 #1);
   *  - a CPU contention probe runs every 25 queries (VERDICT r11 #3) and
   *    the per-segment readings ship in the line, so load that wanders in
-  *    mid-run self-labels instead of masquerading as a plan regression.
+  *    mid-run self-labels instead of masquerading as a plan regression;
+  *  - (round 14, VERDICT r13 #3) queries measured inside a contended
+  *    segment are automatically RE-MEASURED at end-of-run and the min is
+  *    recorded; the ones whose re-measurement was itself probe-elevated
+  *    ship in "still_contended" — a per-measurement label, so a reader
+  *    can trust every unlabeled number even in a contended:true run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -187,10 +192,7 @@ object Bench {
     // elevated too — and as a true regression iff it is not.
     val SegmentLen = 25
     var segments = List.empty[Double]
-    val results = names.zipWithIndex.map { case (name, i) =>
-      if (cpus == "32" && i % SegmentLen == 0 && i > 0)
-        segments ::= calibOnce()
-      val runs = if (checkpointBacked(name)) 3 else 2
+    def measure(name: String, runs: Int): (Double, Double) = {
       val times = (1 to runs).flatMap { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -208,10 +210,53 @@ object Bench {
           }
         timed
       }
-      if (cpus == "32" && i == names.size - 1) segments ::= calibOnce()
-      name -> (if (times.nonEmpty) (times.map(_._1).min, times.map(_._2).max)
-               else (-1.0, -1.0))
+      if (times.nonEmpty) (times.map(_._1).min, times.map(_._2).max)
+      else (-1.0, -1.0)
     }
+    val firstPass = names.zipWithIndex.map { case (name, i) =>
+      if (cpus == "32" && i % SegmentLen == 0 && i > 0)
+        segments ::= calibOnce()
+      name -> measure(name, if (checkpointBacked(name)) 3 else 2)
+    }
+    if (cpus == "32") segments ::= calibOnce()
+    // Contention RECHECK pass (VERDICT r13 #3): two consecutive driver
+    // rounds flagged `contended: true`, making per-query trend reading
+    // impossible — so the consequence of an elevated segment probe is now
+    // automatic. Each query's segment is stamped by the probe taken AFTER
+    // it ran (probe k covers queries [k·SegmentLen, (k+1)·SegmentLen));
+    // every query whose covering probe exceeded the floor is RE-MEASURED
+    // once at end-of-run and the MIN of the two readings is recorded. A
+    // requeued query stays labeled contended only if the probes flanking
+    // its re-measurement were elevated too — i.e. the label now marks
+    // "this specific measurement was taken under load", not "somewhere in
+    // the run there was load".
+    var stillContended = List.empty[String]
+    val results =
+      if (cpus != "32") firstPass
+      else {
+        val chron = segments.reverse.toIndexedSeq
+        def probeFor(i: Int): Double =
+          chron(math.min(i / SegmentLen, chron.size - 1))
+        val suspect = names.indices
+          .filter(i => probeFor(i) > CalibFloorSec * 1.3).map(names).toSet
+        if (suspect.isEmpty) firstPass
+        else {
+          var preProbe = calibOnce()
+          firstPass.map { case (name, first) =>
+            if (!suspect(name) || first._1 < 0) name -> first
+            else {
+              val re = measure(name, 1)
+              val postProbe = calibOnce()
+              if (preProbe > CalibFloorSec * 1.3 &&
+                postProbe > CalibFloorSec * 1.3) stillContended ::= name
+              preProbe = postProbe
+              val best =
+                if (re._1 >= 0 && re._1 < first._1) re else first
+              name -> best
+            }
+          }
+        }
+      }
     // The stdout line must survive the driver's 2000-char tail-capture
     // window: BENCH_r11's line (200 queries × short keys, 2448 bytes)
     // overflowed it and "parsed" recorded null — at 200+ queries a full
@@ -242,6 +287,11 @@ object Bench {
         (calib > CalibFloorSec * 1.3 || calibIo > CalibIoFloorSec * 1.5 ||
           segments.exists(_ > CalibFloorSec * 1.3)).toString
       else "null"
+    // per-measurement contention labels (VERDICT r13 #3): queries whose
+    // re-measurement was ALSO taken under an elevated probe — the only
+    // readings this run that cannot be trusted against SCALING.md
+    val stillJson = stillContended.reverse
+      .map(n => "\"" + shortKey(n) + "\"").mkString("[", ",", "]")
     val errJson = errors.reverse
       .map { case (k, m) => s"\"" + shortKey(k) + "\":\"" + m.take(60) + "\"" }
       .mkString("{", ",", "}")
@@ -258,10 +308,10 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out,
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"calib_io":$calibIo,"calib_segments":$segJson,"contended":$contended,"n_queries":${ok.size},"build_sec":$buildTotal,"families":$fams,\n"queries":$detail,\n"build":$detailBuild,\n"errors":$errJson}\n""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"calib_io":$calibIo,"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"n_queries":${ok.size},"build_sec":$buildTotal,"families":$fams,\n"queries":$detail,\n"build":$detailBuild,\n"errors":$errJson}\n""".getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"families":$fams,"build_sec":${fmt(buildTotal)},"slowest":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"calib_io":${fmt(calibIo)},"calib_segments":$segJson,"contended":$contended,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"families":$fams,"build_sec":${fmt(buildTotal)},"slowest":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"calib_io":${fmt(calibIo)},"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
     // The driver parses the LAST stdout JSON line; BENCH_r2-r4 all recorded
     // "parsed": null because Spark's shutdown logging and sbt's success
     // banner landed after (or interleaved with) the metric line. Defense in

@@ -985,7 +985,7 @@ object EventOps {
     // so it becomes TWO frame aggregates over one per-type sort instead
     // of a sequential fold; (2) everything is scaled into units of 4n
     // (n = baseline days, B = baseline total): y = 4n·x − 5B encodes
-    // slack = μ/4 and h = 3μ becomes 12nB — all BIGINT, no float
+    // slack = μ/4 and h = 3μ becomes 12B — all BIGINT, no float
     // accumulation, engine-exact. The surge is PLANTED arithmetically
     // (days ≥ the 80% date triple their count — the q130 planted-hot-key
     // discipline), so the alarm is non-vacuous at every SF while the
@@ -1016,7 +1016,14 @@ object EventOps {
   /** Scaled integer CUSUM over a (event_type, day, c0) relation — the
     * q199 scorer: surge-marked series, baseline (n, B) per type, y =
     * 4n·x − 5B, S via the prefix-min reflection, alarm at 12B, reported
-    * as (n_base_days, max_s, alarm_day_idx). All arithmetic BIGINT. */
+    * as (n_base_days, max_s, alarm_day_idx). All arithmetic BIGINT.
+    *
+    * Baseline join is INNER (ADVICE r13 #4): an event_type whose data
+    * begins at/after the 80% cut day has no baseline (n, B) and is
+    * DROPPED from the report — both engines drop identically (the
+    * oracle's join is inner too), but a surge-only type is invisible
+    * here; a deployment that needs new types surfaced would left-join
+    * and emit a null-baseline row instead. */
   private[graft] def cusumFromCounts(daily0: DataFrame): DataFrame = {
     val span = broadcast(daily0.agg(
       min(col("day")).as("d0"), max(col("day")).as("d1")))

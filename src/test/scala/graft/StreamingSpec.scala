@@ -602,4 +602,104 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
     assert(stream.nonEmpty)
   }
+
+  test("debounce lane state TTL: a dormant lane is evicted once the " +
+      "watermark passes its timeout, and a later event re-admits cleanly " +
+      "(VERDICT r13 #6)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val lanes = StreamingOps.debounceLanes(
+      in.toDS.toDF("uid", "et", "ts", "eid")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, String, Timestamp, Long)],
+      gapSec = 3600.0, ttlSec = 30 * 86400.0)
+    val ckpt = Files.createTempDirectory("graft_ttl_ckpt").toString
+    val q = lanes.toDF("event_type", "event_id").writeStream
+      .format("memory").queryName("graft_ttl_lanes")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    def stateRows(): Long = {
+      val p = q.recentProgress.reverse.find(_.stateOperators.nonEmpty).get
+      p.stateOperators(0).numRowsTotal
+    }
+    try {
+      // batch 1: lanes (1, click) and (2, click) — 2 state rows
+      in.addData((1L, "click", t("2024-01-01 00:00:00"), 1L),
+        (2L, "click", t("2024-01-01 00:00:00"), 2L))
+      q.processAllAvailable()
+      assert(stateRows() == 2L)
+      // batch 2: lane 2 active 40 days later — advances the watermark
+      // past lane 1's 30-day timeout (watermark updates AFTER the batch)
+      in.addData((2L, "click", t("2024-02-10 00:00:00"), 3L))
+      q.processAllAvailable()
+      // batch 3: unrelated lane; lane 1's timeout fires under the
+      // advanced watermark and its state row is evicted
+      in.addData((3L, "click", t("2024-02-10 01:30:00"), 4L))
+      q.processAllAvailable()
+      assert(stateRows() == 2L, "dormant lane 1 not evicted") // lanes 2, 3
+      // batch 4: lane 1 returns — clean re-admission, the event is KEPT
+      in.addData((1L, "click", t("2024-02-11 00:00:00"), 5L))
+      q.processAllAvailable()
+      val kept = spark.table("graft_ttl_lanes")
+        .as[(String, Long)].collect().map(_._2).toSet
+      assert(kept.contains(5L), s"re-admitted event not kept: $kept")
+      assert(stateRows() == 3L) // lane 1 re-created
+    } finally q.stop()
+  }
+
+  test("transformWithState timer TTL: a dormant user's state is cleared " +
+      "once the watermark passes its timer and the counter restarts " +
+      "(VERDICT r13 #6)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, Double, Timestamp)]
+    val out = in.toDS.toDF("user_id", "value", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Double, Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.CountSumProcessor(ttlSec = 30 * 86400.0),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val ckpt = Files.createTempDirectory("graft_tws_ttl_ckpt").toString
+    val q = out.toDF("user_id", "n", "sum").writeStream
+      .format("memory").queryName("graft_ttl_tws")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // user 7 active on Jan 1; user 8 keeps the stream alive later
+      in.addData((7L, 2.0, t("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // 40 days later (> the 30-day TTL): watermark advances past user
+      // 7's timer; the follow-up batch fires it and clears the state
+      in.addData((8L, 1.0, t("2024-02-10 00:00:00")))
+      q.processAllAvailable()
+      in.addData((8L, 1.0, t("2024-02-10 01:00:00")))
+      q.processAllAvailable()
+      // user 7 returns: the counter RESTARTS at 1 (state was evicted),
+      // instead of reading (n=1, sum=2.0) forward to (2, 5.0)
+      in.addData((7L, 3.0, t("2024-02-11 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("graft_ttl_tws")
+        .as[(Long, Long, Double)].collect().filter(_._1 == 7L).sortBy(_._3)
+      assert(rows.head == ((7L, 1L, 2.0)))
+      assert(rows.last == ((7L, 1L, 3.0)),
+        s"state survived past its TTL: ${rows.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

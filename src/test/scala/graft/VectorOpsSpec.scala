@@ -513,6 +513,7 @@ class VectorOpsSpec extends SparkSpec {
     // are documented at VectorOps.RecallFloors
     sys.props("graft.forceVerify") = "1"
     try {
+      val minRecall = scala.collection.mutable.Map.empty[String, Double]
       for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
              "/root/testdata/sf0.1");
            name <- graft.tools.RecallProbe.AnnQueries) {
@@ -525,6 +526,21 @@ class VectorOpsSpec extends SparkSpec {
         val floor = VectorOps.RecallFloors(name)
         assert(recall >= floor,
           s"$name at $sf: measured recall $recall under floor $floor")
+        minRecall(name) =
+          math.min(minRecall.getOrElse(name, Double.MaxValue), recall)
+      }
+      // the RATCHET (VERDICT r13 #5): a floor is pinned one rounding notch
+      // under the SMALLEST cross-SF measurement, so it must TRACK
+      // improvements — a floor more than 0.15 below the measured minimum
+      // is fossilized (it would no longer catch a real recall regression)
+      // and this assertion forces a re-pin instead of leaving the ratchet
+      // a manual chore
+      for (name <- graft.tools.RecallProbe.AnnQueries) {
+        val floor = VectorOps.RecallFloors(name)
+        val measured = minRecall(name)
+        assert(measured - floor <= 0.15,
+          s"$name: floor $floor is slack vs min measured $measured — " +
+            "re-pin RecallFloors (and the oracle SQL constants) upward")
       }
     } finally sys.props -= "graft.forceVerify"
   }
