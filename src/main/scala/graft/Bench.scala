@@ -282,10 +282,18 @@ object Bench {
       s""""$f":{"n":${rows.size},"sec":${fmt(rows.map(_._2._1).sum)},"build_sec":${fmt(rows.map(_._2._2).sum)}}"""
     }.mkString("{", ",", "}")
     val segJson = segments.reverse.map(fmt).mkString("[", ",", "]")
+    // `contended` now describes the RECORDED MEASUREMENTS, not the raw
+    // run (round 14): a transient segment spike no longer flips it,
+    // because every query measured in that segment was re-measured at
+    // end-of-run under nominal flanking probes — only measurements that
+    // could not be taken on a quiet host (still_contended non-empty) or
+    // an elevated start-of-run probe pair (which the per-segment CPU
+    // probe cannot fully exonerate for IO-bound plans) keep the flag.
+    // The raw segment readings still ship in calib_segments for audit.
     val contended =
       if (cpus == "32")
         (calib > CalibFloorSec * 1.3 || calibIo > CalibIoFloorSec * 1.5 ||
-          segments.exists(_ > CalibFloorSec * 1.3)).toString
+          stillContended.nonEmpty).toString
       else "null"
     // per-measurement contention labels (VERDICT r13 #3): queries whose
     // re-measurement was ALSO taken under an elevated probe — the only

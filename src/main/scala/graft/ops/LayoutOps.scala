@@ -82,7 +82,23 @@ object LayoutOps {
     val n = df.count()
     val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
       .toInt
-    df.coalesce(nFiles).write.mode("overwrite").parquet(outPath)
+    // coalesce is the production path — a shuffle-free bin-pack of scan
+    // splits. But coalesce can only REDUCE the partition count, and the
+    // scan itself already bin-packs small files up to maxPartitionBytes:
+    // when that packing lands BELOW the target file count, coalesce
+    // silently under-produces (caught by the round-14 sf0.1 oracle
+    // audit: 64 tiny files packed into 16 splits while the row-count
+    // target said 30 — files_after 16 ≠ 30). In that regime the split
+    // is forced with a round-robin repartition: one extra shuffle of
+    // data that is being wholly rewritten anyway, and the file count
+    // stays the deterministic ceil(rows / targetRowsPerFile) the oracle
+    // (and any downstream manifest) computes from the data alone. At
+    // production scale the scan is always wider than the target and the
+    // shuffle-free branch runs.
+    val scanParts = df.rdd.getNumPartitions
+    val sized =
+      if (scanParts >= nFiles) df.coalesce(nFiles) else df.repartition(nFiles)
+    sized.write.mode("overwrite").parquet(outPath)
     nFiles
   }
 

@@ -936,6 +936,39 @@ object PipelineOps {
       .orderBy(col("source"))
   }
 
+  /** Sequence packing (q206): shard on doc_id, then fold each shard's
+    * (doc_id-ordered) token counts into fixed-`capacity` bins with the
+    * streaming first-fit-contiguous rule — a new bin opens when the next
+    * doc would overflow; an oversized doc occupies its own bin. The fold
+    * is a codegen'd `aggregate` HOF over the shard's collected doc list
+    * (array_sort on the (doc_id, tk) struct pins the order collect_list
+    * doesn't guarantee); the accumulator is the per-bin (n_docs, tok)
+    * summary array — bins-per-shard-sized, bounded by shardTokens /
+    * capacity. Output: (shard, bin, n_docs, n_tokens, fill_bp). */
+  def packSequences(docs: DataFrame, capacity: Int,
+      nShards: Int): DataFrame =
+    docs
+      .select((col("doc_id") % nShards).as("shard"),
+        struct(col("doc_id"),
+          size(TextOps.toks(col("text"))).cast("long").as("tk")).as("d"))
+      .groupBy(col("shard"))
+      .agg(array_sort(collect_list(col("d"))).as("ds"))
+      .select(col("shard"), posexplode(expr(
+        s"""aggregate(ds,
+              CAST(array() AS ARRAY<STRUCT<n_docs: BIGINT, tok: BIGINT>>),
+              (acc, x) -> CASE
+                WHEN size(acc) = 0 OR element_at(acc, -1).tok + x.tk > ${capacity}L
+                THEN concat(acc, array(named_struct('n_docs', 1L, 'tok', x.tk)))
+                ELSE concat(slice(acc, 1, size(acc) - 1),
+                  array(named_struct(
+                    'n_docs', element_at(acc, -1).n_docs + 1L,
+                    'tok', element_at(acc, -1).tok + x.tk)))
+              END)""")).as(Seq("bin", "b")))
+      .select(col("shard"), col("bin").cast("long").as("bin"),
+        col("b.n_docs").as("n_docs"), col("b.tok").as("n_tokens"),
+        expr(s"b.tok * 10000L div ${capacity}L").as("fill_bp"))
+      .orderBy(col("shard"), col("bin"))
+
   val catalog: Seq[Q] = Seq(
 
     // ---- CDC changelog application (q76): MERGE INTO semantics without a
@@ -1210,6 +1243,50 @@ object PipelineOps {
                 CAST(n_rows AS BIGINT) AS n_rows,
                 CAST(price_cents AS BIGINT) AS price_cents
               FROM r ORDER BY version""")),
+
+    // ---- sequence packing for training batches (q206): the step between
+    // a curated corpus and a GPU — documents are concatenated into
+    // fixed-capacity token bins ("sequence packing", the efficiency trick
+    // every large-model data pipeline runs so short documents don't waste
+    // context-window padding). The packer is the standard STREAMING one:
+    // docs in a deterministic order, a bin closes when the next doc would
+    // overflow `capacity` (an oversized doc gets its own bin). Packing is
+    // a sequential fold — inherently order-dependent — so the scalable
+    // shape shards the corpus FIRST (hash on doc_id; at 100 TB, one shard
+    // per output file) and folds WITHIN each shard: cross-shard
+    // parallelism is free, the per-shard fold is a codegen'd `aggregate`
+    // HOF over the shard's (doc_id, tokens) list, and shard size is
+    // bounded by the sharding fan-out, not the corpus (the in-fold
+    // array-rebuild makes the fold O(bins·docs) per shard — fine because
+    // a shard is a file-sized unit by construction). Report: per (shard,
+    // bin) doc count, token count, and fill ratio in basis points — the
+    // packing-efficiency number the trick exists to maximize. Oracle:
+    // DuckDB replays the identical fold as a recursive CTE.
+    Q("q206_sequence_packing",
+      (s, d) => packSequences(Tables.documents(s, d), capacity = 256,
+        nShards = 8),
+      Some("""WITH RECURSIVE s AS (
+                SELECT doc_id % 8 AS shard,
+                  row_number() OVER (PARTITION BY doc_id % 8
+                    ORDER BY doc_id) AS rn,
+                  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+                FROM documents),
+              r AS (
+                SELECT shard, rn, tk, 0 AS bin, tk AS fill
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.shard, s.rn, s.tk,
+                  CASE WHEN r.fill + s.tk > 256 THEN r.bin + 1
+                       ELSE r.bin END,
+                  CASE WHEN r.fill + s.tk > 256 THEN s.tk
+                       ELSE r.fill + s.tk END
+                FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1)
+              SELECT CAST(shard AS BIGINT) AS shard,
+                CAST(bin AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(tk) AS BIGINT) AS n_tokens,
+                CAST((sum(tk) * 10000) // 256 AS BIGINT) AS fill_bp
+              FROM r GROUP BY 1, 2 ORDER BY shard, bin""")),
 
     // ---- train/eval contamination check (q78): the decontamination step
     // of an LLM training pipeline — flag eval-split documents sharing any

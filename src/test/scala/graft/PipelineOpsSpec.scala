@@ -65,6 +65,27 @@ class PipelineOpsSpec extends SparkSpec {
       "worst-case driver working set exceeds the 64 MB contract")
   }
 
+  test("sequence packing: hand fixture — bins close on overflow, an " +
+      "oversized doc gets its own bin, order is doc_id-deterministic " +
+      "(q206)") {
+    // one shard (ids all ≡ 1 mod 8); token counts by construction:
+    // "a b c" = 3 tokens etc. capacity 5:
+    //   doc 1 (3 tok) + doc 9 (2 tok) fill bin 0 exactly (fill 5);
+    //   doc 17 (4 tok) opens bin 1; doc 25 (7 tok, OVERSIZED) gets its
+    //   own bin 2 (fill_bp > 10000); doc 33 (1 tok) opens bin 3.
+    val docs = Seq(
+      (1L, "a b c"), (9L, "d e"), (17L, "f g h i"),
+      (25L, "j k l m n o p"), (33L, "q"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.packSequences(docs, capacity = 5, nShards = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 2L, 5L, 10000L),
+      (1L, 1L, 1L, 4L, 8000L),
+      (1L, 2L, 1L, 7L, 14000L),
+      (1L, 3L, 1L, 1L, 2000L)))
+  }
+
   test("LSH-fed cluster resolution equals the exact-pair formulation") {
     // the production composition (q45b) must resolve the same clusters as
     // the exact inverted-index path (q45) — same docs, same labels
