@@ -250,8 +250,13 @@ object Bench {
               if (preProbe > CalibFloorSec * 1.3 &&
                 postProbe > CalibFloorSec * 1.3) stillContended ::= name
               preProbe = postProbe
+              // min of TOTALS, max of BUILDS — the same per-rep policy
+              // as measure(): a warm requeue rep must not erase the
+              // cold artifact cost from the build column
               val best =
-                if (re._1 >= 0 && re._1 < first._1) re else first
+                if (re._1 >= 0 && re._1 < first._1)
+                  (re._1, math.max(re._2, first._2))
+                else first
               name -> best
             }
           }
