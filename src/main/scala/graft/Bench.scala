@@ -167,7 +167,8 @@ object Bench {
       "q179_stream_zscore_gate", "q188_stream_bm25_serve",
       "q189_stream_media_dedup_gate", "q192_stream_hll_gate",
       "q194_stream_bottomk_gate", "q197_stream_cms_gate",
-      "q202_stream_cusum_gate", "q204_stream_pareto_gate")
+      "q202_stream_cusum_gate", "q204_stream_pareto_gate",
+      "q208_stream_packing_gate")
     // Per-query timing, split at the one boundary the code structure
     // gives for free (VERDICT r11 #1): the query FUNCTION INVOCATION is
     // where every eager build-once artifact action runs (index/store/

@@ -28,7 +28,8 @@ object Families {
     "q165_dataset_card_incremental", "q178_zscore_maintain",
     "q187_bm25_incremental", "q191_hll_incremental",
     "q193_bottomk_quantile", "q196_cms_frequency",
-    "q203_pareto_maintain", "q205_version_vacuum")
+    "q203_pareto_maintain", "q205_version_vacuum",
+    "q207_packing_maintain")
 
   def of(name: String): String =
     if (streamSet(name)) "stream"

@@ -1095,6 +1095,36 @@ object StreamingOps {
       },
       Some(graft.ops.TextOps.ParetoMaintSql)),
 
+    // ---- streaming sequence packing (q208): q207's fold UNDER A STREAM
+    // — each micro-batch of arriving docs continues the per-shard greedy
+    // fold from a q112-style VERSIONED bin store (batch B folds from the
+    // newest committed version ≤ B and publishes v(B+1) under the atomic
+    // commit-marker protocol — a replayed batch re-derives instead of
+    // double-folding). Exactness rides the fold-suffix identity
+    // inductively batch over batch, provided batches arrive in doc_id
+    // order across batches (true for a replayed log and AvailableNow —
+    // the q163 caveat applies verbatim); the oracle is the full-corpus
+    // repack, one rule, three engine postures (q206/q207/q208). State
+    // carried: the bin table (file-count-sized), never documents.
+    Q("q208_stream_packing_gate",
+      (s, d) => {
+        import graft.ops.PipelineOps
+        val docs = graft.schema.Tables.documents(s, d)
+        val cut = math.floor(
+          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        PipelineOps.writePackSnapshot(s, d)
+        val store = tempStore("graft_pack_state")
+        s.table(PipelineOps.PackTable)
+          .write.mode("overwrite").parquet(s"$store/v0")
+        runForeachBatch(s, d, "documents")(
+          _.filter(col("doc_id") >= cut)) { (batch, batchId) =>
+          PipelineOps.foldPackBatch(batch, store, batchId, capacity = 256)
+        }
+        s.read.parquet(Upsert.latestVersionPath(s, store))
+          .orderBy(col("shard"), col("bin"))
+      },
+      Some(graft.ops.PipelineOps.PackMaintSql)),
+
     // ---- streaming CDC upsert WITH DELETES (q112, VERDICT r10 #7): q63
     // streams insert-if-absent and q76 batch-merges D/I/U — this closes
     // the gap between them: a changelog STREAM (synthesized from orders

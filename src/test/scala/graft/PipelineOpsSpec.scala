@@ -86,6 +86,20 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, 3L, 1L, 1L, 2000L)))
   }
 
+  test("incremental packing from the stored open-bin state equals a " +
+      "from-scratch full repack EXACTLY (q207's fold-suffix identity)") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      spark.catalog.clearCache()
+      val full = PipelineOps.packSequences(
+          graft.schema.Tables.documents(spark, sf), capacity = 256,
+          nShards = 8)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val inc = PipelineOps.packIncrement(spark, sf, capacity = 256)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(inc == full, s"identity broken at $sf")
+    }
+  }
+
   test("LSH-fed cluster resolution equals the exact-pair formulation") {
     // the production composition (q45b) must resolve the same clusters as
     // the exact inverted-index path (q45) — same docs, same labels

@@ -603,6 +603,16 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming packing gate serves exactly the batch q206 bins " +
+      "(fold-suffix identity, batch over batch)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val stream = rows("q208_stream_packing_gate")
+    assert(stream == rows("q206_sequence_packing"))
+    assert(stream.nonEmpty)
+  }
+
   test("debounce lane state TTL: a dormant lane is evicted once the " +
       "watermark passes its timeout, and a later event re-admits cleanly " +
       "(VERDICT r13 #6)") {
