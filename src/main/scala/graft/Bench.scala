@@ -36,11 +36,15 @@ import org.apache.spark.sql.SparkSession
   *  - a CPU contention probe runs every 25 queries (VERDICT r11 #3) and
   *    the per-segment readings ship in the line, so load that wanders in
   *    mid-run self-labels instead of masquerading as a plan regression;
-  *  - (round 14, VERDICT r13 #3) queries measured inside a contended
-  *    segment are automatically RE-MEASURED at end-of-run and the min is
-  *    recorded; the ones whose re-measurement was itself probe-elevated
-  *    ship in "still_contended" — a per-measurement label, so a reader
-  *    can trust every unlabeled number even in a contended:true run.
+  *  - (round 14, VERDICT r13 #3; retry loop round 15, VERDICT r14 #2)
+  *    queries measured inside a contended segment are automatically
+  *    RE-MEASURED at end-of-run — requeued up to 3 times until an
+  *    attempt's flanking probes are nominal — and the min is recorded;
+  *    the ones whose every attempt was probe-elevated ship in
+  *    "still_contended" — a per-measurement label, so a reader can
+  *    trust every unlabeled number even in a contended:true run. A
+  *    non-empty still_contended VETOES re-recording BASELINE.md from
+  *    that run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -220,18 +224,32 @@ object Bench {
       name -> measure(name, if (checkpointBacked(name)) 3 else 2)
     }
     if (cpus == "32") segments ::= calibOnce()
-    // Contention RECHECK pass (VERDICT r13 #3): two consecutive driver
-    // rounds flagged `contended: true`, making per-query trend reading
-    // impossible — so the consequence of an elevated segment probe is now
-    // automatic. Each query's segment is stamped by the probe taken AFTER
-    // it ran (probe k covers queries [k·SegmentLen, (k+1)·SegmentLen));
-    // every query whose covering probe exceeded the floor is RE-MEASURED
-    // once at end-of-run and the MIN of the two readings is recorded. A
-    // requeued query stays labeled contended only if the probes flanking
-    // its re-measurement were elevated too — i.e. the label now marks
-    // "this specific measurement was taken under load", not "somewhere in
-    // the run there was load".
+    // Contention RECHECK pass (VERDICT r13 #3, bounded-retry loop added
+    // per VERDICT r14 #2): two consecutive driver rounds flagged
+    // `contended: true`, making per-query trend reading impossible — so
+    // the consequence of an elevated segment probe is automatic. Each
+    // query's segment is stamped by the probe taken AFTER it ran (probe
+    // k covers queries [k·SegmentLen, (k+1)·SegmentLen)); every query
+    // whose covering probe exceeded the floor is RE-MEASURED at
+    // end-of-run — up to MaxRequeue times, STOPPING at the first
+    // attempt whose flanking probes are both nominal (r14 shipped 11
+    // still_contended labels because the single re-measurement gave up
+    // after one try) — and the MIN across all readings is recorded. A
+    // query lands in still_contended only when every attempt ran under
+    // elevated flanking probes — i.e. the label still marks "this
+    // specific measurement could not be taken on a quiet host", it is
+    // just now earned only after the retries are exhausted. A
+    // still_contended label is a RECORDING VETO: BASELINE.md must not
+    // be re-recorded from a run whose line carries one (the r14 #2
+    // done-criterion; enforced procedurally at record time).
+    // A failed re-measurement is accounted separately (ADVICE r14 #2):
+    // the query keeps its valid first-pass timing and stays in
+    // n_queries, so its error must NOT land in the errors object — the
+    // same query reading as both timed and errored. Requeue failures
+    // ship as requeue_errors in BENCH_DETAIL.json only.
     var stillContended = List.empty[String]
+    var requeueErrors = List.empty[(String, String)]
+    val MaxRequeue = 3
     val results =
       if (cpus != "32") firstPass
       else {
@@ -246,18 +264,31 @@ object Bench {
           firstPass.map { case (name, first) =>
             if (!suspect(name) || first._1 < 0) name -> first
             else {
-              val re = measure(name, 1)
-              val postProbe = calibOnce()
-              if (preProbe > CalibFloorSec * 1.3 &&
-                postProbe > CalibFloorSec * 1.3) stillContended ::= name
-              preProbe = postProbe
-              // min of TOTALS, max of BUILDS — the same per-rep policy
-              // as measure(): a warm requeue rep must not erase the
-              // cold artifact cost from the build column
-              val best =
-                if (re._1 >= 0 && re._1 < first._1)
-                  (re._1, math.max(re._2, first._2))
-                else first
+              var best = first
+              var nominal = false
+              var attempts = 0
+              while (!nominal && attempts < MaxRequeue) {
+                val errsBefore = errors
+                val re = measure(name, 1)
+                if (re._1 < 0) {
+                  // keep the valid first-pass reading authoritative:
+                  // divert this attempt's error out of the errors object
+                  requeueErrors :::= errors.take(
+                    errors.size - errsBefore.size)
+                  errors = errsBefore
+                }
+                val postProbe = calibOnce()
+                nominal = preProbe <= CalibFloorSec * 1.3 ||
+                  postProbe <= CalibFloorSec * 1.3
+                preProbe = postProbe
+                // min of TOTALS, max of BUILDS — the same per-rep policy
+                // as measure(): a warm requeue rep must not erase the
+                // cold artifact cost from the build column
+                if (re._1 >= 0 && re._1 < best._1)
+                  best = (re._1, math.max(re._2, best._2))
+                attempts += 1
+              }
+              if (!nominal) stillContended ::= name
               name -> best
             }
           }
@@ -309,6 +340,12 @@ object Bench {
     val errJson = errors.reverse
       .map { case (k, m) => s"\"" + shortKey(k) + "\":\"" + m.take(60) + "\"" }
       .mkString("{", ",", "}")
+    // requeue-attempt failures where the first-pass timing was kept —
+    // detail-file only (ADVICE r14 #2): the stdout errors object lists
+    // exactly the queries whose RECORDED measurement failed
+    val requeueErrJson = requeueErrors.reverse
+      .map { case (k, m) => s"\"" + shortKey(k) + "\":\"" + m.take(60) + "\"" }
+      .mkString("{", ",", "}")
     // a SPARK_GRAFT_ONLY-filtered run must never read as a full-catalog
     // total: mark the subset explicitly — in BOTH the stdout line and
     // the detail file — so a stray dev env var can't masquerade as a
@@ -322,7 +359,7 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out,
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"calib_io":$calibIo,"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"n_queries":${ok.size},"build_sec":$buildTotal,"families":$fams,\n"queries":$detail,\n"build":$detailBuild,\n"errors":$errJson}\n""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"calib_io":$calibIo,"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"n_queries":${ok.size},"build_sec":$buildTotal,"families":$fams,\n"queries":$detail,\n"build":$detailBuild,\n"errors":$errJson,\n"requeue_errors":$requeueErrJson}\n""".getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"families":$fams,"build_sec":${fmt(buildTotal)},"slowest":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"calib_io":${fmt(calibIo)},"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""

@@ -975,7 +975,9 @@ object PipelineOps {
       floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
     val inc = Tables.documents(s, d)
       .crossJoin(broadcast(cut)).filter(col("doc_id") >= col("cut"))
-    packFoldFrom(s.table(PackTable), inc, capacity)
+    // nShards must match the sharding PackTable was packed under —
+    // both are pinned by packTag's "pack256x8"
+    packFoldFrom(s.table(PackTable), inc, capacity, nShards = 8)
   }
 
   /** The state-seeded packing fold shared by q207 (one-shot increment)
@@ -983,11 +985,21 @@ object PipelineOps {
     * the stored OPEN bin over `docs`' (doc_id-ordered) token counts and
     * return the full merged bin table. Exact by the fold-suffix identity
     * (see [[packIncrement]]) as long as `docs` is an order-suffix of the
-    * corpus relative to `stored`. */
+    * corpus relative to `stored` and `nShards` matches the sharding the
+    * store was packed under (encoded in the pack tag — ADVICE r14 #4:
+    * it is a caller-threaded parameter, not a hard-coded constant).
+    *
+    * An increment shard ABSENT from the stored state (a sparse snapshot,
+    * or a modulus widened between runs) is seeded with an EMPTY open bin
+    * (bin 0, 0 docs, 0 tokens) via the full-outer state join instead of
+    * being silently dropped — the fold's first doc then always lands in
+    * that seed bin (a bin takes at least one doc, [[packSequences]]'s
+    * rule), so fresh-shard output is byte-identical to a from-scratch
+    * pack of that shard. */
   private[graft] def packFoldFrom(stored: DataFrame, docs: DataFrame,
-      capacity: Int): DataFrame = {
+      capacity: Int, nShards: Int): DataFrame = {
     val incDs = docs
-      .select((col("doc_id") % 8).as("shard"),
+      .select((col("doc_id") % nShards).as("shard"),
         struct(col("doc_id"),
           size(TextOps.toks(col("text"))).cast("long").as("tk")).as("d"))
       .groupBy(col("shard"))
@@ -999,14 +1011,23 @@ object PipelineOps {
         col("n_docs").as("nd0"), col("n_tokens").as("tok0"))
     // seed the fold with the open bin; new bin ids continue from bin0.
     // A shard with no increment docs folds an EMPTY list — the init (its
-    // stored open bin) passes through unchanged, same code path.
-    val reopened = open.join(incDs, Seq("shard"), "left_outer")
+    // stored open bin) passes through unchanged, same code path. The
+    // n_docs > 0 guard on the overflow test makes an EMPTY seed bin
+    // absorb its first doc unconditionally (never emitting a 0-doc bin);
+    // a real open bin always has n_docs ≥ 1, so its behavior is
+    // unchanged.
+    val reopened = open.join(incDs, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("bin0"), lit(0L)).as("bin0"),
+        coalesce(col("nd0"), lit(0L)).as("nd0"),
+        coalesce(col("tok0"), lit(0L)).as("tok0"), col("ds"))
       .select(col("shard"), col("bin0"), posexplode(expr(
         s"""aggregate(
               coalesce(ds, CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, tk: BIGINT>>)),
               array(named_struct('n_docs', nd0, 'tok', tok0)),
               (acc, x) -> CASE
-                WHEN element_at(acc, -1).tok + x.tk > ${capacity}L
+                WHEN element_at(acc, -1).n_docs > 0L
+                 AND element_at(acc, -1).tok + x.tk > ${capacity}L
                 THEN concat(acc, array(named_struct('n_docs', 1L, 'tok', x.tk)))
                 ELSE concat(slice(acc, 1, size(acc) - 1),
                   array(named_struct(
@@ -1064,10 +1085,10 @@ object PipelineOps {
     * production would version only the per-shard open bins and append
     * closed ones). */
   private[graft] def foldPackBatch(batch: DataFrame, store: String,
-      batchId: Long, capacity: Int): Unit = {
+      batchId: Long, capacity: Int, nShards: Int): Unit = {
     val s = batch.sparkSession
     val base = Upsert.versionsOf(s, store).filter(_ <= batchId).max
-    packFoldFrom(s.read.parquet(s"$store/v$base"), batch, capacity)
+    packFoldFrom(s.read.parquet(s"$store/v$base"), batch, capacity, nShards)
       .write.mode("overwrite").parquet(s"$store/v${batchId + 1}")
     Upsert.touchCommitMarker(s, s"$store/v${batchId + 1}")
   }

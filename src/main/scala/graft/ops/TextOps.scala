@@ -2543,6 +2543,21 @@ object TextOps {
     fuzzyDecontamFromBands(bandedSignatures(docs, dfCap).persist(), docs,
       benchPred, threshold)
 
+  /** One-generation residency cap for the decontam candidate caches
+    * (ADVICE r14 #5): each [[fuzzyDecontamFromBands]] invocation
+    * persists two candidate-sized relations (the bucket-collision pair
+    * set and its pruned shingle lookup) whose lifetime the LAZY return
+    * value prevents scoping with try/finally — in a long-lived session
+    * repeated q95/q103 runs would each leave a fresh pair behind (the
+    * bench masks it via clearCache between reps). The tracker evicts
+    * the PREVIOUS invocation's pair when a new one is composed, capping
+    * residency at one generation per JVM. Unpersist during a
+    * still-running consumer is safe (Spark recomputes the evicted
+    * blocks), merely slow — and cannot happen in the catalog's
+    * sequential run order. */
+  private val liveDecontamCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   /** [[fuzzyDecontam]] over a pre-banded relation — the round-14 shape
     * that lets q95/q103 probe the SHARED written full-corpus index
     * ([[fullCorpusBandedIndex]]) instead of re-running the signature
@@ -2559,7 +2574,10 @@ object TextOps {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .persist() // feeds the id-set prune + both verify joins
-    verifyJaccardCandidates(cand, lookupForCandidates(docs, cand), threshold)
+    val looked = lookupForCandidates(docs, cand)
+    liveDecontamCaches.getAndSet(Seq(cand, looked))
+      .foreach(_.unpersist(false))
+    verifyJaccardCandidates(cand, looked, threshold)
       .groupBy(col("id_a"))
       .agg(count(lit(1)).as("n_bench_hits"),
         round(max(col("jaccard")), 4).as("max_jaccard"))

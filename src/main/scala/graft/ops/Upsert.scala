@@ -212,9 +212,11 @@ object Upsert {
     * stores grow one directory per batch forever. Time traveling below
     * the oldest retained version afterwards fails loudly
     * ([[versionPathAsOf]]'s require) instead of silently resolving
-    * elsewhere. Uncommitted residue directories (no `_SUCCESS`) are
-    * swept too — they are invisible to reads and a crashed batch's
-    * retry has already healed or superseded them. */
+    * elsewhere, and a pin naming a version that is not committed fails
+    * loudly up front for the same reason. Uncommitted residue
+    * directories (no `_SUCCESS`) are swept too — they are invisible to
+    * reads and a crashed batch's retry has already healed or superseded
+    * them. */
   def vacuumVersions(spark: org.apache.spark.sql.SparkSession,
       storeRoot: String, keepLast: Int,
       pinned: Set[Long] = Set.empty): Seq[Long] = {
@@ -222,8 +224,17 @@ object Upsert {
     val root = new org.apache.hadoop.fs.Path(storeRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = versionsOf(spark, storeRoot).sorted
-    val keep = committed.takeRight(keepLast).toSet ++
-      pinned.filter(committed.contains)
+    // a pin names a version the caller NEEDS retained (a reproducibility
+    // anchor); a typo'd or already-pruned pin must fail loudly — the
+    // module's versionPathAsOf convention (ADVICE r14 #3) — not be
+    // silently dropped while the caller believes the anchor is protected
+    val unknownPins = pinned -- committed.toSet
+    require(unknownPins.isEmpty,
+      s"pinned versions ${unknownPins.toSeq.sorted.mkString(",")} are " +
+        s"not committed under $storeRoot (committed: " +
+        s"${committed.mkString(",")}) — the anchor they were meant to " +
+        "protect does not exist or was already vacuumed")
+    val keep = committed.takeRight(keepLast).toSet ++ pinned
     fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.matches("v\\d+"))
       .filterNot(n => keep.contains(n.drop(1).toLong))

@@ -36,6 +36,24 @@ object VerifyGate {
     * A retune must keep MaxRows² × 100 B ≪ aggregate executor memory. */
   val MaxRows = 1000L
 
+  /** Gate for LINEAR corpus-sized verification legs (VERDICT r14 #1 —
+    * q193/q194's merge-equals-full rebuild and exact-rank pass). These
+    * legs are O(n), not O(n²), so the quadratic MaxRows bound is the
+    * wrong dial: the cost being gated is "one more full-corpus scan at
+    * serve time", which a sketch-sized read exists to avoid. The bound
+    * sits between the events table's oracle SF (10k rows at sf0.01 —
+    * verification runs in-plan where the driver's DuckDB compare needs
+    * it) and its bench SF (100k at sf0.1 — the production read stays
+    * sketch-sized). Memory is not the constraint for a linear aggregate;
+    * the bound only decides who pays a corpus scan. */
+  val MaxRowsLinear = 20000L
+
+  /** [[small]] for linear verification legs — same probe/force-flag
+    * semantics, [[MaxRowsLinear]] bound. */
+  def smallLinear(df: DataFrame): Boolean =
+    sys.props.get("graft.forceVerify").contains("1") ||
+      df.limit(MaxRowsLinear.toInt + 1).count() <= MaxRowsLinear
+
   /** True when `df` is small enough to verify in-plan. The probe reads at
     * most MaxRows+1 rows (limit pushes into the scan) — one cheap job, paid
     * by the benched query itself so the gate never hides cost.

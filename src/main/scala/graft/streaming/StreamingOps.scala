@@ -938,8 +938,10 @@ object StreamingOps {
     // re-ingested event lands on its existing key and moves nothing —
     // the served estimates still equal a full rebuild over the unique
     // corpus, which the plan CHECKS (merge_equals_full) alongside the
-    // exact-rank bands. Oracle: q193's SQL verbatim — one rule, two
-    // engine paths.
+    // exact-rank bands, both under q193's linear VerifyGate posture
+    // (in-plan at oracle SF, `verified = false` sentinel above — the
+    // serve read is then sketch-sized). Oracle: q193's SQL verbatim —
+    // one rule, two engine paths.
     Q("q194_stream_bottomk_gate",
       (s, d) => {
         import graft.ops.EventOps
@@ -1118,7 +1120,8 @@ object StreamingOps {
           .write.mode("overwrite").parquet(s"$store/v0")
         runForeachBatch(s, d, "documents")(
           _.filter(col("doc_id") >= cut)) { (batch, batchId) =>
-          PipelineOps.foldPackBatch(batch, store, batchId, capacity = 256)
+          PipelineOps.foldPackBatch(batch, store, batchId, capacity = 256,
+            nShards = 8)
         }
         s.read.parquet(Upsert.latestVersionPath(s, store))
           .orderBy(col("shard"), col("bin"))

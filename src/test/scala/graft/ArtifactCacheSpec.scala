@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ArtifactCache content-tag contract (VERDICT r14 #3): a tag must
+  * uniquely determine the artifact's content, so two builds under
+  * DIFFERENT parameterizations must never cross-serve — the second
+  * tag forces a rebuild — while an identical tag is served from the
+  * memo. Pure JVM test (the memo is session-independent by design).
+  */
+class ArtifactCacheSpec extends AnyFunSuite {
+  import graft.ops.ArtifactCache
+
+  test("different tags on one table never cross-serve: a parameter " +
+      "retune (the r13 8x4 -> 32x3 banding case) forces a rebuild") {
+    val table = s"artifact_cache_spec_${System.nanoTime()}"
+    var builds = List.empty[String]
+    def build(params: String): Unit =
+      ArtifactCache.once(table, Some(s"dirA|documents|$params")) {
+        builds ::= params
+      }
+    build("mh8x8x4");  assert(builds == List("mh8x8x4"))
+    // same tag -> memo hit, no rebuild
+    build("mh8x8x4");  assert(builds == List("mh8x8x4"))
+    // re-tuned banding -> different tag -> MUST rebuild, not serve stale
+    build("mh96x32x3")
+    assert(builds == List("mh96x32x3", "mh8x8x4"))
+    // flipping back is ALSO a rebuild (the memo holds one generation —
+    // the table on disk now has the 96x32x3 content)
+    build("mh8x8x4")
+    assert(builds == List("mh8x8x4", "mh96x32x3", "mh8x8x4"))
+  }
+
+  test("the LSH tag family encodes the banding scheme, so a constants " +
+      "retune changes every tag (the contract the shared indexes rely on)") {
+    // private tags surfaced via the package-private accessors
+    val tags = Seq(
+      graft.ops.TextOps.corpusLshPairsTag("/x").get,
+      graft.ops.TextOps.fullLshIndexTag("/x").get,
+      graft.ops.TextOps.snapshotLshTag("/x").get)
+    tags.foreach { t =>
+      assert(t.contains("mh96x32x3"),
+        s"tag '$t' does not pin the MinHash banding parameters — a " +
+          "runtime retune would silently serve a stale index")
+    }
+  }
+
+  test("a None tag disables the memo: every call builds") {
+    val table = s"artifact_cache_spec_none_${System.nanoTime()}"
+    var n = 0
+    ArtifactCache.once(table, None) { n += 1 }
+    ArtifactCache.once(table, None) { n += 1 }
+    assert(n == 2)
+  }
+
+  test("invalidate drops the memo for one table only") {
+    val t1 = s"artifact_cache_spec_inv1_${System.nanoTime()}"
+    val t2 = s"artifact_cache_spec_inv2_${System.nanoTime()}"
+    var n1 = 0; var n2 = 0
+    ArtifactCache.once(t1, Some("t")) { n1 += 1 }
+    ArtifactCache.once(t2, Some("t")) { n2 += 1 }
+    ArtifactCache.invalidate(t1)
+    ArtifactCache.once(t1, Some("t")) { n1 += 1 }
+    ArtifactCache.once(t2, Some("t")) { n2 += 1 }
+    assert(n1 == 2 && n2 == 1)
+  }
+}

@@ -385,6 +385,58 @@ class EventOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("bottom-k verified quantiles: the corpus-sized verification legs " +
+      "run only under the linear gate; above it the serve is sketch-sized " +
+      "with the verified=false sentinel (VERDICT r14 #1)") {
+    import graft.ops.{EventOps, VerifyGate}
+    def evOf(n: Long) = EventOps.hashValues(
+      spark.range(0L, n).selectExpr("id AS event_id",
+        "'a' AS event_type", "CAST(id % 97 AS DOUBLE) AS value"))
+    // below the gate: measured invariants, verified = true
+    val small = evOf(500L)
+    val vSmall = EventOps.bottomKVerifiedQuantiles(spark, small,
+      EventOps.bottomKOf(small))
+      .select("sn", "merge_equals_full", "p50_ok", "p90_ok", "verified")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].head()
+    assert(vSmall === ((128L, true, true, true, true)))
+    // above the gate: same schema, verified = false, and the plan holds
+    // NO second scan of the corpus — the only corpus-sized leg is the
+    // gate probe (limit-bounded) and the merged sketch the caller built
+    val big = evOf(VerifyGate.MaxRowsLinear + 1)
+    val dfBig = EventOps.bottomKVerifiedQuantiles(spark, big,
+      EventOps.bottomKOf(big))
+    val vBig = dfBig
+      .select("sn", "merge_equals_full", "p50_ok", "p90_ok", "verified")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].head()
+    assert(vBig === ((128L, true, true, true, false)))
+    // estimates stay real data elements in both branches
+    assert(dfBig.select("est_p50", "est_p90")
+      .as[(Double, Double)].head()._1 >= 0.0)
+  }
+
+  test("CUSUM surfaces a type born after the baseline cut as a " +
+      "zero-baseline row instead of dropping it (VERDICT r14 #6)") {
+    // type "a": 10 days of history (cut lands at day 8 = d0+7);
+    // type "z": first event ON the cut day — no baseline (n, B)
+    val base = (0 until 10).map { i =>
+      (i.toLong, ts(f"2024-01-${i + 1}%02d 10:00:00"), 1L, "a", 1.0, "{}")
+    }
+    val born = Seq(
+      (100L, ts("2024-01-09 10:00:00"), 2L, "z", 1.0, "{}"),
+      (101L, ts("2024-01-10 10:00:00"), 2L, "z", 1.0, "{}"))
+    val d = eventsDir(base ++ born)
+    val out = SparkEntry.queries("q199_cusum_changepoint")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.isNullAt(2), r.isNullAt(3)))).toMap
+    // "a" scores normally: span 01-01..01-10 puts the cut at day
+    // d0 + floor(9*0.8) = 01-08, so baseline days 01-01..01-07 => n=7
+    assert(out("a")._1 === 7L)
+    assert(!out("a")._2)
+    // "z" SURFACES: zero baseline days, null score, null alarm — the
+    // "new type, no history" signal the inner join used to swallow
+    assert(out("z") === ((0L, true, true)))
+  }
+
   test("CUSUM: the prefix-min reflection equals the sequential " +
       "max(0, .) fold exactly, and alarms fire only after the planted " +
       "surge (q199)") {

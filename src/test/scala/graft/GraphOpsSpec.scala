@@ -93,6 +93,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("q209 incremental maintenance == from-scratch rank: the " +
+      "snapshot-store + increment edge merge is lossless (VERDICT r14 #5)") {
+    val sf = "/root/testdata/sf0.001"
+    // q209 derives snapshot edges from the written store + increment
+    // edges from the order suffix; q129 derives everything from scratch.
+    // Co-purchase pairs never straddle the l_orderkey cut, so the two
+    // top-20 rank lists must be identical, bit for bit.
+    val scratch = SparkEntry.queries("q129_pagerank")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val maintained = SparkEntry.queries("q209_pagerank_maintain")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(maintained === scratch)
+  }
+
   test("transitivity report: 4-clique + 3-chain golden graph, ordered " +
       "enumeration counts each triangle once (q200)") {
     // K4 on {1,2,3,4} (4 triangles, every wedge closed) plus the chain

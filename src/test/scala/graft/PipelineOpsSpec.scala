@@ -100,6 +100,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("state-seeded packing fold covers increment shards ABSENT from " +
+      "the stored state — fresh shards pack from an empty open bin, " +
+      "byte-identical to a from-scratch repack (ADVICE r14 #4)") {
+    // nShards = 4 (exercising the parameterization — the old code
+    // hard-coded % 8). Snapshot: ids < 12 excluding shard 3 entirely;
+    // increment: ids >= 12 plus ALL of shard 3 — a per-shard order
+    // suffix (shard 3's stored state is empty, its increment is the
+    // whole shard), the documented precondition.
+    def text(i: Long) = Seq.fill((i % 3 + 1).toInt)("w").mkString(" ")
+    val all = (0L until 20L).map(i => (i, text(i)))
+    val snapIds = all.filter { case (i, _) => i < 12 && i % 4 != 3 }
+    val incIds = all.filterNot(snapIds.contains)
+    val stored = PipelineOps.packSequences(
+      snapIds.toDF("doc_id", "text"), capacity = 4, nShards = 4)
+    val folded = PipelineOps.packFoldFrom(stored,
+        incIds.toDF("doc_id", "text"), capacity = 4, nShards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val scratch = PipelineOps.packSequences(
+        all.toDF("doc_id", "text"), capacity = 4, nShards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(folded === scratch)
+    // shard 3's docs really are present (the old left_outer dropped them)
+    assert(folded.exists(_._1 == 3L))
+    // all-fresh edge: EMPTY stored state and an OVERSIZED first doc —
+    // the empty seed bin absorbs it (a bin takes at least one doc,
+    // packSequences' rule), so no 0-doc bin and no phantom bin shift
+    val emptyStore = PipelineOps.packSequences(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      capacity = 4, nShards = 4)
+    val docs2 = Seq((0L, Seq.fill(9)("w").mkString(" ")), (4L, "w w"))
+    val f2 = PipelineOps.packFoldFrom(emptyStore,
+        docs2.toDF("doc_id", "text"), capacity = 4, nShards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val s2 = PipelineOps.packSequences(
+        docs2.toDF("doc_id", "text"), capacity = 4, nShards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(f2 === s2)
+    assert(f2 === Seq((0L, 0L, 1L, 9L, 22500L), (0L, 1L, 1L, 2L, 5000L)))
+  }
+
   test("LSH-fed cluster resolution equals the exact-pair formulation") {
     // the production composition (q45b) must resolve the same clusters as
     // the exact inverted-index path (q45) — same docs, same labels

@@ -100,6 +100,38 @@ class PlanHygieneSpec extends SparkSpec {
         p.contains("LeftAnti, BuildRight"), s"$q:\n$p")
   }
 
+  test("q42: above the row-count gate the benched plan carries NO " +
+      "CartesianProduct node — the last unguarded quadratic plan is " +
+      "gone (VERDICT r14 #4)") {
+    // a corpus ABOVE VerifyGate.MaxRows: 1100 vectors. The all-pairs
+    // oracle leg must not run — the plan is the empty un-run sentinel,
+    // mirrored by the oracle's row-count predicate.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q42_gate").toString
+    spark.range(1100)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), " +
+          "i -> CAST(pmod(id * i, 97) AS FLOAT) / 97.0F)").as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = SparkEntry.queries("q42_embed_neardup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q42 above the gate still plans an all-pairs join:\n${p.take(400)}")
+    assert(df.count() === 0L)
+    // and BELOW the gate the oracle mechanism still runs for real —
+    // the all-pairs scan IS the point at oracle scale (at 500 vectors
+    // Spark broadcasts one side, so the node is a nested-loop cross
+    // join rather than CartesianProduct — same quadratic mechanism)
+    val small = SparkEntry.queries("q42_embed_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("CartesianProduct") ||
+      small.contains("BroadcastNestedLoopJoin"),
+      "q42 below the gate no longer plans its all-pairs oracle leg")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("q42b: the LSH bucket join shuffles ids, never embeddings") {
     // candidate generation exchanges carry (band, bucket, vec_id) — the
     // embedding column must only appear in exchanges AFTER the candidate

@@ -201,6 +201,16 @@ class UpsertSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("pruned") ||
       e.getMessage.contains("no committed version"))
+    // a pin naming a non-committed version fails LOUDLY up front
+    // (ADVICE r14 #3) — the reproducibility anchor it was meant to
+    // protect does not exist, and nothing is deleted on the way out
+    val before = new java.io.File(root).list().sorted.toSeq
+    val ePin = intercept[IllegalArgumentException] {
+      Upsert.vacuumVersions(spark, root, keepLast = 1, pinned = Set(42L))
+    }
+    assert(ePin.getMessage.contains("42"))
+    assert(new java.io.File(root).list().sorted.toSeq === before,
+      "a rejected vacuum must not have deleted anything")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
