@@ -38,7 +38,10 @@ class PlanAuditSpec extends SparkSpec {
     "q54b_asof_join_bucketed")
 
   /** All-pairs formulations quarantined BY DESIGN as correctness oracles
-    * for the sub-quadratic paths (SURVEY §9 "Dedup family"). */
+    * for the sub-quadratic paths (SURVEY §9 "Dedup family"). This audit
+    * runs at sf0.001, BELOW q42's row-count gate (VERDICT r14 #4), so
+    * its oracle cartesian is in-plan here by design; above the gate the
+    * plan carries none (PlanHygieneSpec's 1100-vector assertion). */
   private val cartesianAllowed = Set("q42_embed_neardup", "q36_simhash")
 
   private lazy val pureQueryPlans =

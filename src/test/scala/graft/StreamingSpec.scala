@@ -406,12 +406,16 @@ class StreamingSpec extends SparkSpec {
     // served sketch is IDENTICAL (as a set) to a full unique-corpus
     // rebuild — stronger than an estimate band — and the rank bands hold
     val out = SparkEntry.queries("q194_stream_bottomk_gate")(spark, sf)
-      .as[(String, Long, Double, Double, Boolean, Boolean, Boolean)]
+      .as[(String, Long, Double, Double, Boolean, Boolean, Boolean,
+        Boolean)]
       .collect()
     assert(out.length === 5)
-    out.foreach { case (t, n, p50, p90, meq, ok50, ok90) =>
-      assert(n > 100 && meq && ok50 && ok90 && p50 < p90,
-        s"$t n=$n meq=$meq ok50=$ok50 ok90=$ok90 p50=$p50 p90=$p90")
+    out.foreach { case (t, sn, p50, p90, meq, ok50, ok90, verified) =>
+      // sf0.001 (1000 events) is under the linear gate: the invariants
+      // are MEASURED here (verified = true), not pinned
+      assert(sn > 100 && meq && ok50 && ok90 && verified && p50 < p90,
+        s"$t sn=$sn meq=$meq ok50=$ok50 ok90=$ok90 verified=$verified " +
+          s"p50=$p50 p90=$p90")
     }
   }
 
