@@ -2346,6 +2346,19 @@ object TextOps {
         .as(Seq("band", "bucket")))
   }
 
+  /** One-generation residency cap for the pair-sweep candidate caches —
+    * the same leak class as [[liveDecontamCaches]] (ADVICE r14 #5),
+    * capped the same way: each [[pairsFromBandedIndex]] invocation
+    * (q34's in-plan sweep, q34b's indexed probe, the cold pair-artifact
+    * and label builds) persists a candidate pair set + its pruned
+    * shingle lookup with no scopable unpersist point; the tracker
+    * evicts the previous generation when a new sweep is composed.
+    * Separate from the decontam tracker so a composed pipeline holding
+    * one of each (q103's report next to a q86 pair probe) evicts
+    * neither prematurely. */
+  private val livePairSweepCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   /** Candidate generation + exact verify over a banded index relation
     * (freshly derived or read back from a written index table). */
   private[graft] def pairsFromBandedIndex(banded: DataFrame, docs: DataFrame,
@@ -2358,8 +2371,10 @@ object TextOps {
     // (same helper as the in-plan LSH and incremental paths). The
     // candidate-id semi-join makes the fetch candidate-sized when `docs`
     // is a lazy relation (the prune reaches the scan).
-    verifyJaccardCandidates(cand, lookupForCandidates(docs, cand),
-        jaccardThreshold)
+    val looked = lookupForCandidates(docs, cand)
+    livePairSweepCaches.getAndSet(Seq(cand, looked))
+      .foreach(_.unpersist(false))
+    verifyJaccardCandidates(cand, looked, jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
