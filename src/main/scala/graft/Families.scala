@@ -29,7 +29,8 @@ object Families {
     "q187_bm25_incremental", "q191_hll_incremental",
     "q193_bottomk_quantile", "q196_cms_frequency",
     "q203_pareto_maintain", "q205_version_vacuum",
-    "q207_packing_maintain", "q209_pagerank_maintain")
+    "q207_packing_maintain", "q209_pagerank_maintain",
+    "q210_transitivity_maintain")
 
   def of(name: String): String =
     if (streamSet(name)) "stream"

@@ -221,10 +221,58 @@ object GraphOps {
       (s, d) => transitivityReport(
         graft.ops.TextOps.corpusLshPairs(s, d)
           .select(col("id_a"), col("id_b"))),
+      Some(TransitivitySql)),
+
+    // ---- incremental transitivity maintenance (q210): q200's STRUCTURE
+    // check kept current under a corpus increment — the graph family's
+    // second maintain member (q209 re-ranks; this re-measures wedge
+    // closure so the dedup-health signal refreshes per crawl without a
+    // full pair sweep). The split of costs mirrors q144: the snapshot's
+    // pair set, per-node degrees, and one-row triangle/wedge stats are
+    // written once (sharing q144's snapshot LSH index build); the
+    // increment derives its DELTA EDGES alone (frozen-hot banding +
+    // index probe + one exact verify — [[TextOps.deltaPairsAgainstIndex]])
+    // and the update is pure increment-sized arithmetic: every new
+    // triangle contains a new node (new ids exceed all old ids, so its
+    // two larger-endpoint edges are delta edges and the third probes the
+    // pair store once, pair-set-sized); wedge deltas are per-touched-node
+    // C(d0+Δ,2)−C(d0,2) against the stored degrees. No corpus-sized pass
+    // anywhere in the maintain path. Oracle: q200's exact-pairs SQL
+    // verbatim — green iff snapshot∪delta is the exact full pair set AND
+    // the incremental counts equal a from-scratch enumeration.
+    Q("q210_transitivity_maintain",
+      (s, d) => {
+        writeDupGraphSnapshot(s, d)
+        val sh = TextOps.docsWithShinglesLazy(s, d)
+        val cut = sh.agg(
+          floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+        // persisted: banding references the lazy shingle column once per
+        // hash lambda (the q35 hazard); tracked one-generation below
+        val inc = sh.crossJoin(broadcast(cut))
+          .filter(col("doc_id") >= col("cut")).drop("cut").persist()
+        // delta edges persisted: four consumers in the maintain
+        // arithmetic (two triangle-join sides, degree deltas, edge count)
+        val incEdges = TextOps.deltaPairsAgainstIndex(s,
+            TextOps.SnapshotLshTable, inc, sh, jaccardThreshold = 0.5)
+          .select(col("id_a"), col("id_b")).persist()
+        liveGraphCaches.getAndSet(Seq(inc, incEdges))
+          .foreach(_.unpersist(false))
+        transitivityMaintainFrom(s.table(DupGraphEdgeTable),
+          s.table(s"${DupGraphEdgeTable}_deg"),
+          s.table(s"${DupGraphEdgeTable}_stats"), incEdges)
+      },
       // exact pairs recomputed from raw text (the q34 oracle discipline:
       // a wrong/stale pair artifact fails this hash), then the identical
       // integer triangle/wedge arithmetic
-      Some("""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+      Some(TransitivitySql))
+  )
+
+  /** q200/q210's shared oracle — exact all-pairs shingle-Jaccard ≥ 0.5
+    * pairs recomputed from raw text, then the integer triangle/wedge
+    * arithmetic (one rule, two engine postures: the from-scratch report
+    * and the snapshot+delta maintainer). */
+  private[graft] lazy val TransitivitySql: String =
+    ("""WITH t AS (SELECT doc_id, list_distinct(list_transform(
            range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))-1),
            i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
@@ -255,8 +303,7 @@ object GraphOps {
            CAST(CASE WHEN wed.n_wedges > 0
              THEN (30000 * tri.n_triangles) // wed.n_wedges
              ELSE 0 END AS BIGINT) AS transitivity_bp
-         FROM tri, wed"""))
-  )
+         FROM tri, wed""")
 
   /** q129/q209's shared oracle — the five-CTE integer-exact PageRank
     * replay over the FULL lineitem (one rule, two engine postures: the
@@ -306,6 +353,109 @@ object GraphOps {
                 GROUP BY e.dst, nn.n)
               SELECT node AS part, r AS rank_scaled FROM it5
               ORDER BY rank_scaled DESC, part LIMIT 20""")
+
+  /** The dup-graph snapshot stores (q210): the snapshot corpus's verified
+    * pair set, its per-node degrees, and the one-row triangle/wedge
+    * stats, written once per (JVM, corpus snapshot). The pair sweep rides
+    * q144's shared snapshot LSH index (same table, same tag — one build
+    * serves both families); degrees and stats then derive from the
+    * WRITTEN pairs, so the build adds two pair-set-sized passes to an
+    * artifact the cluster family already pays for. */
+  private[graft] val DupGraphEdgeTable = "graft_dupgraph_edges"
+  private[graft] def dupGraphTag(d: String): Option[String] =
+    TextOps.snapshotLshTag(d).map(t => s"$t|j0.5|dupgraph")
+
+  private[graft] def writeDupGraphSnapshot(s: SparkSession, d: String): Unit =
+    ArtifactCache.once(DupGraphEdgeTable, dupGraphTag(d)) {
+      val sh = TextOps.docsWithShinglesLazy(s, d)
+      val cut = sh.agg(
+        floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+      val snap = sh.crossJoin(broadcast(cut))
+        .filter(col("doc_id") < col("cut")).drop("cut")
+      TextOps.writeSnapshotLshIndex(s, snap, dfCap = 16,
+        TextOps.SnapshotLshTable, TextOps.snapshotLshTag(d))
+      Tables.resetManagedTable(s, DupGraphEdgeTable)
+      TextOps.pairsFromBandedIndex(s.table(TextOps.SnapshotLshTable), snap,
+          jaccardThreshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+        .write.mode("overwrite").saveAsTable(DupGraphEdgeTable)
+      val st = s.table(DupGraphEdgeTable)
+      Tables.resetManagedTable(s, s"${DupGraphEdgeTable}_deg")
+      st.select(col("id_a").as("v")).unionAll(st.select(col("id_b")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        .write.mode("overwrite").saveAsTable(s"${DupGraphEdgeTable}_deg")
+      Tables.resetManagedTable(s, s"${DupGraphEdgeTable}_stats")
+      transitivityReport(st)
+        .write.mode("overwrite").saveAsTable(s"${DupGraphEdgeTable}_stats")
+    }
+
+  /** One-generation residency cap for q210's persisted increment shingles
+    * (the [[TextOps]] pair-sweep tracker's discipline, applied to the one
+    * graph-side cache). */
+  private val liveGraphCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
+  /** q210's arithmetic core, factored for golden-graph testing: the full
+    * graph's transitivity report from the snapshot's stored (edges,
+    * degrees, stats) plus the increment's delta edges ALONE.
+    *
+    * Requires the q210 id discipline: every delta edge's larger endpoint
+    * is a new node (new ids exceed all old ids), and `snapEdges` ∪
+    * `incEdges` is a disjoint union of the full ordered pair set. Then:
+    *
+    *  - Δtriangles: a new triangle a<b<c contains a new node, so c is
+    *    new — its (b,c) and (a,c) edges are DELTA edges while (a,b)
+    *    ranges over the full set; the enumeration probes the pair store
+    *    once (pair-set-sized) and is otherwise delta-bounded.
+    *  - Δwedges: per touched node, C(d0+Δ,2) − C(d0,2) against the
+    *    stored degrees (left join — a node new to the graph has d0=0
+    *    and counts toward Δnodes).
+    *
+    * All arithmetic is BIGINT (counts and integer div) — bit-exact vs
+    * the oracle's from-scratch enumeration, no float anywhere.
+    *
+    * Callers persist `incEdges` (it feeds four consumers: both
+    * delta-side triangle joins, the degree deltas, and the edge count —
+    * q210 tracks it one-generation via [[liveGraphCaches]]). */
+  private[graft] def transitivityMaintainFrom(snapEdges: DataFrame,
+      snapDeg: DataFrame, snapStats: DataFrame,
+      incEdges: DataFrame): DataFrame = {
+    val incE = incEdges
+    val full = snapEdges.unionByName(incE)
+    val dTri = full.as("ab")
+      .join(incE.as("bc"), col("ab.id_b") === col("bc.id_a"))
+      .join(incE.as("ac"), col("ac.id_a") === col("ab.id_a") &&
+        col("ac.id_b") === col("bc.id_b"))
+      .agg(count(lit(1)).as("d_tri"))
+    val dd = incE.select(col("id_a").as("v"))
+      .unionAll(incE.select(col("id_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("ddg"))
+    val dW = dd.join(snapDeg, Seq("v"), "left_outer")
+      .select(
+        expr("""(coalesce(dg, 0L) + ddg) * (coalesce(dg, 0L) + ddg - 1L)
+            div 2L - coalesce(dg, 0L) * (coalesce(dg, 0L) - 1L) div 2L""")
+          .as("w"),
+        when(col("dg").isNull, lit(1L)).otherwise(lit(0L)).as("nn"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("d_wedges"),
+        coalesce(sum(col("nn")), lit(0L)).as("d_nodes"))
+    val dE = incE.agg(count(lit(1)).as("d_edges"))
+    snapStats
+      .select(col("n_edges"), col("n_nodes"),
+        col("n_triangles"), col("n_wedges"))
+      .crossJoin(broadcast(dE))
+      .crossJoin(broadcast(dTri))
+      .crossJoin(broadcast(dW))
+      .select(
+        (col("n_edges") + col("d_edges")).as("n_edges"),
+        (col("n_nodes") + col("d_nodes")).as("n_nodes"),
+        (col("n_triangles") + col("d_tri")).as("n_triangles"),
+        (col("n_wedges") + col("d_wedges")).as("n_wedges"))
+      .select(col("n_edges"), col("n_nodes"),
+        col("n_triangles"), col("n_wedges"),
+        expr("""CASE WHEN n_wedges > 0
+            THEN (30000 * n_triangles) div n_wedges
+            ELSE 0 END""").as("transitivity_bp"))
+  }
 
   /** Triangle/wedge/transitivity report over an undirected edge relation
     * stored ordered (id_a < id_b, deduplicated) — q200's body, factored

@@ -252,31 +252,14 @@ object PipelineOps {
       } finally { snap.unpersist(); () }
     }
 
-    // ---- maintain phase: everything below is increment-sized
-    val incBands = TextOps
-      .bandedSignaturesFrozenHot(inc, s.table(s"${table}_hot"))
-      .persist() // two consumers: index probe + internal self-candidates
-    // ONE candidate set, ONE verify (round 12): the cross candidates
-    // (index-probe join — only increment-hit buckets of the bucketed
-    // index ever aggregate) union the increment-internal candidates, and
-    // the exact-verify machinery (id-set prune + two shingle-lookup
-    // joins) runs once over the union instead of once per leg — the two
-    // legs are disjoint by construction (cross pairs have an old
-    // endpoint), so no dedup is needed across them.
-    val crossCand = s.table(table)
-      .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-      .join(incBands.select(col("band"), col("bucket"),
-        col("doc_id").as("id_b")), Seq("band", "bucket"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val cand = crossCand
-      .unionByName(TextOps.candidatesFromBandedIndex(incBands))
-      .persist() // feeds the id-set prune + both verify joins
+    // ---- maintain phase: everything below is increment-sized. ONE
+    // candidate set, ONE verify (round 12), via the shared delta-pair
+    // machinery ([[TextOps.deltaPairsAgainstIndex]], factored round 15
+    // for q210's triangle maintainer): cross candidates (index-probe
+    // join) union increment-internal candidates, verified once.
     val edges = TextOps
-      .verifyJaccardCandidates(cand,
-        TextOps.lookupForCandidates(
-          lookupSh.getOrElse(snapRaw.unionByName(inc)), cand),
-        jaccardThreshold)
+      .deltaPairsAgainstIndex(s, table, inc,
+        lookupSh.getOrElse(snapRaw.unionByName(inc)), jaccardThreshold)
       .select(col("id_a"), col("id_b"))
 
     // ---- contraction + serve: the shared delta-merge algebra — see

@@ -2378,6 +2378,40 @@ object TextOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Delta near-dup pairs of an INCREMENT against a written snapshot band
+    * index — the q144 maintain-phase candidate machinery factored once
+    * (round 15) so every maintainer that needs the increment's edges
+    * alone (q144's cluster delta, q210's triangle/wedge delta) shares ONE
+    * candidate set and ONE exact verify. Cross candidates (index-probe
+    * join — only increment-hit buckets of the bucketed index ever
+    * aggregate) union the increment-internal candidates; the two legs are
+    * disjoint by construction (cross pairs have an old endpoint), so no
+    * dedup is needed across them. Emitted pairs are ordered id_a < id_b
+    * because snapshot ids precede increment ids. The increment bands
+    * under the snapshot's FROZEN hot list (ADVICE r10 #3), so its cost
+    * depends only on the increment. Persisted relations (bands +
+    * candidates + pruned lookup) ride the one-generation pair-sweep
+    * tracker, same as [[pairsFromBandedIndex]]. */
+  private[graft] def deltaPairsAgainstIndex(s: SparkSession, table: String,
+      inc: DataFrame, lookupSh: DataFrame,
+      jaccardThreshold: Double): DataFrame = {
+    val incBands = bandedSignaturesFrozenHot(inc, s.table(s"${table}_hot"))
+      .persist() // two consumers: index probe + internal self-candidates
+    val crossCand = s.table(table)
+      .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(incBands.select(col("band"), col("bucket"),
+        col("doc_id").as("id_b")), Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val cand = crossCand
+      .unionByName(candidatesFromBandedIndex(incBands))
+      .persist() // feeds the id-set prune + both verify joins
+    val looked = lookupForCandidates(lookupSh, cand)
+    livePairSweepCaches.getAndSet(Seq(incBands, cand, looked))
+      .foreach(_.unpersist(false))
+    verifyJaccardCandidates(cand, looked, jaccardThreshold)
+  }
+
   /** Candidate (id_a < id_b) pairs from a banded relation — the
     * generation half of [[pairsFromBandedIndex]], factored out (round 12)
     * so the incremental paths can UNION cross- and self-candidate sets

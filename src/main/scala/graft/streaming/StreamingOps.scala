@@ -2041,7 +2041,53 @@ object StreamingOps {
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
           .orderBy(col("cluster_id"))
       },
-      Some(graft.ops.PipelineOps.DupClustersSql))
+      Some(graft.ops.PipelineOps.DupClustersSql)),
+
+    // ---- streaming PageRank gate (q211): the graph family's STREAM leg
+    // (q129 ranks from scratch, q209 maintains under a batch increment;
+    // this maintains under a stream of order arrivals — one rule, three
+    // engine paths). Per micro-batch the arrivals REDUCE to their
+    // distinct (order, part) projection in a per-batch-id overwrite slot
+    // (the q197 replay discipline — a retried batch rewrites its slot),
+    // so the stream's accumulated state is projection-sized and an order
+    // whose lineitem rows SPLIT across micro-batches still contributes
+    // its full basket: the co-purchase self-join runs at SERVE time over
+    // the slot union — increment-sized, never per-batch-blind (a
+    // batch-local join would silently drop every cross-batch pair of a
+    // straddling order). Serve unions the written snapshot edge store
+    // (q209's dst-bucketed artifact, shared build) with the increment's
+    // edges, dedups the pair, and re-ranks with the integer-exact
+    // recurrence. Oracle: q129's five-CTE replay verbatim — green iff
+    // stream accumulation ∪ snapshot reproduces the full edge set.
+    Q("q211_stream_pagerank_gate",
+      (s, d) => {
+        import graft.ops.GraphOps
+        val li = graft.schema.Tables.lineitem(s, d)
+        val cut = math.floor(
+          (li.agg(max(col("l_orderkey"))).head.getLong(0) + 1) * 0.8).toLong
+        GraphOps.writeEdgeSnapshot(s, d)
+        val store = tempStore("graft_pagerank_gate_out")
+        runForeachBatch(s, d, "lineitem")(
+          _.filter(col("l_orderkey") >= cut)) { (batch, batchId) =>
+          batch.select(col("l_orderkey"), col("l_partkey")).distinct()
+            .write.mode("overwrite").parquet(s"$store/b$batchId")
+        }
+        val root = new org.apache.hadoop.fs.Path(store)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
+        val incEdges =
+          if (slots.isEmpty) s.table(GraphOps.EdgeTable).limit(0)
+          else GraphOps.coPurchaseEdges(s.read.parquet(slots: _*)
+            .dropDuplicates("l_orderkey", "l_partkey"))
+        val merged = s.table(GraphOps.EdgeTable).unionByName(incEdges)
+          .dropDuplicates("src", "dst")
+        GraphOps.pageRankScaled(merged, iters = 5)
+          .select(col("node").as("part"), col("r").as("rank_scaled"))
+          .orderBy(col("rank_scaled").desc, col("part"))
+          .limit(20)
+      },
+      Some(graft.ops.GraphOps.PageRankSql))
   )
 
   /** q66's batch-side rollup over the sinked match stream. */

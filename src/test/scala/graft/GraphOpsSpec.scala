@@ -107,6 +107,43 @@ class GraphOpsSpec extends SparkSpec {
     assert(maintained === scratch)
   }
 
+  test("q210 incremental transitivity == from-scratch report on a planted " +
+      "delta: new-node triangles, wedge deltas, nodes born in the delta") {
+    // snapshot: K4 on {1,2,3,4} plus chain 10-11-12 (the q200 golden
+    // graph). Delta (new ids 20, 21 > all old ids): 20 closes the chain's
+    // open wedge into a triangle (10-20, 11-20 with 10-11 stored), joins
+    // the clique corner (1-20 — wedges only), and 21 attaches to 20 alone
+    // (a node pair born entirely in the delta, degree-0 base).
+    val snapE = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val incE = Seq(
+      (10L, 20L), (11L, 20L), (1L, 20L), (20L, 21L)).toDF("id_a", "id_b")
+    val snapDeg = snapE.select(col("id_a").as("v"))
+      .unionAll(snapE.select(col("id_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val maintained = GraphOps.transitivityMaintainFrom(
+        snapE, snapDeg, GraphOps.transitivityReport(snapE), incE)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val scratch = GraphOps.transitivityReport(snapE.unionByName(incE))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(maintained === scratch, s"maintained=$maintained scratch=$scratch")
+    // the delta actually exercised each term: a new triangle (10-11-20),
+    // a new node pair (20, 21), and wedge growth at touched old nodes
+    assert(scratch._3 === 5L && scratch._2 === 9L, scratch)
+  }
+
+  test("q210 maintained transitivity == q200's from-scratch report " +
+      "(snapshot store + delta pairs are the exact full pair set)") {
+    val sf = "/root/testdata/sf0.001"
+    val scratch = SparkEntry.queries("q200_dupgraph_transitivity")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val maintained = SparkEntry.queries("q210_transitivity_maintain")(
+        spark, sf)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(maintained === scratch)
+  }
+
   test("transitivity report: 4-clique + 3-chain golden graph, ordered " +
       "enumeration counts each triangle once (q200)") {
     // K4 on {1,2,3,4} (4 triangles, every wedge closed) plus the chain

@@ -607,6 +607,16 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming PageRank gate serves exactly the batch q129 ranks " +
+      "(snapshot store + slot-accumulated increment edges are lossless)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val stream = rows("q211_stream_pagerank_gate")
+    assert(stream == rows("q129_pagerank"))
+    assert(stream.nonEmpty)
+  }
+
   test("streaming packing gate serves exactly the batch q206 bins " +
       "(fold-suffix identity, batch over batch)") {
     val sf = "/root/testdata/sf0.001"
