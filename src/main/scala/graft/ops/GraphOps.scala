@@ -258,14 +258,18 @@ object GraphOps {
         // the delta sweep up to 3× in parallel (measured: 20.2 s vs
         // ~10 s at sf0.1). The eager checkpoint runs the sweep exactly
         // once and hands every consumer a lineage-free block read.
+        // evict the previous generation BEFORE the new checkpoint
+        // allocates (the pairsFromBandedIndex evict-before-register
+        // rule; checkpointed frames carry unique RDD ids so there is no
+        // plan-equality hazard here, but old blocks should free first)
+        liveGraphCaches.getAndSet(Nil).foreach(_.unpersist(false))
         val incEdges = TextOps.deltaPairsAgainstIndex(s,
             TextOps.SnapshotLshTable, inc, sh, jaccardThreshold = 0.5)
           .select(col("id_a"), col("id_b"))
           .localCheckpoint(true,
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         inc.unpersist() // the sweep is materialized; the shingles are done
-        liveGraphCaches.getAndSet(Seq(incEdges))
-          .foreach(_.unpersist(false))
+        liveGraphCaches.set(Seq(incEdges))
         transitivityMaintainFrom(s.table(DupGraphEdgeTable),
           s.table(s"${DupGraphEdgeTable}_deg"),
           s.table(s"${DupGraphEdgeTable}_stats"), incEdges)

@@ -2363,6 +2363,14 @@ object TextOps {
     * (freshly derived or read back from a written index table). */
   private[graft] def pairsFromBandedIndex(banded: DataFrame, docs: DataFrame,
       jaccardThreshold: Double): DataFrame = {
+    // Evict the PREVIOUS sweep generation BEFORE registering this one's
+    // persists: Dataset.unpersist removes cache entries by LOGICAL PLAN,
+    // and a re-composed sweep (a bench rep, a repeated pipeline stage)
+    // builds plan-identical relations — evicting after .persist() would
+    // silently de-cache the NEW generation and the sweep would run with
+    // every candidate/lookup relation recomputed per consumer (measured
+    // as q144 5.6 → 8.9 s when the eviction briefly ran last).
+    livePairSweepCaches.getAndSet(Nil).foreach(_.unpersist(false))
     val cand = candidatesFromBandedIndex(banded)
       .persist() // feeds the id-set prune + both verify joins
 
@@ -2372,8 +2380,7 @@ object TextOps {
     // candidate-id semi-join makes the fetch candidate-sized when `docs`
     // is a lazy relation (the prune reaches the scan).
     val looked = lookupForCandidates(docs, cand)
-    livePairSweepCaches.getAndSet(Seq(cand, looked))
-      .foreach(_.unpersist(false))
+    livePairSweepCaches.set(Seq(cand, looked))
     verifyJaccardCandidates(cand, looked, jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -2395,6 +2402,9 @@ object TextOps {
   private[graft] def deltaPairsAgainstIndex(s: SparkSession, table: String,
       inc: DataFrame, lookupSh: DataFrame,
       jaccardThreshold: Double): DataFrame = {
+    // evict-BEFORE-register, for the same plan-equality reason as
+    // [[pairsFromBandedIndex]]
+    livePairSweepCaches.getAndSet(Nil).foreach(_.unpersist(false))
     val incBands = bandedSignaturesFrozenHot(inc, s.table(s"${table}_hot"))
       .persist() // two consumers: index probe + internal self-candidates
     val crossCand = s.table(table)
@@ -2407,8 +2417,7 @@ object TextOps {
       .unionByName(candidatesFromBandedIndex(incBands))
       .persist() // feeds the id-set prune + both verify joins
     val looked = lookupForCandidates(lookupSh, cand)
-    livePairSweepCaches.getAndSet(Seq(incBands, cand, looked))
-      .foreach(_.unpersist(false))
+    livePairSweepCaches.set(Seq(incBands, cand, looked))
     verifyJaccardCandidates(cand, looked, jaccardThreshold)
   }
 
@@ -2615,6 +2624,11 @@ object TextOps {
     * sides (both read the same (band, bucket) bucket layout). */
   private[graft] def fuzzyDecontamFromBands(banded: DataFrame,
       docs: DataFrame, benchPred: Column, threshold: Double): DataFrame = {
+    // evict-BEFORE-register (the [[pairsFromBandedIndex]] plan-equality
+    // rule): a re-composed decontam sweep builds plan-identical
+    // relations, and unpersisting the old generation after the new
+    // persists register would de-cache the new ones
+    liveDecontamCaches.getAndSet(Nil).foreach(_.unpersist(false))
     val cand = banded.filter(benchPred)
       .select(col("band"), col("bucket"), col("doc_id").as("id_b"))
       .join(banded.filter(!benchPred)
@@ -2624,8 +2638,7 @@ object TextOps {
       .dropDuplicates("id_a", "id_b")
       .persist() // feeds the id-set prune + both verify joins
     val looked = lookupForCandidates(docs, cand)
-    liveDecontamCaches.getAndSet(Seq(cand, looked))
-      .foreach(_.unpersist(false))
+    liveDecontamCaches.set(Seq(cand, looked))
     verifyJaccardCandidates(cand, looked, threshold)
       .groupBy(col("id_a"))
       .agg(count(lit(1)).as("n_bench_hits"),
