@@ -75,7 +75,9 @@ object ScaleCurve {
       "q193_bottomk_quantile", "q195_dsir_resample",
       "q196_cms_frequency", "q198_kmv_overlap",
       "q199_cusum_changepoint", "q200_dupgraph_transitivity",
-      "q201_pareto_frontier", "q203_pareto_maintain")
+      "q201_pareto_frontier", "q203_pareto_maintain",
+      "q209_pagerank_maintain", "q210_transitivity_maintain",
+      "q211_stream_pagerank_gate")
 
     // SPARK_GRAFT_CURVE_ONLY=q91,q92 restricts to a comma-separated prefix
     // set, for collecting rows of newly added operators without re-running
