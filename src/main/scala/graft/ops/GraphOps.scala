@@ -247,7 +247,8 @@ object GraphOps {
         val cut = sh.agg(
           floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
         // persisted: banding references the lazy shingle column once per
-        // hash lambda (the q35 hazard); tracked one-generation below
+        // hash lambda (the q35 hazard); unpersisted right after the
+        // delta-edge checkpoint materializes
         val inc = sh.crossJoin(broadcast(cut))
           .filter(col("doc_id") >= col("cut")).drop("cut").persist()
         // delta edges EAGERLY checkpointed, not merely persisted: the
@@ -255,9 +256,9 @@ object GraphOps {
         // triangle-join sides, degree deltas, edge count), three of them
         // broadcast-exchange subtrees that execute concurrently — against
         // a lazy cache they race its first materialization and re-run
-        // the delta sweep up to 3× in parallel (measured: 20.2 s vs
-        // ~10 s at sf0.1). The eager checkpoint runs the sweep exactly
-        // once and hands every consumer a lineage-free block read.
+        // the delta sweep up to 3× in parallel (measured 20.2 → 6.4 s
+        // at sf0.1). The eager checkpoint runs the sweep exactly once
+        // and hands every consumer a lineage-free block read.
         // evict the previous generation BEFORE the new checkpoint
         // allocates (the pairsFromBandedIndex evict-before-register
         // rule; checkpointed frames carry unique RDD ids so there is no
