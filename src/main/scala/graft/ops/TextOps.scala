@@ -1376,13 +1376,19 @@ object TextOps {
     // S² pair overlaps from signatures alone, never re-touching text.
     Q("q198_kmv_overlap",
       (s, d) => {
+        // EAGER checkpoint (the q210 broadcast-race rule): the verify
+        // composition consumes this relation from five subtrees, several
+        // of them concurrently-executing broadcast exchanges — a lazy
+        // persist lets them race the first materialization and re-run
+        // the tokenize+shingle+distinct derivation in parallel.
         val posts = docsWithShingles(s, d)
           .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
             Seq("doc_id"))
           .select(col("source"), explode(col("sh")).as("t"))
           .distinct()
           .select(col("source"), col("t"), kmvHash(col("t")).as("h"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         kmvVerifiedOverlap(posts)
       },
       Some(KmvOverlapSql))
@@ -1444,10 +1450,19 @@ object TextOps {
     * (doc_id, sh) relation the merged sketch should equal. */
   private[graft] def cmsVerifiedTop(live: DataFrame,
       sketches: DataFrame): DataFrame = {
+    // EAGER checkpoints, not lazy persists (the q210 broadcast-race
+    // rule): the serve plan fans the probe side plus THREE broadcast
+    // subtrees (merged sketch, merge-mismatch check, total count) off
+    // these two relations, and the broadcast exchanges execute
+    // concurrently — against a lazy cache they race the first
+    // materialization and re-run the live-corpus tokenize+shingle+count
+    // pass (tc) in parallel.
     val tc = shingleDfCounts(live)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merged = cmsSummed(sketches)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mism = merged.select(col("r"), col("b"), col("cnt").as("cm"))
       .join(cmsOf(tc).select(col("r"), col("b"), col("cnt").as("cf")),
         Seq("r", "b"), "full_outer")
@@ -1532,14 +1547,19 @@ object TextOps {
     * counts first — the maintainer/stream legs (q203/q204) feed
     * stored-frontier ∪ increment rows here. */
   private[graft] def frontierOfCounts(pc: DataFrame): DataFrame = {
-    // persisted because the plan reads it THREE times (the min/max stats,
-    // the bucketed relation, and — via bmax — the threshold join); without
-    // the cache each read re-runs the upstream corpus tokenization, which
-    // is why q201 read 5× its idle time under IO contention in the r13
-    // driver bench. MEMORY_ONLY: distinct (a, b) points, ≪ corpus.
+    // EAGERLY checkpointed because the plan reads it THREE times (the
+    // min/max stats — a broadcast subtree that executes concurrently
+    // with the main stream — the bucketed relation, and via bmax the
+    // threshold join); a lazy cache lets those subtrees RACE the first
+    // materialization and re-run the upstream corpus tokenization in
+    // parallel (the q210 broadcast-race rule; the r13 driver bench read
+    // q201 at 5× idle under exactly this recompute). MEMORY_AND_DISK:
+    // distinct (a, b) points, ≪ corpus, and an evicted checkpoint block
+    // would be unrecoverable under MEMORY_ONLY (ADVICE r14 #1).
     val p = pc.groupBy(col("a"), col("b"))
       .agg(sum(col("n_docs")).as("n_docs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mm = p.agg(min(col("a")).as("a0"), max(col("a")).as("a1"))
     val bucketed = p.crossJoin(broadcast(mm))
       .withColumn("bk",
@@ -1555,9 +1575,12 @@ object TextOps {
       .join(bmax.select(col("bk").as("bk2"), col("mb")),
         col("bk2") > col("bk"), "left_outer")
       .groupBy(col("bk")).agg(max(col("mb")).as("thr"))
+    // eager for the same reason: the anti-join's broadcast side would
+    // otherwise race the probe side and recompute the whole prune chain
     val survivors = bucketed.join(broadcast(thr), Seq("bk"))
       .filter(col("thr").isNull || col("thr") < col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact dominance over the pruned set as a broadcast LEFT ANTI
     // self-join — the oracle's NOT EXISTS verbatim, paid only on the
     // prune-bounded survivor set (|S|² worst-case is the honest cost;
@@ -1700,8 +1723,15 @@ object TextOps {
     * signatures, ±0.12 band check, and the global bottom-k merge
     * identity checked against a full-corpus rebuild. */
   private[graft] def kmvVerifiedOverlap(posts: DataFrame): DataFrame = {
+    // EAGER checkpoint, not a lazy persist (the q210 broadcast-race rule):
+    // three broadcast subtrees of the final plan (the source pairs, the
+    // per-pair union stream, the merge-identity check) all derive from
+    // `sig` and execute concurrently — against a lazy cache they race its
+    // first materialization and re-run the TopKByScore signature pass
+    // over the full posting relation in parallel.
     val sig = kmvSignatures(posts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = posts.groupBy(col("source")).agg(count(lit(1)).as("z"))
     val inter = posts.select(col("source").as("sa"), col("t"))
       .join(posts.select(col("source").as("sb"), col("t")), Seq("t"))
