@@ -2154,6 +2154,15 @@ object TextOps {
       .agg(hll_sketch_estimate(
         hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
         .as("est_m"))
+    // TWO separate aggregation passes, deliberately (round 15: a
+    // single-pass mixed countDistinct + sketch aggregate measured
+    // cheaper but FAILED merge_equals_full at sf0.01 — the distinct
+    // rewrite's Expand changes the partial-merge shape, and a
+    // DataSketches HLL ESTIMATE depends on the sketch's build/merge
+    // path, not only on the item set; est_m === est_f holds only
+    // because both sides build their sketches under the same plan
+    // shape). The second tokenize pass is the price of a bitwise
+    // invariant.
     val fullSk = posts.groupBy(col("lang"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("t"), 12)).as("est_f"))
     val exact = posts.groupBy(col("lang"))
