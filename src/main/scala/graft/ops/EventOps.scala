@@ -557,8 +557,7 @@ object EventOps {
       (s, d) => {
         val ev = Tables.events(s, d).filter(col("value").isNotNull)
           .select(col("event_id"), col("event_type"), col("value"))
-        val cut = math.floor(
-          (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.eventsValued(s, d)
         val table = "graft_winsor_hist"
         Tables.resetManagedTable(s, table)
         winsorHist(ev.filter(col("event_id") < cut)
@@ -831,8 +830,7 @@ object EventOps {
         val ev = Tables.events(s, d).filter(col("value").isNotNull)
           .select(col("event_id"), col("event_type"),
             expr("CAST(round(value * 100) AS BIGINT)").as("c"))
-        val cut = math.floor(
-          (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.eventsValued(s, d)
         def moments(df: DataFrame) = df.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
             sum(col("c") * col("c")).as("sq"))

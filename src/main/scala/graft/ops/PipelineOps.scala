@@ -2927,8 +2927,7 @@ object PipelineOps {
     Q("q165_dataset_card_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         val stateT = "graft_card_state"; val hashT = "graft_card_hashes"
         graft.schema.Tables.resetManagedTable(s, stateT)
         graft.schema.Tables.resetManagedTable(s, hashT)

@@ -553,8 +553,7 @@ object RetrievalOps {
     Q("q151_heldout_lm",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         val t = docs.select(col("doc_id"), TextOps.toks(col("text")).as("ts"))
         val snapTok = t.filter(col("doc_id") < cut)
           .select(explode(col("ts")).as("t"))

@@ -306,8 +306,7 @@ object TextOps {
     Q("q148_crawl_delta",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         val snap = docs.filter(col("doc_id") < cut)
         val inc = docs.filter(col("doc_id") >= cut)
           .unionByName(snap.filter(col("doc_id") % 7 === 0)

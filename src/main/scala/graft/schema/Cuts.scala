@@ -1,0 +1,76 @@
+package graft.schema
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max}
+
+/** Memoized 80% snapshot/increment id cuts (VERDICT r15 #3).
+  *
+  * Every incremental-maintainer family splits its input at the same
+  * demo cut — `floor((max(id) + 1) * 0.8)` — and before this memo ~20
+  * catalog entries each re-derived it with their own one-row
+  * `agg(max(id)).head` action: a bounded driver action, but one extra
+  * corpus scan per entry per bench rep for a constant that is fully
+  * determined by (sfDir, table, pre-filter). The memo pays the scan
+  * once per JVM per key and serves the literal thereafter.
+  *
+  * Key discipline (the ArtifactCache tag rule applied to a scalar): the
+  * cache key must uniquely determine the VALUE. The sfDir pins the
+  * input files (spec temp dirs are unique per test, so tests always
+  * re-derive); the method pins the table, the id column, and any
+  * pre-filter that could change the max — events cuts exist in a raw
+  * and a `value IS NOT NULL` variant because a null-valued max-id event
+  * would legitimately make them differ. Callers MUST use the variant
+  * whose derivation matches what their oracle states.
+  *
+  * 100 TB posture: max(id) over a snapshot is metadata-cheap in parquet
+  * (row-group statistics serve it without a data scan); the point of
+  * the memo is not the single scan's cost but not multiplying it by
+  * catalog size × bench reps.
+  */
+object Cuts {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  private def cut80(d: String, key: String)(maxId: => Long): Long =
+    cache.getOrElseUpdate((d, key),
+      math.floor((maxId + 1) * 0.8).toLong)
+
+  /** max(doc_id) over the documents table — also valid for any frame
+    * that id-preservingly derives from it (the lazy shingle relation is
+    * a pure per-row projection). */
+  def documents(s: SparkSession, d: String): Long =
+    cut80(d, "documents") {
+      Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0)
+    }
+
+  /** max(event_id) over the raw events table. */
+  def events(s: SparkSession, d: String): Long =
+    cut80(d, "events") {
+      Tables.events(s, d).agg(max(col("event_id"))).head.getLong(0)
+    }
+
+  /** max(event_id) over events with `value IS NOT NULL` — the winsorize/
+    * z-score maintainers split AFTER dropping null measurements, so their
+    * cut can differ from the raw-table cut when the max-id event carries
+    * a null value. */
+  def eventsValued(s: SparkSession, d: String): Long =
+    cut80(d, "events|value_not_null") {
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .agg(max(col("event_id"))).head.getLong(0)
+    }
+
+  /** max(l_orderkey) over lineitem (the co-purchase graph family's cut). */
+  def lineitem(s: SparkSession, d: String): Long =
+    cut80(d, "lineitem") {
+      Tables.lineitem(s, d).agg(max(col("l_orderkey"))).head.getLong(0)
+    }
+
+  /** max(vec_id) over the embeddings BASE set (vec_id >= 10 — ids below
+    * 10 are the q44c query vectors, excluded from the index corpus, so
+    * the cut derives from the base exactly as the entry states). */
+  def embeddingsBase(s: SparkSession, d: String): Long =
+    cut80(d, "embeddings|base_ge10") {
+      Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+        .agg(max(col("vec_id"))).head.getLong(0)
+    }
+}

@@ -632,8 +632,7 @@ object StreamingOps {
         // LAZY shingles: a warm run (shared index built) tokenizes only
         // each arriving batch + the candidates' verify lookups
         val docs = TextOps.docsWithShinglesLazy(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         val snap = docs.filter(col("doc_id") < cut)
         // the SHARED snapshot LSH index (ArtifactCache): q34c/q144/q146/
         // q148 probe the same artifact; first builder this JVM pays it
@@ -718,8 +717,7 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.TextOps
         val docs = graft.schema.Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         // the SHARED snapshot hash index (ArtifactCache): q121/q148
         // probe the same artifact; the first builder this JVM pays it
         val table = TextOps.ExactHashTable
@@ -776,8 +774,7 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.RetrievalOps
         val docs = graft.schema.Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         val table = RetrievalOps.Bm25PostingsTable
         RetrievalOps.writeBm25SnapshotIndex(s,
           docs.filter(col("doc_id") < cut), table, RetrievalOps.bm25Tag(d))
@@ -813,8 +810,7 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.MultimodalOps
         val docs = graft.schema.Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         val table = MultimodalOps.MediaSigTable
         MultimodalOps.writeMediaSigIndex(s,
           docs.filter(col("doc_id") < cut), table,
@@ -890,8 +886,7 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.TextOps
         val docs = graft.schema.Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         TextOps.writeHllShingleSketch(s, d)
         val store = tempStore("graft_hll_gate_out")
         runForeachBatch(s, d, "documents")(
@@ -946,8 +941,7 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.EventOps
         val ev = graft.schema.Tables.events(s, d)
-        val cut = math.floor(
-          (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.events(s, d)
         EventOps.writeBottomKSketch(s, d)
         val store = tempStore("graft_bottomk_gate_out")
         runForeachBatch(s, d, "events")(
@@ -995,8 +989,7 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.TextOps
         val docs = graft.schema.Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         TextOps.writeCmsSnapshot(s, d)
         val store = tempStore("graft_cms_gate_out")
         runForeachBatch(s, d, "documents")(
@@ -1073,8 +1066,7 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.TextOps
         val docs = graft.schema.Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         TextOps.writeParetoSnapshot(s, d)
         val store = tempStore("graft_pareto_gate_out")
         runForeachBatch(s, d, "documents")(
@@ -1112,8 +1104,7 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.PipelineOps
         val docs = graft.schema.Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         PipelineOps.writePackSnapshot(s, d)
         val store = tempStore("graft_pack_state")
         s.table(PipelineOps.PackTable)
@@ -1448,8 +1439,7 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.PipelineOps
         val docs = graft.schema.Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         val table = "graft_bpe_merges"
         graft.schema.Tables.resetManagedTable(s, table)
         PipelineOps.trainMerges(docs.filter(col("doc_id") < cut), topN = 20)
@@ -1521,8 +1511,7 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.PipelineOps
         val docs = graft.schema.Tables.documents(s, d)
-        val cut = math.floor(
-          (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         val table = "graft_drift_profile"
         graft.schema.Tables.resetManagedTable(s, table)
         PipelineOps.driftFeatures(docs.filter(col("doc_id") < cut)
@@ -1590,8 +1579,7 @@ object StreamingOps {
         val ev = graft.schema.Tables.events(s, d)
           .filter(col("value").isNotNull)
           .select(col("event_id"), col("event_type"), col("value"))
-        val cut = math.floor(
-          (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.eventsValued(s, d)
         val table = "graft_winsor_bounds"
         graft.schema.Tables.resetManagedTable(s, table)
         EventOps.winsorBounds(ev.filter(col("event_id") < cut)
@@ -1665,8 +1653,7 @@ object StreamingOps {
           .filter(col("value").isNotNull)
           .select(col("event_id"), col("event_type"),
             expr("CAST(round(value * 100) AS BIGINT)").as("c"))
-        val cut = math.floor(
-          (ev.agg(max(col("event_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.eventsValued(s, d)
         val table = "graft_zscore_baseline"
         graft.schema.Tables.resetManagedTable(s, table)
         ev.filter(col("event_id") < cut)
@@ -2012,8 +1999,7 @@ object StreamingOps {
         // shingle cache is never materialized (the fold's semi-join
         // pushes below the tokenizer to the documents scan)
         val allSh = TextOps.docsWithShinglesLazy(s, d)
-        val cut = math.floor(
-          (allSh.agg(max(col("doc_id"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.documents(s, d)
         // the SHARED snapshot index + labels (ArtifactCache): q144 builds
         // the same two artifacts; whichever runs first this JVM pays them
         val table = TextOps.SnapshotLshTable
@@ -2063,8 +2049,7 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.GraphOps
         val li = graft.schema.Tables.lineitem(s, d)
-        val cut = math.floor(
-          (li.agg(max(col("l_orderkey"))).head.getLong(0) + 1) * 0.8).toLong
+        val cut = graft.schema.Cuts.lineitem(s, d)
         GraphOps.writeEdgeSnapshot(s, d)
         val store = tempStore("graft_pagerank_gate_out")
         runForeachBatch(s, d, "lineitem")(
