@@ -43,10 +43,19 @@ object PipelineOps {
     // lazily inside the loop's first action — running it under the
     // loop-sized partition count silently serialized the corpus-sized
     // join onto 4 partitions (the round-3 q45 regression, 5.0 → 8.0 s).
+    // one-generation residency (round 16): the symmetric-edge checkpoint
+    // and the final label checkpoint outlive the call (the labels back
+    // the returned frame), and Dataset.unpersist on checkpointed frames
+    // is a CacheManager no-op (ADVICE r15 #1) — so before this tracker,
+    // every CC invocation leaked its blocks until GC. The next CC call
+    // frees the previous generation; in-loop superseded label rounds are
+    // released immediately below.
+    liveCcCkpts.evict()
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(true)
+    liveCcCkpts.add(sym)
     val spark = edges.sparkSession
     // Size-gated hybrid (Spark's own broadcast-threshold pattern, round
     // 12): the distributed min-label loop pays ~0.5 s/round of FIXED
@@ -118,10 +127,15 @@ object PipelineOps {
     // freed mid-computation).
     // round 0 fused into initialization: with lbl(x)=x, the first
     // propagation is just min(self, min neighbor id) — one agg, no join
-    var labels = sym.groupBy(col("a").as("node"))
+    // `labelsCkpt` is the DIRECTLY-checkpointed frame of the current
+    // round (the one whose RDD blocks can be released); `labels` may be
+    // a projection over it, which GenTracker.release could not see
+    // through.
+    var labelsCkpt = sym.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("nbr_min"))
       .select(col("node"), least(col("node"), col("nbr_min")).as("lbl"))
       .localCheckpoint(true)
+    var labels: DataFrame = labelsCkpt
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -137,11 +151,20 @@ object PipelineOps {
           col("prev"))
         .localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("prev")).count()
+      // the superseded round's node-sized blocks — freed at the RDD
+      // layer (a Dataset.unpersist here would be a CacheManager no-op)
+      GenTracker.release(labelsCkpt)
+      labelsCkpt = next
       labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
+    liveCcCkpts.add(labelsCkpt)
     labels.withColumnRenamed("lbl", "cluster_id")
   }
+
+  /** One-generation tracker for [[connectedComponents]]' checkpoints
+    * (symmetric edges + final labels — both outlive the call). */
+  private val liveCcCkpts = new GenTracker
 
   /** The SHARED full-corpus dup-cluster labels — the closure over
     * [[TextOps.corpusLshPairs]] — written once per (corpus, threshold,

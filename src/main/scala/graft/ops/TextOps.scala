@@ -1281,6 +1281,7 @@ object TextOps {
     // retraction costs the retracted slice's aggregate only.
     Q("q196_cms_frequency",
       (s, d) => {
+        liveSketchCkpts.evict()
         val sh = docsWithShingles(s, d)
         val cut = broadcast(Tables.documents(s, d).agg(
           floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut")))
@@ -1319,11 +1320,14 @@ object TextOps {
     // true skyline point's b exceeds every higher bucket's max — and
     // the oracle proves it per corpus.
     Q("q201_pareto_frontier",
-      (s, d) => paretoFrontier2D(
+      (s, d) => {
+        liveSketchCkpts.evict()
+        paretoFrontier2D(
           docAxes(Tables.documents(s, d)).select(col("a"), col("b")))
-        .select(col("a").as("n_tokens"), col("b").as("diversity_bp"),
-          col("n_docs"))
-        .orderBy(col("n_tokens"), col("diversity_bp")),
+          .select(col("a").as("n_tokens"), col("b").as("diversity_bp"),
+            col("n_docs"))
+          .orderBy(col("n_tokens"), col("diversity_bp"))
+      },
       Some(ParetoSql)),
 
     // ---- incremental Pareto-frontier maintenance (q203): the frontier
@@ -1340,8 +1344,10 @@ object TextOps {
     // sketch: the frontier is an EXACT summary with a merge identity.
     Q("q203_pareto_maintain",
       (s, d) => {
+        liveSketchCkpts.evict()
         val ax = docAxes(Tables.documents(s, d))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        liveSketchCkpts.add(ax)
         val cut = broadcast(Tables.documents(s, d).agg(
           floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut")))
         writeParetoSnapshot(s, d)
@@ -1375,6 +1381,7 @@ object TextOps {
     // S² pair overlaps from signatures alone, never re-touching text.
     Q("q198_kmv_overlap",
       (s, d) => {
+        liveSketchCkpts.evict()
         // EAGER checkpoint (the q210 broadcast-race rule): the verify
         // composition consumes this relation from five subtrees, several
         // of them concurrently-executing broadcast exchanges — a lazy
@@ -1388,6 +1395,7 @@ object TextOps {
           .select(col("source"), col("t"), kmvHash(col("t")).as("h"))
           .localCheckpoint(true,
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        liveSketchCkpts.add(posts)
         kmvVerifiedOverlap(posts)
       },
       Some(KmvOverlapSql))
@@ -1462,6 +1470,7 @@ object TextOps {
     val merged = cmsSummed(sketches)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveSketchCkpts.add(tc, merged)
     val mism = merged.select(col("r"), col("b"), col("cnt").as("cm"))
       .join(cmsOf(tc).select(col("r"), col("b"), col("cnt").as("cf")),
         Seq("r", "b"), "full_outer")
@@ -1559,6 +1568,7 @@ object TextOps {
       .agg(sum(col("n_docs")).as("n_docs"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveSketchCkpts.add(p)
     val mm = p.agg(min(col("a")).as("a0"), max(col("a")).as("a1"))
     val bucketed = p.crossJoin(broadcast(mm))
       .withColumn("bk",
@@ -1580,6 +1590,7 @@ object TextOps {
       .filter(col("thr").isNull || col("thr") < col("b"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveSketchCkpts.add(survivors)
     // exact dominance over the pruned set as a broadcast LEFT ANTI
     // self-join — the oracle's NOT EXISTS verbatim, paid only on the
     // prune-bounded survivor set (|S|² worst-case is the honest cost;
@@ -1637,6 +1648,7 @@ object TextOps {
       ax: DataFrame): DataFrame = {
     val m = merged
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    liveSketchCkpts.add(m)
     if (VerifyGate.small(ax)) {
       val full = paretoFrontier2D(ax.select(col("a"), col("b")))
       val mism = m.select(col("a"), col("b"), col("n_docs").as("nm"))
@@ -1731,6 +1743,7 @@ object TextOps {
     val sig = kmvSignatures(posts)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveSketchCkpts.add(sig)
     val sizes = posts.groupBy(col("source")).agg(count(lit(1)).as("z"))
     val inter = posts.select(col("source").as("sa"), col("t"))
       .join(posts.select(col("source").as("sb"), col("t")), Seq("t"))
@@ -2394,8 +2407,20 @@ object TextOps {
     * Separate from the decontam tracker so a composed pipeline holding
     * one of each (q103's report next to a q86 pair probe) evicts
     * neither prematurely. */
-  private val livePairSweepCaches =
-    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+  private val livePairSweepCaches = new GenTracker
+
+  /** One-generation residency tracker for the sketch-verify families'
+    * EAGER CHECKPOINTS (kmv q198, cms q196/q197, pareto q201/q203/q204;
+    * ADVICE r15 #3): the persist→checkpoint conversions that fixed the
+    * broadcast-race recompute removed the CacheManager release path, so
+    * without this tracker per-rep MEMORY_AND_DISK blocks lived until the
+    * ContextCleaner GC'd the RDDs. Helpers `add` their frames (several
+    * compose within ONE returned plan — q203 runs frontierOfCounts for
+    * the serve AND the full-rebuild check, so a helper-level evict would
+    * free blocks a sibling subtree still needs); each catalog-entry
+    * composition root `evict`s at its start, when the previous query's
+    * plan has fully executed. */
+  private[graft] val liveSketchCkpts = new GenTracker
 
   /** Candidate generation + exact verify over a banded index relation
     * (freshly derived or read back from a written index table). */
@@ -2408,7 +2433,7 @@ object TextOps {
     // silently de-cache the NEW generation and the sweep would run with
     // every candidate/lookup relation recomputed per consumer (measured
     // as q144 5.6 → 8.9 s when the eviction briefly ran last).
-    livePairSweepCaches.getAndSet(Nil).foreach(_.unpersist(false))
+    livePairSweepCaches.evict()
     val cand = candidatesFromBandedIndex(banded)
       .persist() // feeds the id-set prune + both verify joins
 
@@ -2418,7 +2443,7 @@ object TextOps {
     // candidate-id semi-join makes the fetch candidate-sized when `docs`
     // is a lazy relation (the prune reaches the scan).
     val looked = lookupForCandidates(docs, cand)
-    livePairSweepCaches.set(Seq(cand, looked))
+    livePairSweepCaches.set(cand, looked)
     verifyJaccardCandidates(cand, looked, jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -2442,7 +2467,7 @@ object TextOps {
       jaccardThreshold: Double): DataFrame = {
     // evict-BEFORE-register, for the same plan-equality reason as
     // [[pairsFromBandedIndex]]
-    livePairSweepCaches.getAndSet(Nil).foreach(_.unpersist(false))
+    livePairSweepCaches.evict()
     val incBands = bandedSignaturesFrozenHot(inc, s.table(s"${table}_hot"))
       .persist() // two consumers: index probe + internal self-candidates
     val crossCand = s.table(table)
@@ -2455,7 +2480,7 @@ object TextOps {
       .unionByName(candidatesFromBandedIndex(incBands))
       .persist() // feeds the id-set prune + both verify joins
     val looked = lookupForCandidates(lookupSh, cand)
-    livePairSweepCaches.set(Seq(incBands, cand, looked))
+    livePairSweepCaches.set(incBands, cand, looked)
     verifyJaccardCandidates(cand, looked, jaccardThreshold)
   }
 
@@ -2651,8 +2676,7 @@ object TextOps {
     * still-running consumer is safe (Spark recomputes the evicted
     * blocks), merely slow — and cannot happen in the catalog's
     * sequential run order. */
-  private val liveDecontamCaches =
-    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+  private val liveDecontamCaches = new GenTracker
 
   /** [[fuzzyDecontam]] over a pre-banded relation — the round-14 shape
     * that lets q95/q103 probe the SHARED written full-corpus index
@@ -2666,7 +2690,7 @@ object TextOps {
     // rule): a re-composed decontam sweep builds plan-identical
     // relations, and unpersisting the old generation after the new
     // persists register would de-cache the new ones
-    liveDecontamCaches.getAndSet(Nil).foreach(_.unpersist(false))
+    liveDecontamCaches.evict()
     val cand = banded.filter(benchPred)
       .select(col("band"), col("bucket"), col("doc_id").as("id_b"))
       .join(banded.filter(!benchPred)
@@ -2676,7 +2700,7 @@ object TextOps {
       .dropDuplicates("id_a", "id_b")
       .persist() // feeds the id-set prune + both verify joins
     val looked = lookupForCandidates(docs, cand)
-    liveDecontamCaches.set(Seq(cand, looked))
+    liveDecontamCaches.set(cand, looked)
     verifyJaccardCandidates(cand, looked, threshold)
       .groupBy(col("id_a"))
       .agg(count(lit(1)).as("n_bench_hits"),

@@ -988,6 +988,7 @@ object StreamingOps {
     Q("q197_stream_cms_gate",
       (s, d) => {
         import graft.ops.TextOps
+        TextOps.liveSketchCkpts.evict()
         val docs = graft.schema.Tables.documents(s, d)
         val cut = graft.schema.Cuts.documents(s, d)
         TextOps.writeCmsSnapshot(s, d)
@@ -1065,6 +1066,7 @@ object StreamingOps {
     Q("q204_stream_pareto_gate",
       (s, d) => {
         import graft.ops.TextOps
+        TextOps.liveSketchCkpts.evict()
         val docs = graft.schema.Tables.documents(s, d)
         val cut = graft.schema.Cuts.documents(s, d)
         TextOps.writeParetoSnapshot(s, d)
@@ -2065,9 +2067,11 @@ object StreamingOps {
           if (slots.isEmpty) s.table(GraphOps.EdgeTable).limit(0)
           else GraphOps.coPurchaseEdges(s.read.parquet(slots: _*)
             .dropDuplicates("l_orderkey", "l_partkey"))
-        val merged = s.table(GraphOps.EdgeTable).unionByName(incEdges)
-          .dropDuplicates("src", "dst")
-        GraphOps.pageRankScaled(merged, iters = 5)
+        // round 16: the split serve — snapshot edges never leave their
+        // bucket layout; dedup is an increment-sized anti-join probe and
+        // degrees come from the stored degree table ⊕ deltas (see
+        // GraphOps.pageRankMaintainServe's scaladoc)
+        GraphOps.pageRankMaintainServe(s, incEdges, iters = 5)
           .select(col("node").as("part"), col("r").as("rank_scaled"))
           .orderBy(col("rank_scaled").desc, col("part"))
           .limit(20)

@@ -107,6 +107,66 @@ class GraphOpsSpec extends SparkSpec {
     assert(maintained === scratch)
   }
 
+  test("q209 maintain serve: extra rank iterations add only node-sized " +
+      "shuffle — the snapshot edge store is never re-exchanged (round 16)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pr_serve").toString
+    spark.range(0, 20000L)
+      .selectExpr("id div 4 AS l_orderkey", "id % 211 AS l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    GraphOps.writeEdgeSnapshot(spark, dir)
+    val cut = graft.schema.Cuts.lineitem(spark, dir)
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      @volatile var bytes = 0L
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes += e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    def serve(iters: Int): Long = {
+      spark.catalog.clearCache()
+      spark.sparkContext.addSparkListener(meter)
+      meter.bytes = 0L
+      GraphOps.pageRankMaintainServe(spark,
+          GraphOps.coPurchaseEdges(graft.schema.Tables.lineitem(spark, dir)
+            .filter(col("l_orderkey") >= cut)), iters)
+        .write.mode("overwrite").format("noop").save()
+      Thread.sleep(500)
+      val b = meter.bytes
+      spark.sparkContext.removeSparkListener(meter)
+      b
+    }
+    val one = serve(1)
+    val five = serve(5)
+    // both serves pay the same increment derivation + anti-join; the 4
+    // extra iterations may only add node-sized exchanges (211 parts —
+    // the full_outer contribution merge), never an edge-relation
+    // re-shuffle. Contrast: the merged edge relation is ~44k pairs
+    // (~700 KB serialized), so a single edge re-exchange per iteration
+    // would add hundreds of KB; node-sized exchanges measure ~3-4 KB.
+    assert(one > 0L)
+    val perIter = (five - one) / 4
+    assert(perIter <= 32 * 1024,
+      s"per-iteration shuffle is not node-sized: $perIter bytes " +
+        s"(1-iter=$one, 5-iter=$five)")
+  }
+
+  test("maintain serve with an EMPTY increment equals ranks over the " +
+      "snapshot store alone (q211's drained-stream edge case)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pr_empty").toString
+    spark.range(0, 2000L)
+      .selectExpr("id div 4 AS l_orderkey", "id % 37 AS l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    GraphOps.writeEdgeSnapshot(spark, dir)
+    val served = GraphOps.pageRankMaintainServe(spark,
+        spark.table(GraphOps.EdgeTable).limit(0), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val scratch = GraphOps.pageRankScaled(
+        spark.table(GraphOps.EdgeTable), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(served == scratch)
+  }
+
   test("q210 incremental transitivity == from-scratch report on a planted " +
       "delta: new-node triangles, wedge deltas, nodes born in the delta") {
     // snapshot: K4 on {1,2,3,4} plus chain 10-11-12 (the q200 golden
