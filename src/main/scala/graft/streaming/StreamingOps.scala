@@ -1116,7 +1116,10 @@ object StreamingOps {
           PipelineOps.foldPackBatch(batch, store, batchId, capacity = 256,
             nShards = 8)
         }
+        // the self-describing pack tag (n_shards/capacity) stays in the
+        // store; the served report drops it to match the oracle schema
         s.read.parquet(Upsert.latestVersionPath(s, store))
+          .drop("n_shards", "capacity")
           .orderBy(col("shard"), col("bin"))
       },
       Some(graft.ops.PipelineOps.PackMaintSql)),

@@ -140,6 +140,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(f2 === Seq((0L, 0L, 1L, 9L, 22500L), (0L, 1L, 1L, 2L, 5000L)))
   }
 
+  test("pack store self-describes its packing parameters: a mismatched " +
+      "fold fails loudly instead of by call-site convention (VERDICT " +
+      "r15 #2)") {
+    def text(i: Long) = Seq.fill((i % 3 + 1).toInt)("w").mkString(" ")
+    val tagged = PipelineOps.packSequences(
+        (0L until 12L).map(i => (i, text(i))).toDF("doc_id", "text"),
+        capacity = 4, nShards = 4)
+      .withColumn("n_shards", lit(4L))
+      .withColumn("capacity", lit(4L))
+    // matching parameters: the tag is stripped and the fold proceeds
+    val ok = PipelineOps.readPackStore(tagged, capacity = 4, nShards = 4)
+    assert(!ok.columns.contains("n_shards") &&
+      !ok.columns.contains("capacity"))
+    // mismatched sharding / capacity: loud failure at read time
+    val e1 = intercept[IllegalArgumentException] {
+      PipelineOps.readPackStore(tagged, capacity = 4, nShards = 8)
+    }
+    assert(e1.getMessage.contains("n_shards=4") &&
+      e1.getMessage.contains("n_shards=8"))
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineOps.readPackStore(tagged, capacity = 256, nShards = 4)
+    }
+    assert(e2.getMessage.contains("capacity=4") &&
+      e2.getMessage.contains("capacity=256"))
+    // an UNTAGGED store (pre-r16 layout, or a stray frame) is refused
+    val e3 = intercept[IllegalArgumentException] {
+      PipelineOps.readPackStore(tagged.drop("n_shards"),
+        capacity = 4, nShards = 4)
+    }
+    assert(e3.getMessage.contains("untagged"))
+    // an EMPTY tagged store passes vacuously (fold seeds empty bins)
+    PipelineOps.readPackStore(tagged.limit(0), capacity = 9, nShards = 2)
+      .collect()
+  }
+
   test("LSH-fed cluster resolution equals the exact-pair formulation") {
     // the production composition (q45b) must resolve the same clusters as
     // the exact inverted-index path (q45) — same docs, same labels
