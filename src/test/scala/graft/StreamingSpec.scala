@@ -673,6 +673,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attribution touch-state TTL: a dormant user's touch is evicted, " +
+      "a post-eviction purchase resolves 'direct', and a purchase-only " +
+      "batch with a ttl-stale touch drops it instead of re-arming below " +
+      "the watermark (round 16, VERDICT r15 #6)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp, Long, Long)]
+    val out = StreamingOps.attributeTouches(
+      in.toDS.toDF("uid", "et", "ts", "eid", "cents")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, String, Timestamp, Long, java.lang.Long)],
+      windowSec = 3600.0, ttlSec = 30 * 86400.0)
+    val ckpt = Files.createTempDirectory("graft_attr_ttl_ckpt").toString
+    val q = out.toDF("channel", "cents").writeStream
+      .format("memory").queryName("graft_ttl_attr")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    def stateRows(): Long = {
+      val p = q.recentProgress.reverse.find(_.stateOperators.nonEmpty).get
+      p.stateOperators(0).numRowsTotal
+    }
+    try {
+      // batch 1: users 1 and 2 touch on Jan 1 — 2 state rows
+      in.addData((1L, "click", t("2024-01-01 00:00:00"), 1L, 0L),
+        (2L, "click", t("2024-01-01 00:00:00"), 2L, 0L))
+      q.processAllAvailable()
+      assert(stateRows() == 2L)
+      // batch 2: user 2 touches 40 days later — watermark (updated
+      // AFTER the batch) passes user 1's 30-day timeout
+      in.addData((2L, "view", t("2024-02-10 00:00:00"), 3L, 0L))
+      q.processAllAvailable()
+      // batch 3: unrelated user; user 1's timer fires and evicts
+      in.addData((3L, "click", t("2024-02-10 01:00:00"), 4L, 0L))
+      q.processAllAvailable()
+      assert(stateRows() == 2L, "dormant user 1 not evicted") // users 2, 3
+      // batch 4: user 1 purchases after eviction — 'direct', which a
+      // SURVIVING Jan-1 touch would also have produced (outside the 1h
+      // window): eviction is semantics-free, as the scaladoc argues
+      in.addData((1L, "purchase", t("2024-02-11 00:00:00"), 5L, 700L))
+      q.processAllAvailable()
+      // batch 5: user 3's touch is now ttl-stale relative to a watermark
+      // ... not yet — first push the watermark past Feb-10 + 30 days
+      in.addData((2L, "view", t("2024-04-01 00:00:00"), 6L, 0L))
+      q.processAllAvailable()
+      // batch 6: user 3 PURCHASE-ONLY — its group has input AND an
+      // expired timer, so it processes as input (hasTimedOut = false)
+      // with the watermark already past touch + ttl: re-arming there
+      // would throw; the stale touch must be dropped and the purchase
+      // resolves 'direct'
+      in.addData((3L, "purchase", t("2024-04-02 00:00:00"), 7L, 900L))
+      q.processAllAvailable()
+      val got = spark.table("graft_ttl_attr")
+        .as[(String, Long)].collect().toSet
+      assert(got == Set(("direct", 700L), ("direct", 900L)), got)
+      // user 3's state is gone (dropped, not re-armed); users 1 and 3
+      // hold no rows — only user 2's live touch remains
+      assert(stateRows() == 1L, "stale touch re-armed instead of dropped")
+    } finally q.stop()
+  }
+
   test("transformWithState timer TTL: a dormant user's state is cleared " +
       "once the watermark passes its timer and the counter restarts " +
       "(VERDICT r13 #6)") {
