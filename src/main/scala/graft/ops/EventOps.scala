@@ -963,12 +963,9 @@ object EventOps {
     Q("q193_bottomk_quantile",
       (s, d) => {
         val ev = hashedValues(s, d)
-        val cut = Tables.events(s, d).agg(
-          floor((max(col("event_id")) + lit(1)) * lit(0.8)).as("cut"))
+        val cut = graft.schema.Cuts.events(s, d)
         writeBottomKSketch(s, d)
-        val inc = bottomKOf(ev.crossJoin(broadcast(cut))
-          .filter(col("event_id") >= col("cut"))
-          .drop("cut"))
+        val inc = bottomKOf(ev.filter(col("event_id") >= cut))
         val merged = bottomKOf(
           s.table(BottomKTable).unionByName(inc)
             .dropDuplicates("event_type", "event_id"))
@@ -1246,11 +1243,9 @@ object EventOps {
     * build_sec). */
   private[graft] def writeBottomKSketch(s: SparkSession, d: String): Unit =
     ArtifactCache.once(BottomKTable, Some(s"$d|events|cut0.8|k$BottomKK")) {
-      val cut = Tables.events(s, d).agg(
-        floor((max(col("event_id")) + lit(1)) * lit(0.8)).as("cut"))
+      val cut = graft.schema.Cuts.events(s, d)
       Tables.resetManagedTable(s, BottomKTable)
-      bottomKOf(hashedValues(s, d).crossJoin(broadcast(cut))
-          .filter(col("event_id") < col("cut")).drop("cut"))
+      bottomKOf(hashedValues(s, d).filter(col("event_id") < cut))
         .write.mode("overwrite").saveAsTable(BottomKTable)
     }
 

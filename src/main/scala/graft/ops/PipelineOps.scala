@@ -224,13 +224,11 @@ object PipelineOps {
   def incrementalDupClusters(s: SparkSession, d: String,
       jaccardThreshold: Double, dfCap: Int): DataFrame = {
     val sh = TextOps.docsWithShinglesLazy(s, d)
-    // floor() on both sides of the engine pair — the q34c boundary rule
-    val cut = sh.agg(
-      floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
-    val snap = sh.crossJoin(broadcast(cut))
-      .filter(col("doc_id") < col("cut")).drop("cut")
-    val inc = sh.crossJoin(broadcast(cut))
-      .filter(col("doc_id") >= col("cut")).drop("cut")
+    // memoized cut (round 16): same floor() boundary rule, derived once
+    // per (sfDir, table) instead of one in-plan corpus agg per run
+    val cut = graft.schema.Cuts.documents(s, d)
+    val snap = sh.filter(col("doc_id") < cut)
+    val inc = sh.filter(col("doc_id") >= cut)
     // shared-artifact tags (ArtifactCache): the index is the one
     // q34c/q109/q146/q148 probe; the labels additionally depend on the
     // verify threshold, so it joins the tag
@@ -2402,13 +2400,12 @@ object PipelineOps {
     // would be the written artifact and only the arrivals re-count.
     Q("q115_drift_psi",
       (s, d) => {
-        val cut = Tables.documents(s, d).agg(
-          floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+        val cut = graft.schema.Cuts.documents(s, d)
         // persisted: the melt references the featurized relation in BOTH
         // union branches (the tokenize pass would otherwise run twice)
         val feat = driftFeatures(
-          Tables.documents(s, d).crossJoin(broadcast(cut))
-            .select((col("doc_id") >= col("cut")).as("cur"),
+          Tables.documents(s, d)
+            .select((col("doc_id") >= cut).as("cur"),
               col("text"), col("lang")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         psiReport(

@@ -223,13 +223,11 @@ object RetrievalOps {
       table: String = Bm25PostingsTable,
       tag: Option[String] = None): DataFrame = {
     val docs = Tables.documents(s, d)
-    // floor() boundary discipline (the q34c rule)
-    val cut = docs.agg(
-      floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
-    val snap = docs.crossJoin(broadcast(cut))
-      .filter(col("doc_id") < col("cut")).drop("cut")
-    val inc = docs.crossJoin(broadcast(cut))
-      .filter(col("doc_id") >= col("cut")).drop("cut")
+    // memoized cut (round 16): same floor() boundary discipline, derived
+    // once per (sfDir, table) instead of one in-plan corpus agg per run
+    val cut = graft.schema.Cuts.documents(s, d)
+    val snap = docs.filter(col("doc_id") < cut)
+    val inc = docs.filter(col("doc_id") >= cut)
     writeBm25SnapshotIndex(s, snap, table, tag)
     // ---- maintain phase: everything below is increment-sized
     val incTok = inc

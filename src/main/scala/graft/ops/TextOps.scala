@@ -827,12 +827,10 @@ object TextOps {
     // sketches exist for.
     Q("q191_hll_incremental",
       (s, d) => {
-        val cut = Tables.documents(s, d).agg(
-          floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+        val cut = graft.schema.Cuts.documents(s, d)
         val posts = langShinglePosts(s, d)
         writeHllShingleSketch(s, d)
-        val incSk = posts.crossJoin(broadcast(cut))
-          .filter(col("doc_id") >= col("cut"))
+        val incSk = posts.filter(col("doc_id") >= cut)
           .groupBy(col("lang"))
           .agg(hll_sketch_agg(col("t"), 12).as("sk"))
         hllVerifiedEstimates(s, posts,
@@ -1283,17 +1281,15 @@ object TextOps {
       (s, d) => {
         liveSketchCkpts.evict()
         val sh = docsWithShingles(s, d)
-        val cut = broadcast(Tables.documents(s, d).agg(
-          floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut")))
+        val cut = graft.schema.Cuts.documents(s, d)
         writeCmsSnapshot(s, d)
         val inc = cmsOf(shingleDfCounts(
-          sh.crossJoin(cut).filter(col("doc_id") >= col("cut"))))
+          sh.filter(col("doc_id") >= cut)))
         val ret = cmsOf(shingleDfCounts(
-          sh.crossJoin(cut).filter(col("doc_id") < col("cut") &&
-            col("doc_id") % 9 === 0)))
+          sh.filter(col("doc_id") < cut && col("doc_id") % 9 === 0)))
           .select(col("r"), col("b"), (-col("cnt")).as("cnt"))
-        val live = sh.crossJoin(cut)
-          .filter(!(col("doc_id") % 9 === 0 && col("doc_id") < col("cut")))
+        val live = sh
+          .filter(!(col("doc_id") % 9 === 0 && col("doc_id") < cut))
         cmsVerifiedTop(live,
           s.table(CmsSketchTable).unionByName(inc).unionByName(ret))
       },
@@ -1348,10 +1344,9 @@ object TextOps {
         val ax = docAxes(Tables.documents(s, d))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         liveSketchCkpts.add(ax)
-        val cut = broadcast(Tables.documents(s, d).agg(
-          floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut")))
+        val cut = graft.schema.Cuts.documents(s, d)
         writeParetoSnapshot(s, d)
-        val inc = ax.crossJoin(cut).filter(col("doc_id") >= col("cut"))
+        val inc = ax.filter(col("doc_id") >= cut)
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_docs"))
         paretoVerifiedReport(
           frontierOfCounts(s.table(ParetoTable).unionByName(inc)), ax)
@@ -1440,12 +1435,10 @@ object TextOps {
   private[graft] def writeCmsSnapshot(s: SparkSession, d: String): Unit =
     ArtifactCache.once(CmsSketchTable,
       Some(s"$d|documents|cut0.8|cms${CmsD}x$CmsW")) {
-      val cut = Tables.documents(s, d).agg(
-        floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+      val cut = graft.schema.Cuts.documents(s, d)
       Tables.resetManagedTable(s, CmsSketchTable)
       cmsOf(shingleDfCounts(docsWithShinglesLazy(s, d)
-          .crossJoin(broadcast(cut))
-          .filter(col("doc_id") < col("cut"))))
+          .filter(col("doc_id") < cut)))
         .write.mode("overwrite").saveAsTable(CmsSketchTable)
     }
 
@@ -1620,12 +1613,10 @@ object TextOps {
   private[graft] def writeParetoSnapshot(s: SparkSession, d: String): Unit =
     ArtifactCache.once(ParetoTable,
       Some(s"$d|documents|cut0.8|pareto256")) {
-      val cut = Tables.documents(s, d).agg(
-        floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+      val cut = graft.schema.Cuts.documents(s, d)
       Tables.resetManagedTable(s, ParetoTable)
       paretoFrontier2D(docAxes(Tables.documents(s, d))
-          .crossJoin(broadcast(cut))
-          .filter(col("doc_id") < col("cut"))
+          .filter(col("doc_id") < cut)
           .select(col("a"), col("b")))
         .write.mode("overwrite").saveAsTable(ParetoTable)
     }
@@ -2144,11 +2135,9 @@ object TextOps {
   private[graft] def writeHllShingleSketch(s: SparkSession,
       d: String): Unit =
     ArtifactCache.once(HllSketchTable, Some(s"$d|documents|cut0.8|hll12")) {
-      val cut = Tables.documents(s, d).agg(
-        floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
+      val cut = graft.schema.Cuts.documents(s, d)
       Tables.resetManagedTable(s, HllSketchTable)
-      langShinglePosts(s, d).crossJoin(broadcast(cut))
-        .filter(col("doc_id") < col("cut"))
+      langShinglePosts(s, d).filter(col("doc_id") < cut)
         .groupBy(col("lang"))
         .agg(hll_sketch_agg(col("t"), 12).as("sk"))
         .write.mode("overwrite").saveAsTable(HllSketchTable)
@@ -2726,12 +2715,9 @@ object TextOps {
   def exactDedupIncremental(s: SparkSession, d: String,
       table: String = ExactHashTable): DataFrame = {
     val docs = Tables.documents(s, d)
-    val cut = docs.agg(
-      floor((max(col("doc_id")) + lit(1)) * lit(0.8)).as("cut"))
-    val snap = docs.crossJoin(broadcast(cut))
-      .filter(col("doc_id") < col("cut")).drop("cut")
-    val inc = docs.crossJoin(broadcast(cut))
-      .filter(col("doc_id") >= col("cut")).drop("cut")
+    val cut = graft.schema.Cuts.documents(s, d)
+    val snap = docs.filter(col("doc_id") < cut)
+    val inc = docs.filter(col("doc_id") >= cut)
       .unionByName(snap.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + lit(1000000L)))
     writeExactHashIndex(s, snap, table,
