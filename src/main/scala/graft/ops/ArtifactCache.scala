@@ -47,4 +47,12 @@ object ArtifactCache {
 
   private[graft] def invalidate(table: String): Unit =
     synchronized { built -= table }
+
+  /** The content tag `table` was last built under this JVM (None when it
+    * has not been built, or was built tagless). Lets a DERIVED artifact
+    * (e.g. the src-bucketed twin of an edge store) key its own build on
+    * the parent's content identity: parent rebuilt ⇒ child tag changes
+    * ⇒ child rebuilds; parent untagged ⇒ child builds unconditionally. */
+  private[graft] def currentTag(table: String): Option[String] =
+    synchronized { built.get(table) }
 }

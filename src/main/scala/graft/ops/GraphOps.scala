@@ -75,10 +75,24 @@ object GraphOps {
     * discipline. At cluster scale, when the node set outgrows the
     * broadcast threshold, the same loop runs with edges written
     * `bucketBy(src)` and a shuffled rank join — per-iteration edge
-    * movement stays zero.
+    * movement stays zero. That crossover is now a GATE, not prose:
+    * above `broadcastGateNodes` live nodes the loop switches to the
+    * shuffled-rank plan automatically (see
+    * [[BroadcastGateNodesDefault]]).
+    *
+    * ONE-LIVE-GENERATION CONTRACT (ADVICE r16 #2): the returned frame
+    * (and the blocks behind it) stays valid only until the NEXT
+    * rank-family invocation on this JVM — the tracker then releases the
+    * superseded generation's checkpointed blocks, which are
+    * unrecoverable by design (lineage truncated). Act on the result
+    * (write/collect/serve) before composing another
+    * pageRankScaled/pageRankMaintainServe call; lazily joining two
+    * generations' results in one plan will fail at execution with a
+    * missing-block error.
     */
   def pageRankScaled(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      broadcastGateNodes: Long = BroadcastGateNodesDefault): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     liveRankCaches.evict()
     val ed = edges.persist()
@@ -98,16 +112,32 @@ object GraphOps {
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     val nNodes = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    // Broadcast-vs-shuffle gate (round 17, VERDICT r16 #2): the
+    // per-iteration (rank, deg) broadcast is node-sized, which is fine
+    // for a dimension-sized node set but not for a graph whose node set
+    // scales with the corpus. The limit-probe over the checkpointed
+    // node relation is bounded by the gate itself (the
+    // connectedComponents driverGateEdges discipline).
+    val useBroadcast =
+      deg.limit(intGate(broadcastGateNodes)).count() <= broadcastGateNodes
+    // Above the gate: ONE src-layout exchange before the loop, so the
+    // per-iteration join is edge-stationary (only the node-sized rank
+    // relation exchanges; see BroadcastGateNodesDefault for the
+    // crossover accounting).
+    val edJoin =
+      if (useBroadcast) ed
+      else ed.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("node")).crossJoin(nNodes)
       .select(col("node"), expr(s"${scale}L div n_nodes").as("r"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to iters) {
       // (rank, deg) per node — a tiny checkpointed-⋈-checkpointed join,
-      // broadcast to the edge scan
+      // broadcast (or shuffle-hash-joined, above the gate) to the edge
+      // scan
       val rd = ranks.join(deg, ranks("node") === deg("src"))
         .select(col("node"), col("r"), col("deg"))
       val prev = ranks
-      ranks = ed.join(broadcast(rd), ed("src") === rd("node"))
+      ranks = joinRanks(edJoin, rd, useBroadcast)
         .select(col("dst"), expr("r * 85L div (100L * deg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("rc"))
         .crossJoin(nNodes)
@@ -123,11 +153,48 @@ object GraphOps {
       GenTracker.release(prev)
     }
     ed.unpersist()
+    if (!(edJoin eq ed)) edJoin.unpersist()
     // deg + the returned fixed point stay block-backed until the
     // caller's action; the next rank-family invocation frees them
     liveRankCaches.set(deg, ranks)
     ranks
   }
+
+  /** Node-count gate above which the per-iteration (node, rank, deg)
+    * relation is SHUFFLED to the edge layout instead of broadcast
+    * (round 17, VERDICT r16 #2). Memory-derived, the
+    * [[graft.ops.PipelineOps.connectedComponents]] driverGateEdges
+    * discipline: a broadcast collects the relation to the driver and
+    * ships it to every executor — 3 longs/row ≈ 24 B × gate = 24 MB at
+    * the default (≈3× that transiently as driver rows), well inside a
+    * 1 GB driver heap and Spark's own torrent-broadcast comfort zone,
+    * re-paid once per iteration. Above the gate the crossover
+    * accounting flips: the broadcast costs nodes × executors bytes per
+    * iteration, while the shuffled plan moves the node-sized rank
+    * relation ONCE per iteration (hash to the edge layout) plus a
+    * partial-aggregated contribution exchange bounded by
+    * nodes × partitions — and the edge relation still never moves
+    * (pre-exchanged once into a src-clustered layout before the loop,
+    * or read from the written src-bucketed store in the maintain
+    * serve). GraphOpsSpec asserts both paths produce bit-identical
+    * ranks (integer determinism makes the equality exact). */
+  private[graft] val BroadcastGateNodesDefault = 1000000L
+
+  /** `limit(gate + 1)` probe count, Int-clamped (limit takes Int; a
+    * gate at/above Int.MaxValue means "always broadcast" and any count
+    * below it passes). */
+  private def intGate(gate: Long): Int =
+    math.min(gate + 1, Int.MaxValue.toLong).toInt
+
+  /** The per-iteration rank⋈edges join, gated: below the gate the
+    * node-sized (rank, deg) relation broadcasts to the stationary edge
+    * cache; above it the edges' src-clustered layout is the stationary
+    * side and ONLY the rank relation exchanges (shuffle-hash — the
+    * node-sized side builds, the edge side probes without a sort). */
+  private def joinRanks(e: DataFrame, rd: DataFrame,
+      useBroadcast: Boolean): DataFrame =
+    if (useBroadcast) e.join(broadcast(rd), e("src") === rd("node"))
+    else e.join(rd.hint("shuffle_hash"), e("src") === rd("node"))
 
   /** The MAINTAIN serve (q209/q211): the integer-exact recurrence over
     * snapshot ∪ increment edges with the SNAPSHOT SIDE NEVER LEAVING its
@@ -171,10 +238,17 @@ object GraphOps {
     * iterations to pin exactly — a 26× serve regression dressed as an
     * optimization. The headroom that IS real under the 5-iteration
     * contract — never re-shuffling the snapshot edges — is what this
-    * function takes. */
+    * function takes.
+    *
+    * ONE-LIVE-GENERATION CONTRACT (ADVICE r16 #2): as with
+    * [[pageRankScaled]], the returned frame is valid only until the
+    * next rank-family invocation — act on it before composing another;
+    * the tracker's eviction of a superseded generation's checkpointed
+    * blocks is unrecoverable by design. */
   private[graft] def pageRankMaintainServe(s: SparkSession,
       incEdgesRaw: DataFrame, iters: Int,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      broadcastGateNodes: Long = BroadcastGateNodesDefault): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     liveRankCaches.evict()
     val snap = s.table(EdgeTable)
@@ -190,6 +264,23 @@ object GraphOps {
           .as("deg"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     val nNodes = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    // The broadcast gate (round 17, VERDICT r16 #2 — see
+    // BroadcastGateNodesDefault). Above it, the snapshot side of the
+    // per-iteration join reads the WRITTEN src-bucketed layout
+    // (build-once per snapshot generation, amortized across serves)
+    // and the increment side pre-exchanges to src ONCE — so the serve
+    // contract is unchanged: the snapshot store is never exchanged at
+    // serve time in either mode, and per-iteration movement is
+    // node-sized (rank relation + partial-aggregated contributions).
+    val useBroadcast =
+      deg.limit(intGate(broadcastGateNodes)).count() <= broadcastGateNodes
+    val snapJoin =
+      if (useBroadcast) snap
+      else { writeEdgeSrcLayout(s); s.table(EdgeSrcTable) }
+    val incJoin =
+      if (useBroadcast) incOnly
+      else incOnly.repartition(col("src"))
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("node")).crossJoin(nNodes)
       .select(col("node"), expr(s"${scale}L div n_nodes").as("r"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
@@ -197,12 +288,12 @@ object GraphOps {
       val rd = ranks.join(deg, ranks("node") === deg("src"))
         .select(col("node"), col("r"), col("deg"))
       def contrib(e: DataFrame, out: String) =
-        e.join(broadcast(rd), e("src") === rd("node"))
+        joinRanks(e, rd, useBroadcast)
           .select(col("dst"), expr("r * 85L div (100L * deg)").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as(out))
       val prev = ranks
-      ranks = contrib(snap, "rs")
-        .join(contrib(incOnly, "ri"), Seq("dst"), "full_outer")
+      ranks = contrib(snapJoin, "rs")
+        .join(contrib(incJoin, "ri"), Seq("dst"), "full_outer")
         .crossJoin(nNodes)
         .select(col("dst").as("node"),
           (expr(s"${scale}L * 15L div (100L * n_nodes)") +
@@ -211,9 +302,26 @@ object GraphOps {
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
       GenTracker.release(prev)
     }
-    liveRankCaches.set(snap, incOnly, deg, ranks)
+    if (incJoin eq incOnly) liveRankCaches.set(snap, incOnly, deg, ranks)
+    else liveRankCaches.set(snap, incOnly, incJoin, deg, ranks)
     ranks
   }
+
+  /** The src-bucketed twin of the snapshot edge store, written lazily
+    * the first time a serve crosses the broadcast gate (build-once per
+    * snapshot generation — the tag derives from the dst store's own
+    * content tag, so a new snapshot forces a rebuild). At 100 TB this
+    * is an ingest-time artifact: one extra bucketed copy of the edge
+    * relation buys every serve a join whose stationary side is the
+    * store itself — the rank relation exchanges, the edges never do. */
+  private[graft] val EdgeSrcTable = s"graft_copurchase_edges_src"
+  private[graft] def writeEdgeSrcLayout(s: SparkSession): Unit =
+    ArtifactCache.once(EdgeSrcTable,
+        ArtifactCache.currentTag(EdgeTable).map(t => s"$t|srclayout")) {
+      Tables.resetManagedTable(s, EdgeSrcTable)
+      s.table(EdgeTable).write.bucketBy(8, "src").mode("overwrite")
+        .saveAsTable(EdgeSrcTable)
+    }
 
   /** One-generation residency tracker for the rank family's persisted /
     * checkpointed frames (edge caches, degree relations, the returned
@@ -572,7 +680,15 @@ object GraphOps {
   /** Triangle/wedge/transitivity report over an undirected edge relation
     * stored ordered (id_a < id_b, deduplicated) — q200's body, factored
     * for golden-graph testing. One row out: (n_edges, n_nodes,
-    * n_triangles, n_wedges, transitivity_bp). */
+    * n_triangles, n_wedges, transitivity_bp).
+    *
+    * ONE-LIVE-GENERATION CONTRACT (ADVICE r16 #2): the returned plan
+    * reads a tracker-owned persisted edge relation that the NEXT
+    * dup-graph invocation ([[transitivityReport]] or the q210 maintain)
+    * evicts — act on the result before composing another; a plan
+    * lazily spanning two generations recomputes (plain persist here,
+    * so it degrades to recompute, not failure — but the cache no
+    * longer backs it). */
   def transitivityReport(edges: DataFrame): DataFrame = {
     // the persisted edge relation feeds the triangle join (3 refs), the
     // wedge agg and the edge count within ONE returned plan; its lifetime

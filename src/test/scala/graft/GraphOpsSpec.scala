@@ -71,7 +71,9 @@ class GraphOpsSpec extends SparkSpec {
       meter.bytes = 0L
       GraphOps.pageRankScaled(GraphOps.coPurchaseEdges(li), iters)
         .write.mode("overwrite").format("noop").save()
-      Thread.sleep(500) // let listener events drain (ScaleCurve's idiom)
+      // deterministic drain, not a sleep race (ADVICE r16 #4)
+      org.apache.spark.sql.graftshim.ListenerShim
+        .waitUntilListenersDrained(spark.sparkContext)
       val b = meter.bytes
       spark.sparkContext.removeSparkListener(meter)
       b
@@ -130,7 +132,9 @@ class GraphOpsSpec extends SparkSpec {
           GraphOps.coPurchaseEdges(graft.schema.Tables.lineitem(spark, dir)
             .filter(col("l_orderkey") >= cut)), iters)
         .write.mode("overwrite").format("noop").save()
-      Thread.sleep(500)
+      // deterministic drain, not a sleep race (ADVICE r16 #4)
+      org.apache.spark.sql.graftshim.ListenerShim
+        .waitUntilListenersDrained(spark.sparkContext)
       val b = meter.bytes
       spark.sparkContext.removeSparkListener(meter)
       b
@@ -143,11 +147,51 @@ class GraphOpsSpec extends SparkSpec {
     // re-shuffle. Contrast: the merged edge relation is ~44k pairs
     // (~700 KB serialized), so a single edge re-exchange per iteration
     // would add hundreds of KB; node-sized exchanges measure ~3-4 KB.
+    // The threshold scales off the measured 1-iter baseline (which
+    // carries the edge-sized build exchange) instead of a bare
+    // absolute, so a different shuffle-compression default moves both
+    // sides together (ADVICE r16 #4); the 32 KB floor keeps the bound
+    // meaningful if the build ever shrinks.
     assert(one > 0L)
     val perIter = (five - one) / 4
-    assert(perIter <= 32 * 1024,
+    assert(perIter <= math.max(32 * 1024L, one / 20),
       s"per-iteration shuffle is not node-sized: $perIter bytes " +
         s"(1-iter=$one, 5-iter=$five)")
+  }
+
+  test("broadcast gate both-sides fixture (round 17, VERDICT r16 #2): " +
+      "forcing the shuffled-rank fallback produces bit-identical ranks " +
+      "in both the from-scratch loop and the maintain serve") {
+    // from-scratch: gate 0 forces the src-layout + shuffle-hash plan
+    val li = spark.range(0, 20000L)
+      .selectExpr("id div 4 AS l_orderkey", "id % 211 AS l_partkey")
+    val bcast = GraphOps.pageRankScaled(
+        GraphOps.coPurchaseEdges(li), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val shuffled = GraphOps.pageRankScaled(
+        GraphOps.coPurchaseEdges(li), iters = 3, broadcastGateNodes = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled == bcast,
+      "shuffled-rank fallback diverged from the broadcast plan")
+    // maintain serve: the fallback additionally reads the lazily
+    // written src-bucketed twin of the snapshot store
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pr_gate").toString
+    spark.range(0, 20000L)
+      .selectExpr("id div 4 AS l_orderkey", "id % 211 AS l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    GraphOps.writeEdgeSnapshot(spark, dir)
+    val cut = graft.schema.Cuts.lineitem(spark, dir)
+    def inc = GraphOps.coPurchaseEdges(
+      graft.schema.Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey") >= cut))
+    val servedB = GraphOps.pageRankMaintainServe(spark, inc, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val servedS = GraphOps.pageRankMaintainServe(spark, inc, iters = 3,
+        broadcastGateNodes = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(servedS == servedB,
+      "maintain-serve fallback diverged from the broadcast serve")
   }
 
   test("maintain serve with an EMPTY increment equals ranks over the " +
