@@ -44,9 +44,14 @@ class CacheLifecycleSpec extends SparkSpec {
     // generation instead of stacking a new one per pass. Pass 1 may sit
     // slightly HIGHER than steady state (the cold build-once artifact
     // builds leave frames the first warm pass's tracker evicts); from
-    // pass 2 on the count must be exactly stable — any monotone growth
-    // is a leak that compounds in a long-lived session.
-    assert(after2 <= after1 && after3 == after2,
+    // pass 2 on the count must not grow — any monotone growth is a leak
+    // that compounds in a long-lived session. NON-GROWTH, not strict
+    // equality (ADVICE r16 #1): the ContextCleaner asynchronously
+    // removes GC'd persisted RDDs and blocking=false releases complete
+    // asynchronously at the block layer, so pass-over-pass counts can
+    // legitimately tick DOWN between samples; only an increase is a
+    // leak signal.
+    assert(after2 <= after1 && after3 <= after2,
       s"cached-RDD residency grew across passes: $after1 -> $after2 " +
         s"-> $after3 (a persist site is missing an eviction owner)")
   }

@@ -807,4 +807,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(scores(3L) < 0L, scores)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("Cuts memo self-invalidates on an in-place table rewrite (round " +
+      "17, VERDICT r16 #5): the file-signature key re-derives instead " +
+      "of serving a stale cut") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cut_rewrite").toString
+    spark.range(0, 100L).selectExpr("id AS l_orderkey", "id AS l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val first = graft.schema.Cuts.lineitem(spark, dir)
+    assert(first == math.floor(100 * 0.8).toLong, first) // (99 + 1) * 0.8
+    // serve again from the memo — same signature, same literal
+    assert(graft.schema.Cuts.lineitem(spark, dir) == first)
+    // REWRITE IN PLACE under the same sfDir with a different max id:
+    // the signature (count/mtime/bytes) changes, so the memo must
+    // re-derive — this is exactly the case the (sfDir, method)-only key
+    // served stale
+    spark.range(0, 1000L).selectExpr("id AS l_orderkey", "id AS l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val second = graft.schema.Cuts.lineitem(spark, dir)
+    assert(second == math.floor(1000 * 0.8).toLong,
+      s"stale cut served after in-place rewrite: $second (want 800)")
+    // the explicit hook also works (deterministic eviction twin)
+    graft.schema.Cuts.invalidate(dir)
+    assert(graft.schema.Cuts.lineitem(spark, dir) == second)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
