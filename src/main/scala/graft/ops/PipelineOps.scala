@@ -540,9 +540,14 @@ object PipelineOps {
     val lbl = s.read.parquet(s"$labelStore/v$base")
     mergeDeltaIntoLabels(lbl, edges)
       .write.mode("overwrite").parquet(s"$labelStore/v${batchId + 1}")
-    bands.select(col("band").cast("int").as("band"), col("bucket"),
-        col("doc_id"))
-      .write.mode("overwrite").parquet(s"$bandStore/b$batchId")
+    // keyed slot write + threshold fold (round 17, VERDICT r16 #3): the
+    // band store was the worst slot-accretion site — every batch LISTS
+    // and UNIONS all earlier slots, so unbounded slot count meant
+    // per-batch probe cost growing with stream lifetime
+    SlotStore.writeSlot(
+      bands.select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id")),
+      bandStore, batchId)
     bands.unpersist()
     cand.unpersist()
     ()
@@ -550,22 +555,15 @@ object PipelineOps {
 
   /** Bands appended by batches strictly before `batchId` (empty relation
     * when none) — the replay rule: a retried batch never sees its own
-    * earlier append. */
+    * earlier append. Compact-aware (SlotStore): reads the folded
+    * artifact plus the live tail, never an unbounded slot list. */
   private def streamBandsBefore(s: SparkSession, bandStore: String,
-      batchId: Long): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(bandStore)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dirs = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.matches("b\\d+")).filter(_.drop(1).toLong < batchId)
-      .map(n => s"$bandStore/$n")
-    if (dirs.isEmpty)
-      s.range(0).select(lit(0).as("band"), lit(0L).as("bucket"),
-        lit(0L).as("doc_id"))
-    else
-      s.read.parquet(dirs: _*)
-        .select(col("band").cast("int").as("band"), col("bucket"),
-          col("doc_id"))
-  }
+      batchId: Long): DataFrame =
+    SlotStore.read(s, bandStore, beforeId = batchId)
+      .map(_.select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id")))
+      .getOrElse(s.range(0).select(lit(0).as("band"), lit(0L).as("bucket"),
+        lit(0L).as("doc_id")))
 
   /** Gopher-style per-doc quality verdicts (token-count bounds, mean word
     * length, stopword presence, symbol ratio) + the composed keep flag.

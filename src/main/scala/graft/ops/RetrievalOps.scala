@@ -291,39 +291,35 @@ object RetrievalOps {
       .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
       .persist()
     try {
-      tok.select(col("doc_id"), size(col("tk")).as("dl"),
-          explode(col("tk")).as("t"))
-        .groupBy(col("t"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"))
-        .write.mode("overwrite").parquet(s"$store/post/b$batchId")
-      tok.agg(count(lit(1)).as("n_docs"),
-          sum(size(col("tk"))).as("sum_dl"))
-        .write.mode("overwrite").parquet(s"$store/stats/b$batchId")
+      // keyed slot writes + threshold fold (round 17, VERDICT r16 #3):
+      // postings deltas are disjoint by batch and moment rows are
+      // additive, so folding earlier slots into one artifact is a pure
+      // relayout — the serve's union is algebraically unchanged
+      SlotStore.writeSlot(
+        tok.select(col("doc_id"), size(col("tk")).as("dl"),
+            explode(col("tk")).as("t"))
+          .groupBy(col("t"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).as("tf")),
+        s"$store/post", batchId)
+      SlotStore.writeSlot(
+        tok.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk"))).as("sum_dl")),
+        s"$store/stats", batchId)
     } finally { tok.unpersist(); () }
   }
 
   /** Read back every micro-batch delta under `store` (q188 serve side):
-    * (postings, moment rows). Empty-safe so a zero-batch stream still
-    * serves the bare snapshot. */
+    * (postings, moment rows) — the newest compact artifact plus the
+    * live slot tail (SlotStore). Empty-safe so a zero-batch stream
+    * still serves the bare snapshot. */
   private[graft] def readBm25Deltas(s: SparkSession,
       store: String): (DataFrame, DataFrame) = {
-    def parts(sub: String): Seq[String] = {
-      val root = new org.apache.hadoop.fs.Path(s"$store/$sub")
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.map(_.getPath.getName)
-        .filter(_.matches("b\\d+")).map(n => s"$store/$sub/$n")
-    }
-    val post = parts("post") match {
-      case Seq() => s.range(0).select(lit("").as("t"), lit(0L).as("doc_id"),
-        lit(0).as("dl"), lit(0L).as("tf"))
-      case ds => s.read.parquet(ds: _*)
-    }
-    val stats = parts("stats") match {
-      case Seq() => s.range(0).select(lit(0L).as("n_docs"),
-        lit(0L).as("sum_dl"))
-      case ds => s.read.parquet(ds: _*)
-    }
+    val post = SlotStore.read(s, s"$store/post")
+      .getOrElse(s.range(0).select(lit("").as("t"), lit(0L).as("doc_id"),
+        lit(0).as("dl"), lit(0L).as("tf")))
+    val stats = SlotStore.read(s, s"$store/stats")
+      .getOrElse(s.range(0).select(lit(0L).as("n_docs"),
+        lit(0L).as("sum_dl")))
     (post, stats)
   }
 

@@ -826,17 +826,14 @@ object StreamingOps {
           import batch.sparkSession.implicits._
           val sigs = MultimodalOps.imageSignatures(
             MultimodalOps.patternImagesOf(batch.as[(Long, Long, Long)]))
-          MultimodalOps.probeMediaSigIndex(batch.sparkSession, table, sigs)
-            .write.mode("overwrite").parquet(s"$store/b$batchId")
+          graft.ops.SlotStore.writeSlot(
+            MultimodalOps.probeMediaSigIndex(batch.sparkSession, table,
+              sigs), store, batchId)
           ()
         }
-        val root = new org.apache.hadoop.fs.Path(store)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
-        (if (slots.isEmpty)
-          s.range(0).select(lit(0L).as("snap_id"), lit(0L).as("inc_id"))
-        else s.read.parquet(slots: _*))
+        graft.ops.SlotStore.read(s, store)
+          .getOrElse(s.range(0)
+            .select(lit(0L).as("snap_id"), lit(0L).as("inc_id")))
           .orderBy(col("snap_id"), col("inc_id"))
       },
       Some("""WITH cut AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8)
@@ -900,20 +897,16 @@ object StreamingOps {
               .select(col("lang"), TextOps.toks(col("text")).as("tk"))
               .persist()
             try {
-              tok.select(col("lang"),
-                  explode(TextOps.shingles(col("tk"))).as("t"))
-                .groupBy(col("lang"))
-                .agg(hll_sketch_agg(col("t"), 12).as("sk"))
-                .write.mode("overwrite").parquet(s"$store/b$batchId")
+              graft.ops.SlotStore.writeSlot(
+                tok.select(col("lang"),
+                    explode(TextOps.shingles(col("tk"))).as("t"))
+                  .groupBy(col("lang"))
+                  .agg(hll_sketch_agg(col("t"), 12).as("sk")),
+                store, batchId)
             } finally { tok.unpersist(); () }
         }
-        val root = new org.apache.hadoop.fs.Path(store)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
-        val streamed =
-          if (slots.isEmpty) s.table(TextOps.HllSketchTable).limit(0)
-          else s.read.parquet(slots: _*)
+        val streamed = graft.ops.SlotStore.read(s, store)
+          .getOrElse(s.table(TextOps.HllSketchTable).limit(0))
         TextOps.hllVerifiedEstimates(s, TextOps.langShinglePosts(s, d),
           s.table(TextOps.HllSketchTable).unionByName(streamed))
       },
@@ -948,16 +941,12 @@ object StreamingOps {
           _.filter(col("value").isNotNull &&
             (col("event_id") >= cut || col("event_id") % 7 === 0))) {
           (batch, batchId) =>
-            EventOps.bottomKOf(EventOps.hashValues(batch))
-              .write.mode("overwrite").parquet(s"$store/b$batchId")
+            graft.ops.SlotStore.writeSlot(
+              EventOps.bottomKOf(EventOps.hashValues(batch)),
+              store, batchId)
         }
-        val root = new org.apache.hadoop.fs.Path(store)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
-        val streamed =
-          if (slots.isEmpty) s.table(EventOps.BottomKTable).limit(0)
-          else s.read.parquet(slots: _*)
+        val streamed = graft.ops.SlotStore.read(s, store)
+          .getOrElse(s.table(EventOps.BottomKTable).limit(0))
         val merged = EventOps.bottomKOf(
           s.table(EventOps.BottomKTable).unionByName(streamed)
             .dropDuplicates("event_type", "event_id"))
@@ -1002,19 +991,15 @@ object StreamingOps {
             .select(TextOps.toks(col("text")).as("tk"))
             .persist()
           try {
-            TextOps.cmsOf(
-              tok.select(explode(TextOps.shingles(col("tk"))).as("t"))
-                .groupBy(col("t")).agg(count(lit(1)).as("c")))
-              .write.mode("overwrite").parquet(s"$store/b$batchId")
+            graft.ops.SlotStore.writeSlot(
+              TextOps.cmsOf(
+                tok.select(explode(TextOps.shingles(col("tk"))).as("t"))
+                  .groupBy(col("t")).agg(count(lit(1)).as("c"))),
+              store, batchId)
           } finally { tok.unpersist(); () }
         }
-        val root = new org.apache.hadoop.fs.Path(store)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
-        val streamed =
-          if (slots.isEmpty) s.table(TextOps.CmsSketchTable).limit(0)
-          else s.read.parquet(slots: _*)
+        val streamed = graft.ops.SlotStore.read(s, store)
+          .getOrElse(s.table(TextOps.CmsSketchTable).limit(0))
         TextOps.cmsVerifiedTop(TextOps.docsWithShingles(s, d),
           s.table(TextOps.CmsSketchTable).unionByName(streamed))
       },
@@ -1037,19 +1022,14 @@ object StreamingOps {
         import graft.ops.EventOps
         val store = tempStore("graft_cusum_gate_out")
         runForeachBatch(s, d, "events")(identity) { (batch, batchId) =>
-          EventOps.dailyCounts(batch)
-            .write.mode("overwrite").parquet(s"$store/b$batchId")
+          graft.ops.SlotStore.writeSlot(
+            EventOps.dailyCounts(batch), store, batchId)
         }
-        val root = new org.apache.hadoop.fs.Path(store)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
-        val daily =
-          if (slots.isEmpty)
-            EventOps.dailyCounts(graft.schema.Tables.events(s, d)).limit(0)
-          else s.read.parquet(slots: _*)
-            .groupBy(col("event_type"), col("day"))
-            .agg(sum(col("c0")).as("c0"))
+        val daily = graft.ops.SlotStore.read(s, store)
+          .map(_.groupBy(col("event_type"), col("day"))
+            .agg(sum(col("c0")).as("c0")))
+          .getOrElse(
+            EventOps.dailyCounts(graft.schema.Tables.events(s, d)).limit(0))
         EventOps.cusumFromCounts(daily)
       },
       Some(graft.ops.EventOps.CusumSql)),
@@ -1073,17 +1053,13 @@ object StreamingOps {
         val store = tempStore("graft_pareto_gate_out")
         runForeachBatch(s, d, "documents")(
           _.filter(col("doc_id") >= cut)) { (batch, batchId) =>
-          TextOps.docAxes(batch)
-            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_docs"))
-            .write.mode("overwrite").parquet(s"$store/b$batchId")
+          graft.ops.SlotStore.writeSlot(
+            TextOps.docAxes(batch)
+              .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_docs")),
+            store, batchId)
         }
-        val root = new org.apache.hadoop.fs.Path(store)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
-        val streamed =
-          if (slots.isEmpty) s.table(TextOps.ParetoTable).limit(0)
-          else s.read.parquet(slots: _*)
+        val streamed = graft.ops.SlotStore.read(s, store)
+          .getOrElse(s.table(TextOps.ParetoTable).limit(0))
         TextOps.paretoVerifiedReport(
           TextOps.frontierOfCounts(
             s.table(TextOps.ParetoTable).unionByName(streamed)),
@@ -2059,17 +2035,14 @@ object StreamingOps {
         val store = tempStore("graft_pagerank_gate_out")
         runForeachBatch(s, d, "lineitem")(
           _.filter(col("l_orderkey") >= cut)) { (batch, batchId) =>
-          batch.select(col("l_orderkey"), col("l_partkey")).distinct()
-            .write.mode("overwrite").parquet(s"$store/b$batchId")
+          graft.ops.SlotStore.writeSlot(
+            batch.select(col("l_orderkey"), col("l_partkey")).distinct(),
+            store, batchId)
         }
-        val root = new org.apache.hadoop.fs.Path(store)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val slots = fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .filter(_.matches("b\\d+")).map(n => s"$store/$n")
-        val incEdges =
-          if (slots.isEmpty) s.table(GraphOps.EdgeTable).limit(0)
-          else GraphOps.coPurchaseEdges(s.read.parquet(slots: _*)
-            .dropDuplicates("l_orderkey", "l_partkey"))
+        val incEdges = graft.ops.SlotStore.read(s, store)
+          .map(slots => GraphOps.coPurchaseEdges(
+            slots.dropDuplicates("l_orderkey", "l_partkey")))
+          .getOrElse(s.table(GraphOps.EdgeTable).limit(0))
         // round 16: the split serve — snapshot edges never leave their
         // bucket layout; dedup is an increment-sized anti-join probe and
         // degrees come from the stored degree table ⊕ deltas (see
