@@ -53,8 +53,12 @@ object StreamingOps {
   private def runToMemory(s: SparkSession, d: String,
       outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft_ckpt_$name").toString
+    // generational scratch (round 17, VERDICT r16 #4): these checkpoint
+    // dirs were created bare — never exit-registered, never swept — so
+    // a long-lived session leaked one per streaming query invocation.
+    // The shared prefix is safe: a ckpt is never read after its query
+    // terminates (the memory sink holds the served rows).
+    val ckpt = graft.ops.TempDirs.scratch("graft_ckpt_mem")
     // ts precision varies with the generator: TIMESTAMP(NANOS) files need
     // the raw-INT64 read + integer-division conversion, micros-precision
     // files arrive as TIMESTAMP already. Mirror Schemas.Tables.events'
@@ -101,8 +105,10 @@ object StreamingOps {
   private def runForeachBatch(s: SparkSession, d: String, tableFile: String)(
       prepare: DataFrame => DataFrame)(
       body: (DataFrame, Long) => Unit): Unit = {
-    val ckpt = cleanedAtExit(java.nio.file.Files
-      .createTempDirectory("graft_ckpt_feb")).toString
+    // generational like every scratch dir: a re-run's fresh checkpoint
+    // supersedes the previous one (never resumed — each catalog
+    // invocation drains AvailableNow from scratch by design)
+    val ckpt = graft.ops.TempDirs.scratch("graft_ckpt_feb")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/$tableFile.parquet").schema
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -230,22 +236,26 @@ object StreamingOps {
       }
   }
 
-  /** Per-run UNIQUE output store dir (ADVICE r10 #1): the fixed
-    * java.io.tmpdir paths let two concurrent sessions clobber each
-    * other's stores; a createTempDirectory per run cannot collide.
-    * Registered for JVM-exit deletion — uniqueness without the cleanup
-    * would trade the old clobber hazard for unbounded /tmp growth on a
-    * long-lived host (each bench/verify rep would otherwise leave a
-    * parquet store behind forever). */
-  private def tempStore(prefix: String): String =
-    cleanedAtExit(java.nio.file.Files.createTempDirectory(prefix)).toString
-
-  private def cleanedAtExit(p: java.nio.file.Path): java.nio.file.Path = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
-      catch { case _: Throwable => () }))
-    p
+  /** Retention-pruned newest-version read (round 17, VERDICT r16 #4):
+    * a drained stream's versioned store holds one version directory per
+    * micro-batch; the serve reads only the newest, so the handoff point
+    * applies the q205 retention rule — keep a 2-version debug window,
+    * vacuum the rest. Bounds the store's on-disk footprint by the
+    * retention constant instead of the stream's lifetime (the disk twin
+    * of the cache-residency rule; DiskLifecycleSpec asserts it). */
+  private def latestPruned(s: SparkSession, store: String): String = {
+    Upsert.vacuumVersions(s, store, keepLast = 2)
+    Upsert.latestVersionPath(s, store)
   }
+
+  /** Per-run UNIQUE output store dir — routed through
+    * [[graft.ops.TempDirs.scratch]] (round 17, VERDICT r16 #4), which
+    * layers GENERATIONAL deletion on the r10 uniqueness + exit-cleanup
+    * guarantees: re-running a streaming query deletes its previous
+    * invocation's store instead of accreting one per pass until JVM
+    * exit (DiskLifecycleSpec asserts the flat footprint). */
+  private def tempStore(prefix: String): String =
+    graft.ops.TempDirs.scratch(prefix)
 
   /** Production append-mode windowed aggregation: emits ONLY watermark-
     * finalized windows (no driver-side complete-mode materialization — the
@@ -1094,7 +1104,7 @@ object StreamingOps {
         }
         // the self-describing pack tag (n_shards/capacity) stays in the
         // store; the served report drops it to match the oracle schema
-        s.read.parquet(Upsert.latestVersionPath(s, store))
+        s.read.parquet(latestPruned(s, store))
           .drop("n_shards", "capacity")
           .orderBy(col("shard"), col("bin"))
       },
@@ -1132,7 +1142,7 @@ object StreamingOps {
           Upsert.applyChangelogVersioned(batch.sparkSession, store, changes,
             Seq("key"), "op", "seq", batchId)
         }
-        s.read.parquet(Upsert.latestVersionPath(s, store))
+        s.read.parquet(latestPruned(s, store))
           .agg(count(lit(1)).as("n_rows"),
             round(sum(col("price")), 2).as("total"))
       },
@@ -1248,7 +1258,7 @@ object StreamingOps {
             date_format(col("o_orderdate"), "yyyy-MM").as("month"),
             col("o_orderstatus").as("status"))
           .agg(countDistinct(col("o_custkey")).as("cust_ndv"))
-        serveView(s.read.parquet(Upsert.latestVersionPath(s, store)))
+        serveView(s.read.parquet(latestPruned(s, store)))
           .join(exact, Seq("month", "status"))
           .select(col("month"), col("status"), col("n"), col("revenue"),
             col("avg_price"), col("cust_ndv"),
@@ -1298,7 +1308,7 @@ object StreamingOps {
             .write.mode("overwrite").parquet(s"$store/v${batchId + 1}")
         }
         serveQuantilesVerified(
-          s.read.parquet(Upsert.latestVersionPath(s, store)), orders)
+          s.read.parquet(latestPruned(s, store)), orders)
       },
       Some(graft.ops.MaterializedViewOps.quantileMvOracle)),
 
@@ -1338,7 +1348,7 @@ object StreamingOps {
           mergeSummaries(cur.unionByName(batchSumm), 64)
             .write.mode("overwrite").parquet(s"$store/v${batchId + 1}")
         }
-        val cand = s.read.parquet(Upsert.latestVersionPath(s, store))
+        val cand = s.read.parquet(latestPruned(s, store))
           .select(col("key"))
         val static = keyed(graft.schema.Tables.events(s, d))
         val total = static.agg(count(lit(1)).as("n_total"))
@@ -2004,7 +2014,7 @@ object StreamingOps {
             bdocs.unpersist()
             ()
         }
-        s.read.parquet(Upsert.latestVersionPath(s, labelStore))
+        s.read.parquet(latestPruned(s, labelStore))
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
           .orderBy(col("cluster_id"))
       },
@@ -2081,8 +2091,12 @@ object StreamingOps {
   private def runDocsToMemory(s: SparkSession, d: String,
       outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft_ckpt_$name").toString
+    // generational scratch (round 17, VERDICT r16 #4): these checkpoint
+    // dirs were created bare — never exit-registered, never swept — so
+    // a long-lived session leaked one per streaming query invocation.
+    // The shared prefix is safe: a ckpt is never read after its query
+    // terminates (the memory sink holds the served rows).
+    val ckpt = graft.ops.TempDirs.scratch("graft_ckpt_mem")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
