@@ -234,6 +234,52 @@ class GraphOpsSpec extends SparkSpec {
         s"bytes (1-iter=$one, 5-iter=$five)")
   }
 
+  test("the maintain serve's fallback is edge-stationary too: above the " +
+      "gate the snapshot rides its src-bucketed twin and extra " +
+      "iterations stay node-bounded (round 17, VERDICT r16 #2)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pr_gate_shuf").toString
+    spark.range(0, 20000L)
+      .selectExpr("id div 4 AS l_orderkey", "id % 211 AS l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    GraphOps.writeEdgeSnapshot(spark, dir)
+    val cut = graft.schema.Cuts.lineitem(spark, dir)
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      @volatile var bytes = 0L
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes += e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    def serve(iters: Int): Long = {
+      spark.catalog.clearCache()
+      spark.sparkContext.addSparkListener(meter)
+      meter.bytes = 0L
+      GraphOps.pageRankMaintainServe(spark,
+          GraphOps.coPurchaseEdges(graft.schema.Tables.lineitem(spark, dir)
+            .filter(col("l_orderkey") >= cut)),
+          iters, broadcastGateNodes = 0L)
+        .write.mode("overwrite").format("noop").save()
+      org.apache.spark.sql.graftshim.ListenerShim
+        .waitUntilListenersDrained(spark.sparkContext)
+      val b = meter.bytes
+      spark.sparkContext.removeSparkListener(meter)
+      b
+    }
+    // warm the src-layout twin OUTSIDE the metered window: its one-time
+    // bucketed write is an ingest-time artifact cost, not serve shuffle
+    serve(1)
+    val one = serve(1)
+    val five = serve(5)
+    // same bound as the loop-side test: per-iteration additions are the
+    // node-sized rank exchange + partial-aggregated contributions from
+    // both sides; a snapshot re-exchange would add ~one/2 per iteration
+    assert(one > 0L)
+    val perIter = (five - one) / 4
+    assert(perIter <= math.max(96 * 1024L, one / 8),
+      s"serve fallback per-iteration shuffle is not node-bounded: " +
+        s"$perIter bytes (1-iter=$one, 5-iter=$five)")
+  }
+
   test("maintain serve with an EMPTY increment equals ranks over the " +
       "snapshot store alone (q211's drained-stream edge case)") {
     val dir = java.nio.file.Files
