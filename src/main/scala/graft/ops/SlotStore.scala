@@ -119,8 +119,16 @@ object SlotStore {
     val newW = tail.max
     val pieces = (if (w >= 0) Seq(s"$root/c$w") else Seq.empty) ++
       tail.map(id => s"$root/b$id")
-    // few small delta files in, few out: the fold IS the file-count fix
-    s.read.parquet(pieces: _*).coalesce(4)
+    // few small delta files in, few out — but the fold width SCALES
+    // with the folded bytes (~128 MB target files, floor 4, cap 200):
+    // a fixed tiny coalesce would serialize a large fold onto 4 write
+    // tasks at cluster scale, while an unbounded width defeats the
+    // file-count fix. Sizing is fs-metadata only.
+    val totalBytes = pieces.map(pp =>
+      fs.getContentSummary(new Path(pp)).getLength).sum
+    val width = math.max(4,
+      math.min(200, (totalBytes >> 27).toInt + 1))
+    s.read.parquet(pieces: _*).coalesce(width)
       .write.mode("overwrite").parquet(s"$root/c$newW")
     Upsert.touchCommitMarker(s, s"$root/c$newW")
     // best-effort sweep of superseded pieces (stale dirs are invisible
