@@ -1242,7 +1242,7 @@ object EventOps {
     * JVM (build-once artifact; the bench records the first builder's
     * build_sec). */
   private[graft] def writeBottomKSketch(s: SparkSession, d: String): Unit =
-    ArtifactCache.once(BottomKTable, Some(s"$d|events|cut0.8|k$BottomKK")) {
+    ArtifactCache.once(BottomKTable, Some(s"$d|events@${graft.schema.Cuts.tableSig(d, "events")}|cut0.8|k$BottomKK")) {
       val cut = graft.schema.Cuts.events(s, d)
       Tables.resetManagedTable(s, BottomKTable)
       bottomKOf(hashedValues(s, d).filter(col("event_id") < cut))

@@ -338,7 +338,7 @@ object GraphOps {
     * per-dst aggregation wants. */
   private[graft] val EdgeTable = "graft_copurchase_edges"
   private[graft] def edgeTag(d: String): Option[String] =
-    Some(s"$d|lineitem|cut0.8|copurchase")
+    Some(s"$d|lineitem@${graft.schema.Cuts.tableSig(d, "lineitem")}|cut0.8|copurchase")
 
   private[graft] def writeEdgeSnapshot(s: SparkSession, d: String): Unit =
     ArtifactCache.once(EdgeTable, edgeTag(d)) {

@@ -405,7 +405,7 @@ object PipelineOps {
     * q164's streaming gate probes) and its content tag per testdata dir. */
   private[graft] val ErBlockIndexTable = "graft_er_block_index"
   private[graft] def erBlockTag(d: String): Option[String] =
-    Some(s"$d|customer|er-prefix15-suffix5")
+    Some(s"$d|customer@${graft.schema.Cuts.tableSig(d, "customer")}|er-prefix15-suffix5")
 
   /** q159/q160/q164's shared blocking: both passes (15-char prefix,
     * 5-char suffix) tagged and unioned — (pass, nk, bk, id, name). */
@@ -942,7 +942,7 @@ object PipelineOps {
     * doc_id < 80%-cut snapshot, built once per (JVM, corpus). */
   private[graft] val PackTable = "graft_pack_bins"
   private[graft] def packTag(d: String): Option[String] =
-    Some(s"$d|documents|cut0.8|pack256x8")
+    Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|cut0.8|pack256x8")
 
   private[graft] def writePackSnapshot(s: SparkSession, d: String): Unit =
     ArtifactCache.once(PackTable, packTag(d)) {

@@ -172,7 +172,7 @@ object RetrievalOps {
     * (n_docs, Σdl). */
   private[graft] val Bm25PostingsTable = "graft_bm25_snapshot_postings"
   private[graft] def bm25Tag(d: String): Option[String] =
-    Some(s"$d|documents|cut0.8|bm25")
+    Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|cut0.8|bm25")
 
   def writeBm25SnapshotIndex(s: SparkSession, snap: DataFrame,
       table: String, tag: Option[String] = None): Unit =

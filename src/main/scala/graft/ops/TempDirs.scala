@@ -31,15 +31,27 @@ object TempDirs {
   private val lastOf =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
+  // ONE static exit hook draining the live-generation registry — a
+  // per-scratch() hook would accumulate Thread objects without bound in
+  // exactly the long-lived session this module hardens (each call adds
+  // an ApplicationShutdownHooks entry that nothing removes, most of
+  // them guarding dirs the generational sweep already deleted).
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      lastOf.values.foreach { p =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+        catch { case _: Throwable => () }
+      }))
+  }
+
   def scratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
-      catch { case _: Throwable => () }))
     // generational sweep: the PREVIOUS dir for this prefix belongs to a
     // superseded invocation whose consumers have acted (sequential
     // catalog); delete it now instead of at exit. Best-effort — a
-    // failed delete degrades to the old exit-time behavior.
+    // failed delete degrades to exit-time cleanup (the dir stays in no
+    // registry, but /tmp reaping and the next same-prefix acquisition
+    // never resurrect it, so the leak is bounded at one dir).
     lastOf.put(prefix, p).foreach { prev =>
       try org.apache.commons.io.FileUtils.deleteDirectory(prev.toFile)
       catch { case _: Throwable => () }

@@ -1434,7 +1434,7 @@ object TextOps {
     * artifact; the bench records the first builder's build_sec). */
   private[graft] def writeCmsSnapshot(s: SparkSession, d: String): Unit =
     ArtifactCache.once(CmsSketchTable,
-      Some(s"$d|documents|cut0.8|cms${CmsD}x$CmsW")) {
+      Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|cut0.8|cms${CmsD}x$CmsW")) {
       val cut = graft.schema.Cuts.documents(s, d)
       Tables.resetManagedTable(s, CmsSketchTable)
       cmsOf(shingleDfCounts(docsWithShinglesLazy(s, d)
@@ -1612,7 +1612,7 @@ object TextOps {
     * not the corpus. */
   private[graft] def writeParetoSnapshot(s: SparkSession, d: String): Unit =
     ArtifactCache.once(ParetoTable,
-      Some(s"$d|documents|cut0.8|pareto256")) {
+      Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|cut0.8|pareto256")) {
       val cut = graft.schema.Cuts.documents(s, d)
       Tables.resetManagedTable(s, ParetoTable)
       paretoFrontier2D(docAxes(Tables.documents(s, d))
@@ -2134,7 +2134,7 @@ object TextOps {
 
   private[graft] def writeHllShingleSketch(s: SparkSession,
       d: String): Unit =
-    ArtifactCache.once(HllSketchTable, Some(s"$d|documents|cut0.8|hll12")) {
+    ArtifactCache.once(HllSketchTable, Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|cut0.8|hll12")) {
       val cut = graft.schema.Cuts.documents(s, d)
       Tables.resetManagedTable(s, HllSketchTable)
       langShinglePosts(s, d).filter(col("doc_id") < cut)
@@ -2311,7 +2311,7 @@ object TextOps {
   // like round 13's 8×4 → 32×3 forces a rebuild instead of silently
   // serving pairs detected under the old scheme
   private[graft] def corpusLshPairsTag(d: String): Option[String] =
-    Some(s"$d|documents|j0.5|dfCap16|mh${NumHashes}x${NumBands}x$RowsPerBand")
+    Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|j0.5|dfCap16|mh${NumHashes}x${NumBands}x$RowsPerBand")
 
   def corpusLshPairs(s: SparkSession, d: String): DataFrame = {
     ArtifactCache.once(CorpusLshPairsTable, corpusLshPairsTag(d)) {
@@ -2339,7 +2339,7 @@ object TextOps {
     * aggregation/join shuffle-free on the index side. */
   private[graft] val FullLshIndexTable = "graft_lsh_band_index"
   private[graft] def fullLshIndexTag(d: String): Option[String] =
-    Some(s"$d|documents|full|dfCap16|mh${NumHashes}x${NumBands}x$RowsPerBand")
+    Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|full|dfCap16|mh${NumHashes}x${NumBands}x$RowsPerBand")
 
   private[graft] def fullCorpusBandedIndex(s: SparkSession,
       d: String): DataFrame = {
@@ -2564,7 +2564,7 @@ object TextOps {
     * [[ArtifactCache]] content tag for a given testdata dir. */
   private[graft] val SnapshotLshTable = "graft_lsh_snapshot_index"
   private[graft] def snapshotLshTag(d: String): Option[String] =
-    Some(s"$d|documents|cut0.8|dfCap16|mh${NumHashes}x${NumBands}x$RowsPerBand")
+    Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|cut0.8|dfCap16|mh${NumHashes}x${NumBands}x$RowsPerBand")
 
   def writeSnapshotLshIndex(s: SparkSession, snap: DataFrame, dfCap: Int,
       table: String, tag: Option[String] = None): Unit =
@@ -2729,7 +2729,7 @@ object TextOps {
     * q121/q137/q148, and its content tag for a testdata dir. */
   private[graft] val ExactHashTable = "graft_exact_hash_index"
   private[graft] def exactHashTag(d: String): Option[String] =
-    Some(s"$d|documents|cut0.8|normText-xxhash64")
+    Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|cut0.8|normText-xxhash64")
 
   /** The q121 snapshot's normalized-text hash index, written once as a
     * `bucketBy(text_hash)` managed table — 16 bytes/doc. */

@@ -44,17 +44,32 @@ object Cuts {
 
   /** fs-metadata content signature of `$d/$table.parquet` (a file or a
     * parquet directory): (#children, max mtime, Σ length). Changes on
-    * any in-place rewrite; costs one listStatus, never a data read. */
-  private def sigOf(s: SparkSession, d: String, table: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    if (st.isDirectory) {
-      val kids = fs.listStatus(p)
-      val mt = if (kids.isEmpty) 0L else kids.map(_.getModificationTime).max
-      s"${kids.length}|$mt|${kids.map(_.getLen).sum}"
-    } else s"1|${st.getModificationTime}|${st.getLen}"
-  }
+    * any in-place rewrite; costs one listStatus, never a data read.
+    *
+    * Session-free (round 17, post-review): the ArtifactCache tag
+    * builders embed this signature so DERIVED artifacts (edge stores,
+    * LSH/hash/posting indexes, sketch snapshots) invalidate on the same
+    * in-place rewrite that re-derives the cut — half-fixing only the
+    * cut would serve a FRESH cut against a STALE artifact, worse than
+    * consistently stale. Tag builders have no SparkSession, and the
+    * testdata/spec dirs are plain paths a default Hadoop Configuration
+    * resolves; a missing table reads "absent" (stable — some spec tags
+    * are built for planted dirs before/without every table). */
+  private[graft] def tableSig(d: String, table: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) {
+        val kids = fs.listStatus(p)
+        val mt = if (kids.isEmpty) 0L
+          else kids.map(_.getModificationTime).max
+        s"${kids.length}.$mt.${kids.map(_.getLen).sum}"
+      } else s"1.${st.getModificationTime}.${st.getLen}"
+    } catch { case _: Throwable => "absent" }
+
+  private def sigOf(s: SparkSession, d: String, table: String): String =
+    tableSig(d, table)
 
   private def cut80(s: SparkSession, d: String, table: String,
       key: String)(maxId: => Long): Long =

@@ -56,8 +56,13 @@ object StreamingOps {
     // generational scratch (round 17, VERDICT r16 #4): these checkpoint
     // dirs were created bare — never exit-registered, never swept — so
     // a long-lived session leaked one per streaming query invocation.
-    // The shared prefix is safe: a ckpt is never read after its query
-    // terminates (the memory sink holds the served rows).
+    // CONSTRAINT the shared prefix adds: acquiring the next dir deletes
+    // the previous one, so at most ONE memory-sink stream may be live
+    // at a time — the catalog's sequential execution guarantees it
+    // (every runToMemory awaits termination before returning), and a
+    // terminated query never re-reads its checkpoint (the memory sink
+    // holds the served rows). A future caller driving two concurrent
+    // memory-sink streams must pass distinct prefixes instead.
     val ckpt = graft.ops.TempDirs.scratch("graft_ckpt_mem")
     // ts precision varies with the generator: TIMESTAMP(NANOS) files need
     // the raw-INT64 read + integer-division conversion, micros-precision
@@ -2094,8 +2099,13 @@ object StreamingOps {
     // generational scratch (round 17, VERDICT r16 #4): these checkpoint
     // dirs were created bare — never exit-registered, never swept — so
     // a long-lived session leaked one per streaming query invocation.
-    // The shared prefix is safe: a ckpt is never read after its query
-    // terminates (the memory sink holds the served rows).
+    // CONSTRAINT the shared prefix adds: acquiring the next dir deletes
+    // the previous one, so at most ONE memory-sink stream may be live
+    // at a time — the catalog's sequential execution guarantees it
+    // (every runToMemory awaits termination before returning), and a
+    // terminated query never re-reads its checkpoint (the memory sink
+    // holds the served rows). A future caller driving two concurrent
+    // memory-sink streams must pass distinct prefixes instead.
     val ckpt = graft.ops.TempDirs.scratch("graft_ckpt_mem")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val stream = s.readStream.schema(schema)

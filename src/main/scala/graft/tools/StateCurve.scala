@@ -62,8 +62,17 @@ object StateCurve {
       q.awaitTermination()
       val ops = q.recentProgress.reverse
         .find(_.stateOperators.nonEmpty).map(_.stateOperators(0))
-      (ops.map(_.numRowsTotal).getOrElse(-1L),
-        ops.map(_.memoryUsedBytes).getOrElse(-1L))
+      // fail loudly, never fabricate: a missing state operator (plan
+      // refactored stateless, progress rolled past retention) or an
+      // empty state would otherwise print negative/Infinity evidence
+      // numbers that look plausible enough to land in SCALING.md
+      require(ops.nonEmpty,
+        s"$name: no progress entry carries a state operator — " +
+          "the measured plan is not the stateful path")
+      val rows = ops.get.numRowsTotal
+      require(rows > 0, s"$name: state is empty (rows=$rows) — " +
+        "nothing to meter")
+      (rows, ops.get.memoryUsedBytes)
     }
 
     println(f"${"path"}%-12s ${"sf"}%-8s ${"lanes"}%9s ${"stateRows"}%10s " +

@@ -45,6 +45,32 @@ class ArtifactCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("artifact tags embed the source table's file signature, so an " +
+      "in-place rewrite invalidates DERIVED artifacts too — not just " +
+      "the cut memo (round 17: a fresh cut against a stale edge store " +
+      "would be worse than consistently stale)") {
+    // the signature is fs-METADATA (count/mtime/bytes), so plain files
+    // exercise it — no SparkSession needed in this pure-JVM suite
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_tag_sig").toString
+    Files.createDirectories(Paths.get(s"$dir/lineitem.parquet"))
+    Files.write(Paths.get(s"$dir/lineitem.parquet/part-0"),
+      Array.fill(50)('x'.toByte))
+    val t1 = graft.ops.GraphOps.edgeTag(dir).get
+    // same tag while the files are untouched (the memo must still hit)
+    assert(graft.ops.GraphOps.edgeTag(dir).get == t1)
+    Files.write(Paths.get(s"$dir/lineitem.parquet/part-0"),
+      Array.fill(500)('x'.toByte))
+    val t2 = graft.ops.GraphOps.edgeTag(dir).get
+    assert(t2 != t1,
+      "in-place rewrite did not change the artifact tag — " +
+        "ArtifactCache would serve a stale edge store against a fresh cut")
+    // a missing table reads a stable sentinel, never throws (spec tags
+    // are sometimes built against dirs that lack unrelated tables)
+    assert(graft.ops.TextOps.snapshotLshTag("/nonexistent").get
+      .contains("documents@absent"))
+  }
+
   test("a None tag disables the memo: every call builds") {
     val table = s"artifact_cache_spec_none_${System.nanoTime()}"
     var n = 0
