@@ -118,8 +118,7 @@ object GraphOps {
     // scales with the corpus. The limit-probe over the checkpointed
     // node relation is bounded by the gate itself (the
     // connectedComponents driverGateEdges discipline).
-    val useBroadcast =
-      deg.limit(intGate(broadcastGateNodes)).count() <= broadcastGateNodes
+    val useBroadcast = belowGate(deg, broadcastGateNodes)
     // Above the gate: ONE src-layout exchange before the loop, so the
     // per-iteration join is edge-stationary (only the node-sized rank
     // relation exchanges; see BroadcastGateNodesDefault for the
@@ -185,6 +184,15 @@ object GraphOps {
     * below it passes). */
   private def intGate(gate: Long): Int =
     math.min(gate + 1, Int.MaxValue.toLong).toInt
+
+  /** The broadcast-vs-shuffle gate probe, shared by [[pageRankScaled]]
+    * and [[pageRankMaintainServe]] (VERDICT r17 hygiene — the twin
+    * inline probes drifted one review apart): is the node set at/below
+    * the gate? The limit bounds the probe by the gate itself (the
+    * connectedComponents driverGateEdges discipline — never an
+    * unbounded count over a corpus-scaled node relation). */
+  private def belowGate(deg: DataFrame, gate: Long): Boolean =
+    deg.limit(intGate(gate)).count() <= gate
 
   /** The per-iteration rank⋈edges join, gated: below the gate the
     * node-sized (rank, deg) relation broadcasts to the stationary edge
@@ -272,8 +280,7 @@ object GraphOps {
     // contract is unchanged: the snapshot store is never exchanged at
     // serve time in either mode, and per-iteration movement is
     // node-sized (rank relation + partial-aggregated contributions).
-    val useBroadcast =
-      deg.limit(intGate(broadcastGateNodes)).count() <= broadcastGateNodes
+    val useBroadcast = belowGate(deg, broadcastGateNodes)
     val snapJoin =
       if (useBroadcast) snap
       else { writeEdgeSrcLayout(s); s.table(EdgeSrcTable) }
@@ -315,13 +322,34 @@ object GraphOps {
     * relation buys every serve a join whose stationary side is the
     * store itself — the rank relation exchanges, the edges never do. */
   private[graft] val EdgeSrcTable = s"graft_copurchase_edges_src"
-  private[graft] def writeEdgeSrcLayout(s: SparkSession): Unit =
-    ArtifactCache.once(EdgeSrcTable,
-        ArtifactCache.currentTag(EdgeTable).map(t => s"$t|srclayout")) {
+  private[graft] def writeEdgeSrcLayout(s: SparkSession): Unit = {
+    // Content tag (ADVICE r17 #3): prefer the parent store's live build
+    // tag; when the edge snapshot was written by a PRIOR JVM (warehouse-
+    // persisted, currentTag None) fall back to a signature of the stored
+    // table's own files — the previous `.map` alone disabled the memo in
+    // that case and every above-gate serve rewrote the full bucketed
+    // edge copy, defeating the build-once-per-snapshot-generation
+    // amortization the scaladoc promises.
+    val parentTag = ArtifactCache.currentTag(EdgeTable)
+      .orElse(storedTableSig(s, EdgeTable))
+    ArtifactCache.once(EdgeSrcTable, parentTag.map(t => s"$t|srclayout")) {
       Tables.resetManagedTable(s, EdgeSrcTable)
       s.table(EdgeTable).write.bucketBy(8, "src").mode("overwrite")
         .saveAsTable(EdgeSrcTable)
     }
+  }
+
+  /** fs-metadata content identity of an already-written managed table
+    * (its location's recursive file signature) — the cross-JVM fallback
+    * parent tag for derived layouts. None when the table doesn't exist
+    * (the derived build would fail anyway; tagless = build-always keeps
+    * the old behavior there). */
+  private def storedTableSig(s: SparkSession, table: String): Option[String] =
+    if (!s.catalog.tableExists(table)) None
+    else Some("stored@" + graft.schema.Cuts.pathSig(
+      s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString))
 
   /** One-generation residency tracker for the rank family's persisted /
     * checkpointed frames (edge caches, degree relations, the returned

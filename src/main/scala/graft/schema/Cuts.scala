@@ -26,61 +26,105 @@ import org.apache.spark.sql.functions.{col, max}
   * alone is only a content key while the files under it are immutable —
   * rewriting a table in place within one JVM would previously serve a
   * stale cut silently (only unique spec temp dirs protected tests). The
-  * key now also carries the table's FILE SIGNATURE (file count, newest
-  * modification time, total bytes — fs metadata, no data scan), so an
-  * in-place rewrite re-derives automatically; [[invalidate]] remains as
-  * the explicit hook mirroring `ArtifactCache.invalidate` for callers
-  * that want deterministic eviction.
+  * entry now also carries the table's FILE SIGNATURE (a hash of the
+  * recursive per-file (path, length, mtime) listing — fs metadata, no
+  * data scan), so an in-place rewrite re-derives automatically;
+  * [[invalidate]] remains as the explicit hook mirroring
+  * `ArtifactCache.invalidate` for callers that want deterministic
+  * eviction.
   *
   * 100 TB posture: max(id) over a snapshot is metadata-cheap in parquet
   * (row-group statistics serve it without a data scan) and the
-  * signature is one directory listing per call — both metadata-plane;
+  * signature is one recursive listing per call — both metadata-plane;
   * the point of the memo is not the single scan's cost but not
   * multiplying it by catalog size × bench reps.
   */
 object Cuts {
+  /** (dir, method) -> (file signature at derivation time, value). One
+    * entry per (dir, method) — a re-derivation under a NEW signature
+    * REPLACES the superseded entry instead of accreting beside it
+    * (ADVICE r17 #4: a session that rewrites one testdata dir many
+    * times — the exact scenario the signature hardens against — must
+    * not grow the memo without bound). */
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (String, Long)]
 
-  /** fs-metadata content signature of `$d/$table.parquet` (a file or a
-    * parquet directory): (#children, max mtime, Σ length). Changes on
-    * any in-place rewrite; costs one listStatus, never a data read.
+  /** The Hadoop Configuration the signature resolves paths with: the
+    * active session's (credentials, fs.defaultFS — ADVICE r17 #1: a
+    * bare `new Configuration()` cannot open s3a/custom filesystems, so
+    * every signature there would read as an error and the invalidation
+    * this file exists for would silently disable). Tag builders are
+    * session-free by signature, but they always run inside a query fn
+    * on a session thread, so getActiveSession covers them; the bare
+    * default remains only as the no-session fallback (plain local
+    * paths, which it resolves fine). */
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** fs-metadata content signature of an arbitrary file/directory path:
+    * `<#files>.<12-byte SHA-256 hex>` over the sorted RECURSIVE
+    * (relative path, length, mtime) file listing. Per-file and
+    * recursive (ADVICE r17 #2) — the previous top-level
+    * (#children, max mtime, Σ bytes) aggregate missed equal-stat swaps
+    * (a rename preserving count+bytes within mtime granularity) and
+    * rewrites one level deeper (partitioned layouts) entirely. Costs
+    * one recursive listing, never a data read.
     *
-    * Session-free (round 17, post-review): the ArtifactCache tag
-    * builders embed this signature so DERIVED artifacts (edge stores,
-    * LSH/hash/posting indexes, sketch snapshots) invalidate on the same
-    * in-place rewrite that re-derives the cut — half-fixing only the
-    * cut would serve a FRESH cut against a STALE artifact, worse than
-    * consistently stale. Tag builders have no SparkSession, and the
-    * testdata/spec dirs are plain paths a default Hadoop Configuration
-    * resolves; a missing table reads "absent" (stable — some spec tags
-    * are built for planted dirs before/without every table). */
-  private[graft] def tableSig(d: String, table: String): String =
+    * Missing vs error are DISTINGUISHED (ADVICE r17 #1): a missing
+    * path reads the stable sentinel "absent" (legitimate — some spec
+    * tags are built for planted dirs before/without every table); a
+    * genuine filesystem error PROPAGATES — mapping it to a stable
+    * sentinel would freeze the memo/tag exactly when the filesystem
+    * is misconfigured, silently reverting to stale serving. */
+  private[graft] def pathSig(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf())
+    if (!fs.exists(p)) return "absent"
     try {
-      val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory) {
-        val kids = fs.listStatus(p)
-        val mt = if (kids.isEmpty) 0L
-          else kids.map(_.getModificationTime).max
-        s"${kids.length}.$mt.${kids.map(_.getLen).sum}"
-      } else s"1.${st.getModificationTime}.${st.getLen}"
-    } catch { case _: Throwable => "absent" }
+      val base = fs.getFileStatus(p).getPath.toUri.getPath
+      val it = fs.listFiles(p, true)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        parts += s"${st.getPath.toUri.getPath.stripPrefix(base)}:" +
+          s"${st.getLen}:${st.getModificationTime}"
+      }
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
+      s"${parts.size}." + digest.take(12).map(b => f"$b%02x").mkString
+    } catch {
+      // listing race: the path vanished between exists and listFiles
+      case _: java.io.FileNotFoundException => "absent"
+    }
+  }
 
-  private def sigOf(s: SparkSession, d: String, table: String): String =
-    tableSig(d, table)
+  /** [[pathSig]] of the conventional testdata layout `$d/$table.parquet`
+    * — the form every ArtifactCache tag builder embeds so DERIVED
+    * artifacts (edge stores, LSH/hash/posting indexes, sketch
+    * snapshots) invalidate on the same in-place rewrite that re-derives
+    * the cut; half-fixing only the cut would serve a FRESH cut against
+    * a STALE artifact, worse than consistently stale. */
+  private[graft] def tableSig(d: String, table: String): String =
+    pathSig(s"$d/$table.parquet")
 
   private def cut80(s: SparkSession, d: String, table: String,
-      key: String)(maxId: => Long): Long =
-    cache.getOrElseUpdate((d, s"$key|${sigOf(s, d, table)}"),
-      math.floor((maxId + 1) * 0.8).toLong)
+      key: String)(maxId: => Long): Long = {
+    val sig = tableSig(d, table)
+    cache.get((d, key)) match {
+      case Some((s0, v)) if s0 == sig => v
+      case _ =>
+        val v = math.floor((maxId + 1) * 0.8).toLong
+        cache((d, key)) = (sig, v) // replaces any superseded-signature entry
+        v
+    }
+  }
 
   /** Explicitly drop every memoized cut under `d` (test/data-regeneration
-    * paths; the signature in the key already makes in-place rewrites
-    * self-invalidating, this is the deterministic-eviction twin —
-    * superseded signature entries are also swept here, bounding the map
-    * for a session that regenerates one dir many times). */
+    * paths; the signature in the entry already makes in-place rewrites
+    * self-invalidating, this is the deterministic-eviction twin). */
   private[graft] def invalidate(d: String): Unit =
     cache.keys.filter(_._1 == d).foreach(cache.remove)
 

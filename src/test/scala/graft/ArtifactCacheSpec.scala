@@ -71,6 +71,39 @@ class ArtifactCacheSpec extends AnyFunSuite {
       .contains("documents@absent"))
   }
 
+  test("the file signature is per-file and recursive (ADVICE r17 #2): " +
+      "an equal-stat rename and a one-level-deeper rewrite both change " +
+      "it — the cases the old (#children, max mtime, sum bytes) " +
+      "aggregate served stale through") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_tag_sig_rec").toString
+    val tbl = Paths.get(s"$dir/documents.parquet")
+    Files.createDirectories(tbl)
+    val f0 = tbl.resolve("part-0")
+    Files.write(f0, Array.fill(50)('x'.toByte))
+    val mt = FileTime.fromMillis(1700000000000L)
+    Files.setLastModifiedTime(f0, mt)
+    val sig1 = graft.schema.Cuts.tableSig(dir, "documents")
+    // RENAME preserving count, bytes, and mtime: the aggregate signature
+    // was blind to this; the per-file listing is not
+    Files.move(f0, tbl.resolve("part-1"))
+    Files.setLastModifiedTime(tbl.resolve("part-1"), mt)
+    val sig2 = graft.schema.Cuts.tableSig(dir, "documents")
+    assert(sig2 != sig1, "equal-stat rename did not change the signature")
+    // NESTED rewrite (partitioned layout): change a file one level down
+    // while the immediate children's own stats stay fixed
+    val part = tbl.resolve("shard=0")
+    Files.createDirectories(part)
+    Files.write(part.resolve("part-0"), Array.fill(10)('y'.toByte))
+    val sig3 = graft.schema.Cuts.tableSig(dir, "documents")
+    Files.write(part.resolve("part-0"), Array.fill(99)('y'.toByte))
+    Files.setLastModifiedTime(part.resolve("part-0"),
+      Files.getLastModifiedTime(part.resolve("part-0")))
+    val sig4 = graft.schema.Cuts.tableSig(dir, "documents")
+    assert(sig4 != sig3, "nested rewrite did not change the signature")
+  }
+
   test("a None tag disables the memo: every call builds") {
     val table = s"artifact_cache_spec_none_${System.nanoTime()}"
     var n = 0
