@@ -286,7 +286,8 @@ object RetrievalOps {
     * (the q112 versioned-store rule in its append-free form: each batch
     * owns a keyed slot, and retry is idempotent by construction). */
   private[graft] def appendBm25Delta(batch: DataFrame, store: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      threshold: Int = SlotStore.DefaultCompactSlots): Unit = {
     val tok = batch
       .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
       .persist()
@@ -294,17 +295,20 @@ object RetrievalOps {
       // keyed slot writes + threshold fold (round 17, VERDICT r16 #3):
       // postings deltas are disjoint by batch and moment rows are
       // additive, so folding earlier slots into one artifact is a pure
-      // relayout — the serve's union is algebraically unchanged
+      // relayout — the serve's union is algebraically unchanged.
+      // `threshold` is caller-tunable so the q212 compaction leg can
+      // force folds inside a short demo stream (threshold 2, ≥6
+      // batches) while q188 keeps the default.
       SlotStore.writeSlot(
         tok.select(col("doc_id"), size(col("tk")).as("dl"),
             explode(col("tk")).as("t"))
           .groupBy(col("t"), col("doc_id"), col("dl"))
           .agg(count(lit(1)).as("tf")),
-        s"$store/post", batchId)
+        s"$store/post", batchId, threshold)
       SlotStore.writeSlot(
         tok.agg(count(lit(1)).as("n_docs"),
           sum(size(col("tk"))).as("sum_dl")),
-        s"$store/stats", batchId)
+        s"$store/stats", batchId, threshold)
     } finally { tok.unpersist(); () }
   }
 

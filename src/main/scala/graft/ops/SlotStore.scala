@@ -140,6 +140,23 @@ object SlotStore {
       }
   }
 
+  /** Newest committed compact watermark under `root` (-1 when no fold
+    * has committed) — lets a caller ASSERT a fold actually ran (the
+    * q212 in-leg proof: the oracle check is only evidence about the
+    * compacted layout if the execution provably compacted). */
+  private[graft] def compactWatermark(s: SparkSession, root: String): Long = {
+    val (fs, p) = fsOf(s, root)
+    watermarkOf(fs, p)
+  }
+
+  /** Count of live slot dirs above the compact watermark — bounded by
+    * the fold threshold after any post-threshold write. */
+  private[graft] def liveSlotCount(s: SparkSession, root: String): Int = {
+    val (fs, p) = fsOf(s, root)
+    val w = watermarkOf(fs, p)
+    slotIds(fs, p).count(_ > w)
+  }
+
   /** Total data files under the store across compact + slot dirs — the
     * accretion meter SlotStoreSpec asserts on (bounded by compaction,
     * growing without it). */

@@ -44,6 +44,15 @@ object TempDirs {
       }))
   }
 
+  /** Current (prefix -> live generation dir) registry view —
+    * DiskLifecycleSpec diffs two snapshots to learn which prefixes its
+    * own queries acquired, so its footprint counter can scope to those
+    * instead of every `graft_*` dir in the global tmpdir (ADVICE r17
+    * #5: a concurrent bench/verify session's unrelated scratch dirs
+    * must not flake the non-growth assertion). */
+  private[graft] def snapshot: Map[String, java.nio.file.Path] =
+    lastOf.toMap
+
   def scratch(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     // generational sweep: the PREVIOUS dir for this prefix belongs to a

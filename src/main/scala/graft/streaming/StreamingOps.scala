@@ -2067,7 +2067,79 @@ object StreamingOps {
           .orderBy(col("rank_scaled").desc, col("part"))
           .limit(20)
       },
-      Some(graft.ops.GraphOps.PageRankSql))
+      Some(graft.ops.GraphOps.PageRankSql)),
+
+    // ---- slot-store compaction UNDER THE ORACLE (q212, VERDICT r17 #1):
+    // q188's BM25 maintain/serve with the fold FORCED to run inside the
+    // query. The demo catalog's AvailableNow streams drain a single-file
+    // table in 1-4 micro-batches — below DefaultCompactSlots — so until
+    // this leg the round-17 compaction mechanism was spec-proven but
+    // never executed inside a CORRECTNESS-checked query. Here the
+    // increment is STAGED into 7 single-file shards (hash on doc_id —
+    // the multi-file layout a crawler's writer leaves; safe because
+    // BM25's deltas are order-independent: postings are disjoint by
+    // batch, moment rows additive) and streamed with maxFilesPerTrigger
+    // = 1, one micro-batch per shard, with fold threshold 2 — the run
+    // provably folds ≥3 times on both slot roots. Two `require`s RIDE
+    // THE LEG (a committed compact artifact exists; the live tail is
+    // threshold-bounded) so a silent no-fold run FAILS loudly instead of
+    // reading as a weaker pass of the plain-slot path. After the drain,
+    // a REPLAYED-FOLDED-BATCH fixture rewrites slot b0 — an id already
+    // inside the compact artifact — with the FULL increment's delta:
+    // the watermark-exclusion rule must ignore it, and any leak
+    // double-counts every statistic and hash-mismatches the full-corpus
+    // oracle (q58's SQL verbatim — the fourth engine path through one
+    // rule, and the one that proves compaction+replay end-to-end).
+    Q("q212_stream_bm25_compacted",
+      (s, d) => {
+        import graft.ops.{RetrievalOps, SlotStore, TempDirs}
+        val docs = graft.schema.Tables.documents(s, d)
+        val cut = graft.schema.Cuts.documents(s, d)
+        val table = RetrievalOps.Bm25PostingsTable
+        RetrievalOps.writeBm25SnapshotIndex(s,
+          docs.filter(col("doc_id") < cut), table, RetrievalOps.bm25Tag(d))
+        val inc = docs.filter(col("doc_id") >= cut)
+        val staged = tempStore("graft_bm25_fold_staged")
+        inc.repartition(7, col("doc_id"))
+          .write.mode("overwrite").parquet(staged)
+        val store = tempStore("graft_bm25_fold_stream")
+        val ckpt = TempDirs.scratch("graft_ckpt_fold")
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+        try {
+          val q = s.readStream
+            .schema(s.read.parquet(staged).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              RetrievalOps.appendBm25Delta(batch, store, batchId,
+                threshold = 2)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        // the in-leg proof that the mechanism under test actually ran —
+        // without it a regression to never-folding would still pass
+        Seq(s"$store/post", s"$store/stats").foreach { root =>
+          require(SlotStore.compactWatermark(s, root) >= 0,
+            s"q212: no committed compact artifact under $root — the " +
+              "compaction leg ran without folding")
+          require(SlotStore.liveSlotCount(s, root) <= 2,
+            s"q212: live slot tail under $root exceeds the fold threshold")
+        }
+        // replayed-folded-batch fixture: the streaming contract says a
+        // replayed id carries the same data; the CONTENT here is
+        // deliberately the whole increment (a superset) so any
+        // exclusion leak moves the scores, not just a margin
+        RetrievalOps.appendBm25Delta(inc, store, batchId = 0L,
+          threshold = 2)
+        val (deltaPost, deltaStats) = RetrievalOps.readBm25Deltas(s, store)
+        RetrievalOps.bm25ServeMerged(s, table, deltaPost, deltaStats)
+      },
+      Some(graft.ops.RetrievalOps.Bm25Sql))
   )
 
   /** q66's batch-side rollup over the sinked match stream. */
