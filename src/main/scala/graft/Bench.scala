@@ -201,7 +201,7 @@ object Bench {
       "q189_stream_media_dedup_gate", "q192_stream_hll_gate",
       "q194_stream_bottomk_gate", "q197_stream_cms_gate",
       "q202_stream_cusum_gate", "q204_stream_pareto_gate",
-      "q208_stream_packing_gate")
+      "q208_stream_packing_gate", "q212_stream_bm25_compacted")
     // Per-query timing, split at the one boundary the code structure
     // gives for free (VERDICT r11 #1): the query FUNCTION INVOCATION is
     // where every eager build-once artifact action runs (index/store/
@@ -375,6 +375,42 @@ object Bench {
     // readings this run that cannot be trusted against SCALING.md
     val stillJson = stillContended.reverse
       .map(n => "\"" + shortKey(n) + "\"").mkString("[", ",", "]")
+    // Outside-envelope flags (round 18, VERDICT r17 #4): the per-query
+    // noise envelope is committed DATA (ENVELOPE.json, built by
+    // graft.tools.Envelope from recording-eligible runs' details), and
+    // the run flags its own outliers mechanically — a reading above
+    // max × 1.3 + 0.3 s of its envelope is the only kind of per-query
+    // delta the round report still triages by hand (the q133/q22
+    // adjudication protocol, now applied to a machine-selected set
+    // instead of judgment calls over 230 numbers). Queries without an
+    // envelope row (new this round) never flag.
+    val envMax: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("ENVELOPE.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        // the envelope is per-SF, per-host-config data: readings from a
+        // dev run at another SF or cpu count are not comparable to it
+        // (the first sf0.001 smoke after the feature landed flagged q45
+        // against sf0.1 maxima — exactly the false positive this guard
+        // kills)
+        if (root.get("sf").asText() != sfDir || cpus != "32") Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          root.get("queries").properties().forEach { e =>
+            b += e.getKey -> e.getValue.get("max").asDouble()
+          }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty } // flags are best-effort
+    val outsideEnv = ok.filter { case (k, (t, _)) =>
+      envMax.get(k).exists(mx => t > mx * 1.3 + 0.3)
+    }
+    val outsideJson = outsideEnv
+      .map { case (k, (t, _)) => "\"" + shortKey(k) + "\":" + fmt(t) }
+      .mkString("{", ",", "}")
     val errJson = errors.reverse
       .map { case (k, m) => s"\"" + shortKey(k) + "\":\"" + m.take(60) + "\"" }
       .mkString("{", ",", "}")
@@ -397,10 +433,10 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out,
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"calib_io":$calibIo,"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"recording_eligible":$recordingEligible,"n_queries":${ok.size},"build_sec":$buildTotal,"families":$fams,\n"queries":$detail,\n"build":$detailBuild,\n"errors":$errJson,\n"requeue_errors":$requeueErrJson}\n""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"calib_io":$calibIo,"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"recording_eligible":$recordingEligible,"outside_envelope":$outsideJson,"n_queries":${ok.size},"build_sec":$buildTotal,"families":$fams,\n"queries":$detail,\n"build":$detailBuild,\n"errors":$errJson,\n"requeue_errors":$requeueErrJson}\n""".getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"families":$fams,"build_sec":${fmt(buildTotal)},"slowest":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"calib_io":${fmt(calibIo)},"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"recording_eligible":$recordingEligible,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"families":$fams,"build_sec":${fmt(buildTotal)},"slowest":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"calib_io":${fmt(calibIo)},"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"recording_eligible":$recordingEligible,"outside_envelope":$outsideJson,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
     // The driver parses the LAST stdout JSON line; BENCH_r2-r4 all recorded
     // "parsed": null because Spark's shutdown logging and sbt's success
     // banner landed after (or interleaved with) the metric line. Defense in
