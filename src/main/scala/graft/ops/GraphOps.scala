@@ -176,8 +176,15 @@ object GraphOps {
     * (pre-exchanged once into a src-clustered layout before the loop,
     * or read from the written src-bucketed store in the maintain
     * serve). GraphOpsSpec asserts both paths produce bit-identical
-    * ranks (integer determinism makes the equality exact). */
-  private[graft] val BroadcastGateNodesDefault = 1000000L
+    * ranks (integer determinism makes the equality exact).
+    *
+    * `SPARK_GRAFT_PR_GATE` overrides the default for MEASUREMENT runs
+    * only (the SCALING.md broadcast-vs-shuffled mode comparison drives
+    * the full catalog legs through the above-gate plan at bench scale
+    * by setting it to 0 — VERDICT r17 #2); production posture is the
+    * unmodified default. */
+  private[graft] val BroadcastGateNodesDefault: Long =
+    sys.env.get("SPARK_GRAFT_PR_GATE").map(_.toLong).getOrElse(1000000L)
 
   /** `limit(gate + 1)` probe count, Int-clamped (limit takes Int; a
     * gate at/above Int.MaxValue means "always broadcast" and any count
@@ -284,15 +291,59 @@ object GraphOps {
     val snapJoin =
       if (useBroadcast) snap
       else { writeEdgeSrcLayout(s); s.table(EdgeSrcTable) }
+    // ---- Above-gate layout alignment (round 18): three co-partitioning
+    // decisions keep the EDGE relations stationary across iterations,
+    // all measured at sf0.1 (SCALING.md round-18 rows; together they
+    // cut the shuffled serve from 23.4 MB/iter — a full snapshot
+    // re-exchange per iteration — to node-sized):
+    //  1. PERSIST, not localCheckpoint, for pre-exchanged relations: a
+    //     localCheckpoint rewraps the frame as an ExistingRDD whose
+    //     outputPartitioning is UNKNOWN, so the one-time src exchange
+    //     was invisible to EnsureRequirements and every iteration
+    //     re-exchanged the increment from the cached blocks. (Same
+    //     reason pageRankScaled's edJoin persists.)
+    //  2. Everything the iteration joins against the snapshot aligns to
+    //     the WRITTEN LAYOUT'S OWN partition count (its bucket count),
+    //     not spark.sql.shuffle.partitions: the rank relation arrives
+    //     as a shuffled-join output partitioned at the conf count, and
+    //     when the two sides' counts disagree EnsureRequirements
+    //     re-exchanges the BUCKETED side to the larger count — the
+    //     planner then marks the bucketed scan useless ("Bucketed:
+    //     false (disabled by query planner)") and moves the full edge
+    //     relation every iteration. Pre-partitioning deg (once) and
+    //     ranks (node-sized, per iteration) to the bucket count makes
+    //     the stored layout the anchor at ANY shuffle-partition
+    //     setting. At 100 TB the bucket count is the ingest-time
+    //     parallelism knob for the serve; the demo store uses 8.
+    //  3. The increment pre-exchanges to the same count, so both
+    //     contribution joins are exchange-free on their edge side.
+    // the layout's partition count comes from CATALOG METADATA, not
+    // from planning a bare scan (`snapJoin.rdd.getNumPartitions` lies:
+    // with no downstream requirement the planner disables bucketed
+    // reading for the probe plan and reports file-split counts)
+    val snapParts =
+      if (useBroadcast) 0
+      else s.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(EdgeSrcTable))
+        .bucketSpec.map(_.numBuckets)
+        .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
     val incJoin =
       if (useBroadcast) incOnly
-      else incOnly.repartition(col("src"))
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+      else incOnly.repartition(snapParts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val degJ =
+      if (useBroadcast) deg
+      else deg.repartition(snapParts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("node")).crossJoin(nNodes)
       .select(col("node"), expr(s"${scale}L div n_nodes").as("r"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to iters) {
-      val rd = ranks.join(deg, ranks("node") === deg("src"))
+      val rnk =
+        if (useBroadcast) ranks
+        else ranks.repartition(snapParts, col("node"))
+      val rd = rnk.join(degJ, rnk("node") === degJ("src"))
         .select(col("node"), col("r"), col("deg"))
       def contrib(e: DataFrame, out: String) =
         joinRanks(e, rd, useBroadcast)
@@ -310,7 +361,7 @@ object GraphOps {
       GenTracker.release(prev)
     }
     if (incJoin eq incOnly) liveRankCaches.set(snap, incOnly, deg, ranks)
-    else liveRankCaches.set(snap, incOnly, incJoin, deg, ranks)
+    else liveRankCaches.set(snap, incOnly, incJoin, degJ, deg, ranks)
     ranks
   }
 

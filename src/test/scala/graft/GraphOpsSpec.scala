@@ -280,6 +280,40 @@ class GraphOpsSpec extends SparkSpec {
         s"$perIter bytes (1-iter=$one, 5-iter=$five)")
   }
 
+  test("the src-bucketed twin is built once per snapshot generation — " +
+      "including after a memo loss (cross-JVM serve, ADVICE r17 #3): " +
+      "the stored-table signature fallback keeps build-once economics") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pr_srconce").toString
+    spark.range(0, 20000L)
+      .selectExpr("id div 4 AS l_orderkey", "id % 211 AS l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    GraphOps.writeEdgeSnapshot(spark, dir)
+    // content signature of the twin's files — identical iff not rewritten
+    def srcSig(): String = graft.schema.Cuts.pathSig(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(GraphOps.EdgeSrcTable))
+        .location.toString)
+    GraphOps.writeEdgeSrcLayout(spark)
+    val sig1 = srcSig()
+    GraphOps.writeEdgeSrcLayout(spark)
+    assert(srcSig() == sig1,
+      "a second same-generation serve rewrote the src-bucketed twin")
+    // simulate a FRESH JVM serving a warehouse-persisted snapshot: both
+    // build memos are gone, both tables are still on disk. The first
+    // call may rebuild (memo cold); the second must memo-hit via the
+    // stored-table signature fallback — before the fallback its parent
+    // tag was None and EVERY above-gate serve rewrote the full copy.
+    graft.ops.ArtifactCache.invalidate(GraphOps.EdgeTable)
+    graft.ops.ArtifactCache.invalidate(GraphOps.EdgeSrcTable)
+    GraphOps.writeEdgeSrcLayout(spark)
+    val sig2 = srcSig()
+    GraphOps.writeEdgeSrcLayout(spark)
+    assert(srcSig() == sig2,
+      "post-memo-loss second serve rewrote the twin — the stored-table " +
+        "signature fallback is not keeping the build-once amortization")
+  }
+
   test("maintain serve with an EMPTY increment equals ranks over the " +
       "snapshot store alone (q211's drained-stream edge case)") {
     val dir = java.nio.file.Files
