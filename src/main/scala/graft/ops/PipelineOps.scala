@@ -27,8 +27,16 @@ object PipelineOps {
   /** Default driver union-find gate for [[connectedComponents]] — named
     * so the memory contract is spec-checkable (VERDICT r13 #8): the
     * derivation lives on the gate branch below; PipelineOpsSpec asserts
-    * the collect byte bound against this constant. */
-  private[graft] val DriverGateEdgesDefault = 200000
+    * the collect byte bound against this constant.
+    *
+    * `SPARK_GRAFT_CC_GATE` overrides the default for MEASUREMENT runs
+    * only (round 18: the SCALING.md above-gate exercise drives every
+    * cluster-family catalog leg through the distributed min-label loop
+    * at bench scale by setting it to 0 — the connected-components twin
+    * of `SPARK_GRAFT_PR_GATE`); production posture is the unmodified
+    * default. */
+  private[graft] val DriverGateEdgesDefault: Int =
+    sys.env.get("SPARK_GRAFT_CC_GATE").map(_.toInt).getOrElse(200000)
 
   /** Connected components by iterative min-label propagation.
     *
