@@ -55,4 +55,32 @@ class CacheLifecycleSpec extends SparkSpec {
       s"cached-RDD residency grew across passes: $after1 -> $after2 " +
         s"-> $after3 (a persist site is missing an eviction owner)")
   }
+
+  test("the ABOVE-GATE rank serve's persists are generation-owned too: " +
+      "repeated shuffled-mode serves do not accrete (round 18 — the " +
+      "src-aligned incJoin and degJ persists join liveRankCaches)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rank_residency").toString
+    spark.range(0, 20000L)
+      .selectExpr("id div 4 AS l_orderkey", "id % 211 AS l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    graft.ops.GraphOps.writeEdgeSnapshot(spark, dir)
+    val cut = graft.schema.Cuts.lineitem(spark, dir)
+    def serve(): Int = {
+      graft.ops.GraphOps.pageRankMaintainServe(spark,
+          graft.ops.GraphOps.coPurchaseEdges(
+            graft.schema.Tables.lineitem(spark, dir)
+              .filter(col("l_orderkey") >= cut)),
+          iters = 2, broadcastGateNodes = 0L)
+        .write.mode("overwrite").format("noop").save()
+      spark.sparkContext.getPersistentRDDs.size
+    }
+    val after1 = serve()
+    val after2 = serve()
+    val after3 = serve()
+    assert(after2 <= after1 && after3 <= after2,
+      s"above-gate rank-serve residency grew across serves: $after1 -> " +
+        s"$after2 -> $after3 (incJoin/degJ missing a tracker owner)")
+  }
 }
