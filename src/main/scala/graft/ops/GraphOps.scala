@@ -270,7 +270,7 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val incOnly = incEdgesRaw.join(snap, Seq("src", "dst"), "left_anti")
       .repartition(col("dst"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dDeg = incOnly.groupBy(col("src")).agg(count(lit(1)).as("ddeg"))
     val deg = s.table(s"${EdgeTable}_deg")
       .join(dDeg, Seq("src"), "full_outer")
