@@ -194,6 +194,81 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no plan pays an exchange on a bucketed store's own bucket key " +
+      "above a de-bucketed scan of it, at the BENCH's partition count " +
+      "(round 18 — the 'Bucketed: false (disabled by query planner)' " +
+      "hazard that re-exchanged the full edge snapshot every PageRank " +
+      "iteration)") {
+    // The failure mode: a join/agg input arrives pre-partitioned at
+    // spark.sql.shuffle.partitions while the store is bucketed N < that
+    // — EnsureRequirements then re-exchanges the BUCKETED side to the
+    // larger count and the planner disables the bucketed scan, so the
+    // store's layout silently stops serving the probe. Invisible at the
+    // spec session's 4 partitions (4 < every bucket count, so the
+    // bucketed side always anchors); fires at the bench/driver's 32.
+    // Audit: recompose every query whose plan scans a bucketed graft
+    // store, at 32 partitions with AQE off (static final plan), and
+    // flag any shuffle exchange hashing EXACTLY a store's bucket
+    // columns whose first-exchange-free subtree contains a de-bucketed
+    // scan of that store.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    def graftBucketScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case sc: FileSourceScanExec
+            if sc.relation.bucketSpec.isDefined &&
+              sc.tableIdentifier.exists(_.table.startsWith("graft_")) => sc
+      }
+    val bucketScanners = pureQueryPlans
+      .filter { case (_, plan) => graftBucketScans(plan).nonEmpty }
+      .map(_._1)
+    assert(bucketScanners.nonEmpty, "no bucketed-store scanners found — " +
+      "the membership probe is broken")
+    def scansBelowFirstExchange(p: SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case _: ShuffleExchangeExec => Seq.empty
+        case _: BroadcastExchangeExec => Seq.empty
+        case sc: FileSourceScanExec => Seq(sc)
+        case other => other.children.flatMap(scansBelowFirstExchange)
+      }
+    def violations(plan: SparkPlan): Seq[String] = plan.collect {
+      case ex: ShuffleExchangeExec => ex.outputPartitioning match {
+        case hp: HashPartitioning =>
+          val keys = hp.expressions
+            .collect { case a: AttributeReference => a.name }.toSet
+          scansBelowFirstExchange(ex.child).collect {
+            case sc if !sc.bucketedScan &&
+                sc.relation.bucketSpec
+                  .exists(_.bucketColumnNames.toSet == keys) &&
+                sc.tableIdentifier.exists(_.table.startsWith("graft_")) =>
+              s"exchange(${keys.mkString(",")}) above de-bucketed scan " +
+                s"of ${sc.tableIdentifier.get.table}"
+          }
+        case _ => Seq.empty
+      }
+    }.flatten
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      bucketScanners.foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan
+        val bad = violations(plan)
+        assert(bad.isEmpty,
+          s"$name at shuffle.partitions=32: ${bad.mkString("; ")} — the " +
+            "store's layout is being re-exchanged instead of anchoring " +
+            "the join/agg (align the other side to the bucket count)")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("no filter re-derives a higher-order chain below the fan-out " +
       "guard (inferred/pushed-filter inline, the q66 lesson)") {
     // Predicate pushdown substitutes project aliases into the pushed
