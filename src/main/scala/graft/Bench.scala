@@ -405,8 +405,14 @@ object Bench {
         }
       }
     } catch { case _: Throwable => Map.empty } // flags are best-effort
+    // still_contended readings are excluded: the run already labeled
+    // them untrusted (every re-measurement ran under elevated flanking
+    // probes), so flagging them against the quiet-host envelope would
+    // pollute the mechanical triage set with guaranteed false positives
+    // — a 2× contention-inflated reading trivially exceeds the bar
     val outsideEnv = ok.filter { case (k, (t, _)) =>
-      envMax.get(k).exists(mx => t > mx * 1.3 + 0.3)
+      !stillContended.contains(k) &&
+        envMax.get(k).exists(mx => t > mx * 1.3 + 0.3)
     }
     val outsideJson = outsideEnv
       .map { case (k, (t, _)) => "\"" + shortKey(k) + "\":" + fmt(t) }

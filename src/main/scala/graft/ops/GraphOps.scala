@@ -125,7 +125,18 @@ object GraphOps {
     // crossover accounting).
     val edJoin =
       if (useBroadcast) ed
-      else ed.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      else {
+        val e = ed.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize BEFORE the loop (round 18): a cold InMemoryRelation
+        // wraps a not-yet-final adaptive plan whose outputPartitioning is
+        // UNKNOWN, so iteration 1's EnsureRequirements re-exchanges both
+        // sides of the rank join to the conf count — moving the full edge
+        // relation once more. The build cost is identical (iteration 1
+        // paid it anyway); paying it eagerly makes the src layout visible
+        // to the first iteration's planning.
+        e.count()
+        e
+      }
     var ranks = deg.select(col("src").as("node")).crossJoin(nNodes)
       .select(col("node"), expr(s"${scale}L div n_nodes").as("r"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
@@ -182,9 +193,11 @@ object GraphOps {
     * only (the SCALING.md broadcast-vs-shuffled mode comparison drives
     * the full catalog legs through the above-gate plan at bench scale
     * by setting it to 0 — VERDICT r17 #2); production posture is the
-    * unmodified default. */
-  private[graft] val BroadcastGateNodesDefault: Long =
-    sys.env.get("SPARK_GRAFT_PR_GATE").map(_.toLong).getOrElse(1000000L)
+    * unmodified default. A `def` parsed via [[Knobs.envLong]]: a
+    * malformed override fails the touching query with a message naming
+    * the variable instead of poisoning the object initializer. */
+  private[graft] def BroadcastGateNodesDefault: Long =
+    Knobs.envLong("SPARK_GRAFT_PR_GATE", 1000000L)
 
   /** `limit(gate + 1)` probe count, Int-clamped (limit takes Int; a
     * gate at/above Int.MaxValue means "always broadcast" and any count
@@ -336,6 +349,16 @@ object GraphOps {
       if (useBroadcast) deg
       else deg.repartition(snapParts, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the pre-exchanged caches BEFORE the loop (round 18):
+    // a cold InMemoryRelation wraps a not-yet-final adaptive plan whose
+    // outputPartitioning is UNKNOWN, so iteration 1's EnsureRequirements
+    // re-exchanged BOTH sides of the contribution join to the conf
+    // count — de-bucketing the snapshot scan for that iteration (the
+    // driver-posture GraphOpsSpec leg captures exactly this). The build
+    // cost is identical (iteration 1 paid it anyway); eager
+    // materialization makes the bucket-count layout visible to the
+    // first iteration's planning, so the store never moves.
+    if (!useBroadcast) { degJ.count(); incJoin.count() }
     var ranks = deg.select(col("src").as("node")).crossJoin(nNodes)
       .select(col("node"), expr(s"${scale}L div n_nodes").as("r"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)

@@ -34,9 +34,11 @@ object PipelineOps {
     * cluster-family catalog leg through the distributed min-label loop
     * at bench scale by setting it to 0 — the connected-components twin
     * of `SPARK_GRAFT_PR_GATE`); production posture is the unmodified
-    * default. */
-  private[graft] val DriverGateEdgesDefault: Int =
-    sys.env.get("SPARK_GRAFT_CC_GATE").map(_.toInt).getOrElse(200000)
+    * default. A `def` parsed via [[Knobs.envLong]] — same malformed-
+    * override failure contract as the PageRank gate. */
+  private[graft] def DriverGateEdgesDefault: Int =
+    math.min(Knobs.envLong("SPARK_GRAFT_CC_GATE", 200000L),
+      Int.MaxValue.toLong).toInt
 
   /** Connected components by iterative min-label propagation.
     *

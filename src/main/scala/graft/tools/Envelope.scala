@@ -58,6 +58,14 @@ object Envelope {
       else if (root.get("sf").asText() != "/root/testdata/sf0.1")
         println(s"SKIP $path: sf ${root.get("sf").asText()} — the envelope " +
           "is per-SF data and covers the driver's sf0.1 config only")
+      else if (sources.contains(s"$path@${root.get("value").asDouble()}s"))
+        // idempotent merge: the `path@total` identity is already in the
+        // provenance list, so re-running the tool on an unchanged detail
+        // file must not double-count n or duplicate the source entry —
+        // the per-query reading counts are the evidence the adjudication
+        // protocol cites for how many independent runs back the envelope
+        println(s"SKIP $path: already merged " +
+          s"(source ${root.get("value").asDouble()}s on record)")
       else {
         root.get("queries").properties().forEach { e =>
           val t = e.getValue.asDouble()

@@ -280,6 +280,140 @@ class GraphOpsSpec extends SparkSpec {
         s"$perIter bytes (1-iter=$one, 5-iter=$five)")
   }
 
+  test("the fallback serve survives the DRIVER posture — 32 shuffle " +
+      "partitions (> the 8-bucket store), AQE on, rank side too big to " +
+      "broadcast: no iteration's executed plan re-exchanges the " +
+      "src-bucketed snapshot (round 18 guard for the snapParts " +
+      "alignment)") {
+    // The de-bucketing hazard is partition-count- AND posture-
+    // dependent: when the side joining the store arrives partitioned at
+    // spark.sql.shuffle.partitions > the bucket count, the planner
+    // re-exchanges the BUCKETED side to the larger count and the full
+    // edge relation moves every iteration. None of the existing guards
+    // can see it: the spec session runs 4 shuffle partitions (< 8
+    // buckets, the bucketed side always anchors), PlanAuditSpec's
+    // composed-plan audit never sees the loop's per-iteration plans
+    // (each iteration executes inside its eager localCheckpoint during
+    // query COMPOSITION; the returned frame is a truncated
+    // ExistingRDD), and at fixture scale AQE broadcast-converts the
+    // tiny rank join, which masks the hazard — at 100 TB the rank
+    // relation is NOT broadcastable (that is the whole point of the
+    // above-gate path). Measured on this fixture with broadcast
+    // disabled: reverting BOTH snapParts alignments (rnk and degJ —
+    // either alone still anchors the rd join at the bucket count)
+    // takes per-iteration shuffle from 45 KB (node-sized) to 112 KB
+    // (edge-sized re-exchange of the 8822-edge snapshot, 2.5×). This
+    // leg reproduces the driver posture — 32 partitions, AQE ON,
+    // autoBroadcastJoinThreshold -1 — captures each iteration's ACTUAL
+    // executed (adaptive) plan via a QueryExecutionListener, and
+    // asserts no shuffle exchange sits between the src-twin's scan and
+    // its join: the written layout must stay the anchor. First run of
+    // this leg also caught a real misplan the byte meters had absorbed:
+    // iteration 1 planned against COLD degJ/incJoin caches (an
+    // unmaterialized InMemoryRelation wraps a non-final adaptive plan,
+    // outputPartitioning UNKNOWN) and re-exchanged the store for that
+    // one iteration — fixed by materializing the pre-exchanged caches
+    // before the loop; this guard now holds for EVERY iteration.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    // AQE wraps materialized stages in QueryStageExec (children = Nil),
+    // so TreeNode.collect stops at stage boundaries — traverse through
+    // them and through the adaptive root's current physical plan
+    def deepChildren(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    def subtreeHas(p: SparkPlan, pred: SparkPlan => Boolean): Boolean =
+      pred(p) || deepChildren(p).exists(subtreeHas(_, pred))
+    def isSrcScan(p: SparkPlan): Boolean = p match {
+      case sc: FileSourceScanExec =>
+        sc.tableIdentifier.exists(_.table == GraphOps.EdgeSrcTable)
+      case _ => false
+    }
+    // the hazard is an exchange BETWEEN the scan and its join — the
+    // store moving before it anchors anything. Exchanges above the JOIN
+    // output (the contribution groupBy's partial-aggregated exchange)
+    // are the node-sized movement the design budgets for, so the
+    // downward walk stops at join nodes.
+    def scanBeforeAnyJoin(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case sc if isSrcScan(sc) => true
+      case other => deepChildren(other).exists(scanBeforeAnyJoin)
+    }
+    def violations(p: SparkPlan): Int =
+      (p match {
+        case ex: ShuffleExchangeLike if scanBeforeAnyJoin(ex.child) => 1
+        case _ => 0
+      }) + deepChildren(p).map(violations).sum
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pr_gate_departs").toString
+    // dense co-purchase fixture (12-item orders over 401 parts): 8822
+    // directed edges vs 401 nodes, so an edge-sized re-exchange is
+    // unambiguous against node-sized movement
+    spark.range(0, 24000L)
+      .selectExpr("id div 12 AS l_orderkey", "id % 401 AS l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAbc =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      GraphOps.writeEdgeSnapshot(spark, dir)
+      val cut = graft.schema.Cuts.lineitem(spark, dir)
+      GraphOps.writeEdgeSrcLayout(spark) // build the twin outside capture
+      spark.catalog.clearCache()
+      spark.listenerManager.register(qel)
+      GraphOps.pageRankMaintainServe(spark,
+          GraphOps.coPurchaseEdges(graft.schema.Tables.lineitem(spark, dir)
+            .filter(col("l_orderkey") >= cut)),
+          iters = 3, broadcastGateNodes = 0L)
+        .write.mode("overwrite").format("noop").save()
+      org.apache.spark.sql.graftshim.ListenerShim
+        .waitUntilListenersDrained(spark.sparkContext)
+      val captured = plans.toArray(Array.empty[SparkPlan]).toSeq
+      val withScan = captured.filter(subtreeHas(_, isSrcScan))
+      // positive control: the iterations' plans were CAPTURED (eager
+      // localCheckpoints fire the listener) and scan the twin once per
+      // iteration — without this the violation sweep passes vacuously
+      // if a Spark upgrade stops reporting checkpoint executions
+      assert(withScan.size >= 3,
+        s"captured only ${withScan.size} plans scanning the src twin " +
+          "across 3 iterations — the listener is not seeing the loop")
+      val bad = withScan.map(violations).sum
+      assert(bad == 0,
+        s"$bad shuffle exchange(s) above the ${GraphOps.EdgeSrcTable} " +
+          "scan in the iterations' executed plans at the driver " +
+          "posture — the store is being re-exchanged (~2.5× iteration " +
+          "shuffle) instead of anchoring the join; restore the " +
+          "snapParts alignment")
+    } finally {
+      spark.listenerManager.unregister(qel)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      prevAbc match {
+        case Some(v) => spark.conf
+          .set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf
+          .unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("the src-bucketed twin is built once per snapshot generation — " +
       "including after a memo loss (cross-JVM serve, ADVICE r17 #3): " +
       "the stored-table signature fallback keeps build-once economics") {
