@@ -414,8 +414,21 @@ object Bench {
       !stillContended.contains(k) &&
         envMax.get(k).exists(mx => t > mx * 1.3 + 0.3)
     }
+    // the detail file carries the FULL flag set; the stdout line caps
+    // it (round 18 review): the line has a ~900-byte budget against the
+    // driver's 2000-char tail-capture window (see below), and a broadly
+    // IO-degraded host could flag dozens of queries — an unbounded
+    // object is the exact overflow that recorded "parsed": null in
+    // BENCH_r2-r4/r11. The worst 10 plus a count is ample for triage.
     val outsideJson = outsideEnv
       .map { case (k, (t, _)) => "\"" + shortKey(k) + "\":" + fmt(t) }
+      .mkString("{", ",", "}")
+    val outsideSorted = outsideEnv.toSeq
+      .sortBy { case (k, (t, _)) => -(t - envMax(k)) }
+    val outsideJsonLine = (outsideSorted.take(10)
+      .map { case (k, (t, _)) => "\"" + shortKey(k) + "\":" + fmt(t) } ++
+      (if (outsideSorted.size > 10)
+        Seq("\"_more\":" + (outsideSorted.size - 10)) else Nil))
       .mkString("{", ",", "}")
     val errJson = errors.reverse
       .map { case (k, m) => s"\"" + shortKey(k) + "\":\"" + m.take(60) + "\"" }
@@ -442,7 +455,7 @@ object Bench {
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus$subset,"calib":$calib,"calib_io":$calibIo,"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"recording_eligible":$recordingEligible,"outside_envelope":$outsideJson,"n_queries":${ok.size},"build_sec":$buildTotal,"families":$fams,\n"queries":$detail,\n"build":$detailBuild,\n"errors":$errJson,\n"requeue_errors":$requeueErrJson}\n""".getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"families":$fams,"build_sec":${fmt(buildTotal)},"slowest":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"calib_io":${fmt(calibIo)},"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"recording_eligible":$recordingEligible,"outside_envelope":$outsideJson,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"families":$fams,"build_sec":${fmt(buildTotal)},"slowest":$qs,"errors":$errJson$subset,"calib":${fmt(calib)},"calib_io":${fmt(calibIo)},"calib_segments":$segJson,"contended":$contended,"still_contended":$stillJson,"recording_eligible":$recordingEligible,"outside_envelope":$outsideJsonLine,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
     // The driver parses the LAST stdout JSON line; BENCH_r2-r4 all recorded
     // "parsed": null because Spark's shutdown logging and sbt's success
     // banner landed after (or interleaved with) the metric line. Defense in

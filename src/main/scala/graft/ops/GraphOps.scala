@@ -201,9 +201,13 @@ object GraphOps {
 
   /** `limit(gate + 1)` probe count, Int-clamped (limit takes Int; a
     * gate at/above Int.MaxValue means "always broadcast" and any count
-    * below it passes). */
+    * below it passes). Checked BEFORE the +1 — `Long.MaxValue + 1`
+    * wraps negative — and floored at 0 so a negative gate override
+    * degrades to "never broadcast" instead of a negative-limit throw
+    * (round 18 review, the connectedComponents probe's twin fix). */
   private def intGate(gate: Long): Int =
-    math.min(gate + 1, Int.MaxValue.toLong).toInt
+    if (gate >= Int.MaxValue.toLong) Int.MaxValue
+    else math.max(0L, gate + 1).toInt
 
   /** The broadcast-vs-shuffle gate probe, shared by [[pageRankScaled]]
     * and [[pageRankMaintainServe]] (VERDICT r17 hygiene — the twin

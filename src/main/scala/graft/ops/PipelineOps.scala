@@ -88,7 +88,15 @@ object PipelineOps {
     // smallest plausible driver heap (1 GB), and an order of magnitude
     // under Spark's own 128 MB collect-size guard. A retune must keep
     // gate × 16 B ≪ driver heap; PipelineOpsSpec asserts the byte bound.
-    if (sym.limit(driverGateEdges + 1).count() <= driverGateEdges) {
+    // Int-safe probe bound (round 18 review): `driverGateEdges + 1`
+    // overflows to Int.MinValue at a gate of Int.MaxValue — the natural
+    // "always take the driver path" override now reachable through
+    // SPARK_GRAFT_CC_GATE — and a negative limit throws on every
+    // cluster-family query. Same clamp as the PageRank twin's intGate:
+    // at the ceiling, any count passes the gate anyway.
+    val probeLimit = math.max(0L,
+      math.min(driverGateEdges.toLong + 1, Int.MaxValue.toLong)).toInt
+    if (sym.limit(probeLimit).count() <= driverGateEdges) {
       val es = sym.select(col("a").cast("long"), col("b").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]

@@ -53,8 +53,16 @@ object TempDirs {
   private[graft] def snapshot: Map[String, java.nio.file.Path] =
     lastOf.toMap
 
+  /** Dir-name tag identifying THIS JVM's scratch dirs: two concurrent
+    * graft sessions run the same catalog with the same prefixes, so a
+    * name-prefix filter alone cannot tell their dirs apart —
+    * DiskLifecycleSpec's footprint counter scopes to names carrying
+    * this tag to stay flake-free under a parallel bench/verify run
+    * (the residual ADVICE r17 #5 scenario). */
+  private[graft] val jvmTag = s"-p${ProcessHandle.current().pid()}-"
+
   def scratch(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    val p = java.nio.file.Files.createTempDirectory(prefix + jvmTag)
     // generational sweep: the PREVIOUS dir for this prefix belongs to a
     // superseded invocation whose consumers have acted (sequential
     // catalog); delete it now instead of at exit. Best-effort — a

@@ -58,12 +58,17 @@ object Envelope {
       else if (root.get("sf").asText() != "/root/testdata/sf0.1")
         println(s"SKIP $path: sf ${root.get("sf").asText()} — the envelope " +
           "is per-SF data and covers the driver's sf0.1 config only")
-      else if (sources.contains(s"$path@${root.get("value").asDouble()}s"))
-        // idempotent merge: the `path@total` identity is already in the
-        // provenance list, so re-running the tool on an unchanged detail
-        // file must not double-count n or duplicate the source entry —
-        // the per-query reading counts are the evidence the adjudication
-        // protocol cites for how many independent runs back the envelope
+      // idempotent merge identity = BASENAME@total (round 18 review:
+      // keying on the verbatim argument path let `./BENCH_DETAIL.json`
+      // re-merge a file recorded as `BENCH_DETAIL.json`; the basename
+      // matches the entries already committed, and the ns-precision
+      // total disambiguates distinct runs sharing a filename)
+      else if (sources.contains(
+          s"${Paths.get(path).getFileName}@${root.get("value").asDouble()}s"))
+        // re-running the tool on an unchanged detail file must not
+        // double-count n or duplicate the source entry — the per-query
+        // reading counts are the evidence the adjudication protocol
+        // cites for how many independent runs back the envelope
         println(s"SKIP $path: already merged " +
           s"(source ${root.get("value").asDouble()}s on record)")
       else {
@@ -75,7 +80,8 @@ object Envelope {
             case None => acc(e.getKey) = (t, t, 1)
           }
         }
-        sources ::= s"$path@${root.get("value").asDouble()}s"
+        sources ::=
+          s"${Paths.get(path).getFileName}@${root.get("value").asDouble()}s"
         println(s"merged $path (${root.get("n_queries").asInt()} queries, " +
           s"total ${root.get("value").asDouble()}s)")
       }

@@ -96,10 +96,14 @@ class ArtifactCacheSpec extends AnyFunSuite {
     val part = tbl.resolve("shard=0")
     Files.createDirectories(part)
     Files.write(part.resolve("part-0"), Array.fill(10)('y'.toByte))
+    // pin the nested file's mtime to the SAME fixed stamp before and
+    // after the rewrite, so the signature change below is attributable
+    // to the LENGTH alone (a stat the old top-level aggregate also
+    // missed when total bytes balanced out)
+    Files.setLastModifiedTime(part.resolve("part-0"), mt)
     val sig3 = graft.schema.Cuts.tableSig(dir, "documents")
     Files.write(part.resolve("part-0"), Array.fill(99)('y'.toByte))
-    Files.setLastModifiedTime(part.resolve("part-0"),
-      Files.getLastModifiedTime(part.resolve("part-0")))
+    Files.setLastModifiedTime(part.resolve("part-0"), mt)
     val sig4 = graft.schema.Cuts.tableSig(dir, "documents")
     assert(sig4 != sig3, "nested rewrite did not change the signature")
   }

@@ -52,9 +52,16 @@ class DiskLifecycleSpec extends SparkSpec {
     val reg1 = graft.ops.TempDirs.snapshot
     val ownPrefixes = reg1.keySet.filter(k => !reg0.get(k).contains(reg1(k)))
     assert(ownPrefixes.nonEmpty, "the passes acquired no scratch prefixes")
+    // the JVM tag closes the residual concurrency window (round 18): a
+    // CONCURRENT graft session runs the same catalog, so its dirs carry
+    // the same prefixes and would otherwise be counted the moment they
+    // appear between two counts — prefix scoping alone only filters
+    // differently-named scratch
+    val jvmTag = graft.ops.TempDirs.jvmTag
     def ownDirCount(): Int =
       tmp.listFiles().count(f => f.isDirectory &&
         !preExisting(f.getName) &&
+        f.getName.contains(jvmTag) &&
         ownPrefixes.exists(f.getName.startsWith))
     val after1 = ownDirCount()
     pass()
