@@ -92,9 +92,17 @@ object Ingest {
     Q("q22_secure_transform",
       // repartition before the KDF projection: the single-file scan is one
       // task and per-row crypto is the cost — the same reason a real
-      // secure-ingest job repartitions after reading few large source files
+      // secure-ingest job repartitions after reading few large source files.
+      // The width is PINNED to the core count (round 18): a bare
+      // repartition(col) is REPARTITION_BY_COL, which AQE coalesces by
+      // BYTES (minPartitionSize 1 MB) — 312 KB of customer rows collapsed
+      // to a single task and 150k Argon2 hashes ran serially (measured:
+      // 5 tasks / 3.2 task-s / 2.80 s steady; the whole query IS this
+      // projection). Per-row KDF cost is invisible to byte-based sizing;
+      // cores-derived width is the scale-adaptive spread (at 100 TB the
+      // scan supplies ≥ cores splits and the exchange stays one pass).
       (s, d) => Tables.customer(s, d)
-        .repartition(col("c_custkey"))
+        .repartition(s.sparkContext.defaultParallelism, col("c_custkey"))
         .select(
           col("c_custkey"),
           Crypto.normalizeEmail(col("c_name")).as("name_norm"),

@@ -1584,10 +1584,14 @@ object PipelineOps {
                 element_at(col("tk"), i + j)): _*)))
             .otherwise(array())).as("gram"))
         val table = "graft_gram_index"
-        Tables.resetManagedTable(s, table)
-        grams.filter(col("doc_id") % 2 === 0)
-          .select(col("gram")).distinct()
-          .write.bucketBy(8, "gram").mode("overwrite").saveAsTable(table)
+        // build-once memo (round 18): the train-gram index is read-only
+        // after the build — the same maintainer policy as q34b/q44b
+        ArtifactCache.once(table, Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|even|gram5")) {
+          Tables.resetManagedTable(s, table)
+          grams.filter(col("doc_id") % 2 === 0)
+            .select(col("gram")).distinct()
+            .write.bucketBy(8, "gram").mode("overwrite").saveAsTable(table)
+        }
         val shared = grams.filter(col("doc_id") % 2 === 1)
           .join(s.table(table), Seq("gram"), "left_semi")
           .groupBy(col("doc_id"))
@@ -2997,17 +3001,26 @@ object PipelineOps {
         val docs = Tables.documents(s, d)
         val cut = graft.schema.Cuts.documents(s, d)
         val stateT = "graft_card_state"; val hashT = "graft_card_hashes"
-        graft.schema.Tables.resetManagedTable(s, stateT)
-        graft.schema.Tables.resetManagedTable(s, hashT)
-        val snapPD = cardPerDoc(docs.filter(col("doc_id") < cut))
-        snapPD.groupBy(col("lang"), col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("chars")).as("total_chars"),
-            sum(col("toks")).as("total_tokens"),
-            countDistinct(col("h")).as("n_distinct"))
-          .write.mode("overwrite").saveAsTable(stateT)
-        snapPD.select(col("lang"), col("source"), col("h")).distinct()
-          .write.mode("overwrite").saveAsTable(hashT)
+        // build-once memo (round 18): both snapshot-state tables are
+        // read-only after the build (the increment probes hashT with an
+        // anti-join and merges in-plan) — the q149-labels policy
+        val cardTag = Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|cut0.8|card")
+        ArtifactCache.once(stateT, cardTag) {
+          graft.schema.Tables.resetManagedTable(s, stateT)
+          graft.schema.Tables.resetManagedTable(s, hashT)
+          val snapPD = cardPerDoc(docs.filter(col("doc_id") < cut))
+            .persist()
+          try {
+            snapPD.groupBy(col("lang"), col("source"))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(col("chars")).as("total_chars"),
+                sum(col("toks")).as("total_tokens"),
+                countDistinct(col("h")).as("n_distinct"))
+              .write.mode("overwrite").saveAsTable(stateT)
+            snapPD.select(col("lang"), col("source"), col("h")).distinct()
+              .write.mode("overwrite").saveAsTable(hashT)
+          } finally { snapPD.unpersist(); () }
+        }
         val incPD = cardPerDoc(docs.filter(col("doc_id") >= cut))
         val incCells = incPD.groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("i_docs"),
@@ -3074,8 +3087,16 @@ object PipelineOps {
               .as("name"))
         val all = base.union(variants)
         def blockPairs(bk: Column): DataFrame = {
+          // width pinned (round 18): the self-join's shuffle carries a
+          // few hundred KB of keys, so AQE coalesces it to 1-2 tasks —
+          // but the stage's WORK is the within-block pair expansion +
+          // per-pair levenshtein, invisible to byte-based sizing (the
+          // q22 lesson). Explicit cores-derived width keeps the scoring
+          // stage wide; both aliases share one exchange.
           val withKey = all.select(col("nk"), bk.as("bk"), col("id"),
             col("name"))
+            .repartition(s.sparkContext.defaultParallelism,
+              col("nk"), col("bk"))
           withKey.as("x").join(withKey.as("y"),
               col("x.nk") === col("y.nk") && col("x.bk") === col("y.bk")
                 && col("x.id") < col("y.id"))

@@ -71,7 +71,9 @@ object Relational {
     // ---- filter + projection: both must reach the parquet scan
     // (PushedFilters + 4-column ReadSchema in .explain)
     Q("q02_filter_project",
-      (s, d) => Tables.lineitem(s, d)
+      // raw loader: the only exchange this query needs is its orderBy's
+      // range partition — see Tables.lineitemRaw (round 18)
+      (s, d) => Tables.lineitemRaw(s, d)
         .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"))
@@ -205,7 +207,8 @@ object Relational {
           "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
           "l_tax", "l_returnflag", "l_linestatus").map(col)
         val w = Window.partitionBy(col("l_suppkey")).orderBy(tieCols: _*)
-        Tables.lineitem(s, d)
+        // raw loader: the window exchanges by l_suppkey anyway (round 18)
+        Tables.lineitemRaw(s, d)
           .withColumn("running_qty",
             round(sum(col("l_quantity"))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
@@ -233,7 +236,8 @@ object Relational {
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
           .rangeBetween(-30, 0)
-        Tables.orders(s, d)
+        // raw loader: the window exchanges by o_custkey anyway (round 18)
+        Tables.ordersRaw(s, d)
           .withColumn("days",
             datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
               .cast("long"))
@@ -278,15 +282,26 @@ object Relational {
     // in-plan (same trick as q19's approx_close): exact count alongside,
     // |approx-exact|/exact ≤ 5% emitted as a boolean the oracle states.
     Q("q11b_approx_distinct",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
-          count(lit(1)).as("n_rows"))
-        .select(col("l_returnflag"), col("n_parts"), col("n_rows"),
-          (abs(col("approx") - col("n_parts")) / col("n_parts").cast("double")
-            <= 0.05).as("approx_ok"))
-        .orderBy(col("l_returnflag")),
+      // exact-NDV leg SEPARATED from the plain aggregates (round 18, the
+      // q124 lesson applied here): countDistinct mixed into the same agg
+      // plans the Expand-based multi-distinct shape — every lineitem row
+      // doubles and the plain count/HLL recompute over the expanded
+      // stream (measured 21.7 MB shuffle / 10.8 task-s; split, the HLL
+      // leg partial-aggregates map-side to 3 rows and the distinct leg
+      // shuffles only map-side-deduped (flag, partkey) pairs)
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val base = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+            count(lit(1)).as("n_rows"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        base.join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("n_parts"), col("n_rows"),
+            (abs(col("approx") - col("n_parts")) / col("n_parts").cast("double")
+              <= 0.05).as("approx_ok"))
+          .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
               count(*) AS n_rows, true AS approx_ok
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
@@ -478,6 +493,10 @@ object Relational {
 
     // ---- scalar-function library: string / date / math / conditional
     Q("q17_scalar_fns",
+      // KEEPS the fanned loader (round 18): the raw-loader variant was
+      // measured 0.45 → 0.60 s — nine string/date projections over 150k
+      // rows are real per-row CPU, exactly what the under-split guard
+      // exists to spread
       (s, d) => Tables.orders(s, d)
         .select(
           col("o_orderkey"),
@@ -734,6 +753,7 @@ object Relational {
 
     // ---- date/time arithmetic library
     Q("q17b_date_fns",
+      // keeps the fanned loader — same measured rationale as q17 (round 18)
       (s, d) => Tables.orders(s, d)
         .select(
           col("o_orderkey"),
@@ -810,12 +830,19 @@ object Relational {
     Q("q124_stats_collect",
       (s, d) => {
         val li = Tables.lineitem(s, d)
+        // INT column tags through the aggregation legs (round 18, guide
+        // §2.3 "narrower types"): the exact-NDV leg shuffles one row per
+        // map-side-distinct (tag, value) pair — l_extendedprice is
+        // near-unique, so a 15-char string tag repeated ~600k times was
+        // most of the leg's 22 MB exchange and its hash-map cost; the
+        // tag is decoded back to the column name on the 5-row result
         val num = li.select(expr(
-          """stack(3, 'l_quantity', l_quantity, 'l_discount', l_discount,
-             'l_extendedprice', l_extendedprice) as (column_name, v)"""))
+          """stack(3, 0, l_quantity, 1, l_discount,
+             2, l_extendedprice) as (cid, v)"""))
         val str = li.select(expr(
-          """stack(2, 'l_returnflag', l_returnflag,
-             'l_linestatus', l_linestatus) as (column_name, v)"""))
+          """stack(2, 3, l_returnflag, 4, l_linestatus) as (cid, v)"""))
+        val cidName = typedLit(Seq("l_quantity", "l_discount",
+          "l_extendedprice", "l_returnflag", "l_linestatus"))
         // the exact NDV runs as its OWN aggregation leg, joined back on
         // the 5-row result: countDistinct mixed into the same agg as
         // min/max/HLL makes Catalyst plan the Expand-based multi-distinct
@@ -823,14 +850,15 @@ object Relational {
         // (measured 10.8 s vs 1-2 s per separated leg at sf0.1 — the
         // combined form was 5× the sum of its parts)
         def stats(m: org.apache.spark.sql.DataFrame) = {
-          val basic = m.groupBy(col("column_name")).agg(
+          val basic = m.groupBy(col("cid")).agg(
             count(lit(1)).as("n_rows"),
             sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
             approx_count_distinct(col("v"), rsd = 0.01).as("_andv"),
             min(col("v")).as("_min"), max(col("v")).as("_max"))
-          val ndv = m.groupBy(col("column_name"))
+          val ndv = m.groupBy(col("cid"))
             .agg(countDistinct(col("v")).as("ndv"))
-          basic.join(ndv, "column_name")
+          basic.join(ndv, "cid")
+            .withColumn("column_name", element_at(cidName, col("cid") + 1))
         }
         val numStats = stats(num).select(col("column_name"), col("n_rows"),
           col("n_nulls"), col("ndv"),

@@ -308,9 +308,16 @@ object TextOps {
         val docs = Tables.documents(s, d)
         val cut = graft.schema.Cuts.documents(s, d)
         val snap = docs.filter(col("doc_id") < cut)
+        // PERSISTED (round 18): the increment union is consumed twice as
+        // raw rows (exact-index probe, final share aggregate) besides the
+        // persisted shingle derivation — unpersisted, each consumer
+        // cloned both union legs into its plan and re-scanned documents
+        // (6 scans of the table in the serve plan, 2 of them removable).
+        // The cache is increment-sized.
         val inc = docs.filter(col("doc_id") >= cut)
           .unionByName(snap.filter(col("doc_id") % 7 === 0)
             .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+          .persist()
         // both probes hit the SHARED snapshot artifacts (ArtifactCache):
         // the exact hash index q121/q137 also probe, and the banded LSH
         // index q34c/q109/q144/q146 also probe — built once per JVM
@@ -930,7 +937,10 @@ object TextOps {
         val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
         val wFrame = byDoc.rowsBetween(Window.currentRow, w - 1)
         val tokens = Tables.documents(s, d)
-          .repartition(col("doc_id"))
+          // width pinned (round 18): bare repartition(col) is AQE-
+          // coalescible by bytes, re-serializing the tokenize+posexplode
+          // chain this spread exists to parallelize (the q22 lesson)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("tpos", "tok")))
         val grams = tokens
           .withColumn("t1", lead(col("tok"), 1).over(byDoc))
@@ -2056,7 +2066,9 @@ object TextOps {
     // bucket expansion as ONE aggregation (the q35 shape), with the
     // τ·max ≤ min length filter applied inside the expansion; the
     // re-spread after the size filter keeps the quadratic stage wide
-    // (AQE sizes it by collect_set BYTES, not pair fanout)
+    // (AQE sizes it by collect_set BYTES, not pair fanout; round 18
+    // measured the cores-pinned width SLOWER here — 4.43 → 5.15 s —
+    // same finding as the q35 respread, so the bare form stays)
     val collisions = prefix.groupBy(col("s"), col("df"))
       .agg(collect_set(struct(col("doc_id"), col("sz"), col("rn")))
         .as("ids"))
@@ -2254,6 +2266,11 @@ object TextOps {
       // EXPANSION of those bytes (measured: the pair stage coalesced to 3
       // tasks and became the query's largest). The cheap re-spread of the
       // (tiny) multi-doc posting lists keeps the quadratic part wide.
+      // (round 18: pinning this width to the core count was MEASURED
+      // SLOWER — 2.57 → 4.03 s at sf0.1: the expansion's downstream
+      // pair-agg pays 32×32 task fan-out for work AQE's 3-task sizing
+      // absorbs at this corpus size. The bare form stays; at 100 TB the
+      // byte-sized coalesce target is already wide.)
       .repartition(col("s"))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"),

@@ -129,15 +129,38 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame =
     fanOut(s, load(s, d, "lineitem"), "l_orderkey", s"$d/lineitem.parquet")
 
+  /** RAW (un-fanned) fact-table loaders — for consumers whose FIRST
+    * operator is itself an exchange on a DIFFERENT key (a window/sort/agg
+    * partitioned by something other than the order key). There the
+    * under-split guard's spread is discarded by the very next operator,
+    * and its exchange is pure cost: the map side feeding the consumer's
+    * exchange is the same single-split scan either way, so fanning out
+    * first adds one full-table shuffle (8 map tasks + a stage barrier)
+    * that buys nothing (round 18, measured: q09 1.59 → the guide §2.4
+    * "remove shuffles outright" case — two back-to-back Exchanges in the
+    * plan). Consumers running NARROW CPU work after the scan (tokenize,
+    * crypto, decode, per-row scoring) must keep the fanned loaders — the
+    * guard exists for exactly them (r5-r7 lessons above). At 100 TB both
+    * variants plan identically (the guard is already a no-op there). */
+  def ordersRaw(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitemRaw(s: SparkSession, d: String): DataFrame =
+    load(s, d, "lineitem")
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the raw INT64 nanos via
     * the legacy conf and convert with INTEGER division (a double division
     * would lose precision: epoch-nanos ≈ 1.7e18 > 2^53).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    fanOut(s, eventsRaw(s, d), "event_id", s"$d/events.parquet")
+
+  /** [[events]] minus the under-split fan-out — same raw-vs-fanned rule
+    * as [[lineitemRaw]]: the event-analytics family windows by user_id,
+    * so the event_id spread is re-exchanged immediately. */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    val typed = df.schema("ts").dataType match {
+    df.schema("ts").dataType match {
       // nanos file → raw INT64 under the conf → convert; micros-precision
       // files (e.g. Spark-written test fixtures) arrive as TIMESTAMP already
       case org.apache.spark.sql.types.LongType =>
@@ -146,7 +169,6 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df
     }
-    fanOut(s, typed, "event_id", s"$d/events.parquet")
   }
   def documents(s: SparkSession, d: String): DataFrame =
     fanOut(s, load(s, d, "documents"), "doc_id", s"$d/documents.parquet")

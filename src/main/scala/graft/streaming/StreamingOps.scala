@@ -591,9 +591,10 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.VectorOps
         val corpus = graft.schema.Tables.embeddings(s, d).filter(col("vec_id") >= 10)
-        val idx = VectorOps.ivfWriteIndex(s,
+        val idx = VectorOps.ivfWriteIndexOnce(s,
           VectorOps.ivfBuild(corpus, dim = 64, nCells = 16),
-          "graft_ivf_serve_index")
+          "graft_ivf_serve_index",
+          Some(s"$d|embeddings@${graft.schema.Cuts.tableSig(d, "embeddings")}|ivf16|serve"))
         val store = tempStore("graft_ann_serve_out")
         // batch-side plan: ivfProbe's window/top-k are legal here, and
         // the probe's cell join partition-prunes the index scan. The
@@ -1437,9 +1438,13 @@ object StreamingOps {
         val docs = graft.schema.Tables.documents(s, d)
         val cut = graft.schema.Cuts.documents(s, d)
         val table = "graft_bpe_merges"
-        graft.schema.Tables.resetManagedTable(s, table)
-        PipelineOps.trainMerges(docs.filter(col("doc_id") < cut), topN = 20)
-          .write.mode("overwrite").saveAsTable(table)
+        // build-once memo (round 18): the frozen merge table is the
+        // operator's premise (train from snapshot only) — read-only
+        graft.ops.ArtifactCache.once(table, Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|cut0.8|bpe20")) {
+          graft.schema.Tables.resetManagedTable(s, table)
+          PipelineOps.trainMerges(docs.filter(col("doc_id") < cut), topN = 20)
+            .write.mode("overwrite").saveAsTable(table)
+        }
         val store = tempStore("graft_bpe_encode_out")
         runForeachBatch(s, d, "documents")(_.filter(col("doc_id") >= cut)) {
           (batch, _) =>
@@ -1509,12 +1514,15 @@ object StreamingOps {
         val docs = graft.schema.Tables.documents(s, d)
         val cut = graft.schema.Cuts.documents(s, d)
         val table = "graft_drift_profile"
-        graft.schema.Tables.resetManagedTable(s, table)
-        PipelineOps.driftFeatures(docs.filter(col("doc_id") < cut)
-            .select(col("text"), col("lang")))
-          .groupBy(col("feature"), col("bin"))
-          .agg(count(lit(1)).as("cb"))
-          .write.mode("overwrite").saveAsTable(table)
+        // build-once memo (round 18): frozen snapshot profile, read-only
+        graft.ops.ArtifactCache.once(table, Some(s"$d|documents@${graft.schema.Cuts.tableSig(d, "documents")}|cut0.8|drift-profile")) {
+          graft.schema.Tables.resetManagedTable(s, table)
+          PipelineOps.driftFeatures(docs.filter(col("doc_id") < cut)
+              .select(col("text"), col("lang")))
+            .groupBy(col("feature"), col("bin"))
+            .agg(count(lit(1)).as("cb"))
+            .write.mode("overwrite").saveAsTable(table)
+        }
         val store = tempStore("graft_drift_gate_out")
         runForeachBatch(s, d, "documents")(_.filter(col("doc_id") >= cut)) {
           (batch, _) =>
@@ -1577,10 +1585,13 @@ object StreamingOps {
           .select(col("event_id"), col("event_type"), col("value"))
         val cut = graft.schema.Cuts.eventsValued(s, d)
         val table = "graft_winsor_bounds"
-        graft.schema.Tables.resetManagedTable(s, table)
-        EventOps.winsorBounds(ev.filter(col("event_id") < cut)
-            .select(col("event_type"), col("value")))
-          .write.mode("overwrite").saveAsTable(table)
+        // build-once memo (round 18): frozen snapshot bounds, read-only
+        graft.ops.ArtifactCache.once(table, Some(s"$d|events@${graft.schema.Cuts.tableSig(d, "events")}|cutv|winsor-bounds")) {
+          graft.schema.Tables.resetManagedTable(s, table)
+          EventOps.winsorBounds(ev.filter(col("event_id") < cut)
+              .select(col("event_type"), col("value")))
+            .write.mode("overwrite").saveAsTable(table)
+        }
         val store = tempStore("graft_winsor_gate_out")
         runForeachBatch(s, d, "events")(df =>
           df.filter(col("value").isNotNull && col("event_id") >= cut)
@@ -1651,17 +1662,20 @@ object StreamingOps {
             expr("CAST(round(value * 100) AS BIGINT)").as("c"))
         val cut = graft.schema.Cuts.eventsValued(s, d)
         val table = "graft_zscore_baseline"
-        graft.schema.Tables.resetManagedTable(s, table)
-        ev.filter(col("event_id") < cut)
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-            sum(col("c") * col("c")).as("sq"))
-          .select(col("event_type"),
-            (col("s").cast("double") / col("n")).as("mean_c"),
-            sqrt((col("sq").cast("double") / col("n")) -
-              (col("s").cast("double") / col("n")) *
-              (col("s").cast("double") / col("n"))).as("std_c"))
-          .write.mode("overwrite").saveAsTable(table)
+        // build-once memo (round 18): frozen snapshot baseline, read-only
+        graft.ops.ArtifactCache.once(table, Some(s"$d|events@${graft.schema.Cuts.tableSig(d, "events")}|cutv|zscore-baseline")) {
+          graft.schema.Tables.resetManagedTable(s, table)
+          ev.filter(col("event_id") < cut)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+              sum(col("c") * col("c")).as("sq"))
+            .select(col("event_type"),
+              (col("s").cast("double") / col("n")).as("mean_c"),
+              sqrt((col("sq").cast("double") / col("n")) -
+                (col("s").cast("double") / col("n")) *
+                (col("s").cast("double") / col("n"))).as("std_c"))
+            .write.mode("overwrite").saveAsTable(table)
+        }
         val store = tempStore("graft_zscore_gate_out")
         runForeachBatch(s, d, "events")(df =>
           df.filter(col("value").isNotNull && col("event_id") >= cut)
