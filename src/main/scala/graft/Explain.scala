@@ -64,9 +64,15 @@ object Explain {
         }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = ()
+            exception: Exception): Unit =
+          // ADVICE r18 #1: mark the failure — a silent no-op here let the
+          // PREVIOUS query's plan print under this query's header
+          lastPlan.set(s"<execution failed: ${exception.getMessage}>")
       })
     names.foreach { name =>
+      // ADVICE r18 #1: clear before each query so a query that produces
+      // no successful QueryExecution can never inherit a stale plan
+      lastPlan.set("")
       println(s"========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.explain("formatted")

@@ -3021,6 +3021,13 @@ object PipelineOps {
               .write.mode("overwrite").saveAsTable(hashT)
           } finally { snapPD.unpersist(); () }
         }
+        // ADVICE r18 #3: hashT is built inside stateT's block above —
+        // register it under the same content tag so invalidate/currentTag
+        // see it and a future call site that memoizes hashT independently
+        // cannot desynchronize the pair. (No-op body: the line directly
+        // above guarantees both artifacts exist under cardTag whenever
+        // this runs.)
+        ArtifactCache.once(hashT, cardTag) { () }
         val incPD = cardPerDoc(docs.filter(col("doc_id") >= cut))
         val incCells = incPD.groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("i_docs"),

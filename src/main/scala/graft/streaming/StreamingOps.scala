@@ -591,10 +591,14 @@ object StreamingOps {
       (s, d) => {
         import graft.ops.VectorOps
         val corpus = graft.schema.Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+        // ADVICE r18 #2: this build is content-identical to q44b's (same
+        // corpus filter vec_id >= 10, dim 64, nCells 16, deterministic
+        // centroids), so both call sites share ONE (table, tag) pair —
+        // whichever family member runs first this JVM pays the one
+        // corpus-sized assignment pass and storage; the other reuses it.
         val idx = VectorOps.ivfWriteIndexOnce(s,
           VectorOps.ivfBuild(corpus, dim = 64, nCells = 16),
-          "graft_ivf_serve_index",
-          Some(s"$d|embeddings@${graft.schema.Cuts.tableSig(d, "embeddings")}|ivf16|serve"))
+          VectorOps.SharedIvfIndexTable, VectorOps.sharedIvfIndexTag(d))
         val store = tempStore("graft_ann_serve_out")
         // batch-side plan: ivfProbe's window/top-k are legal here, and
         // the probe's cell join partition-prunes the index scan. The

@@ -22,6 +22,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.Profile <sfDir> <q>…"
   * (query names may be comma- or space-separated; prefix match).
+  *
+  * Accounting caveat (ADVICE r18 #4): stages are counted via
+  * onStageCompleted only, so SKIPPED (reused) stages are invisible, and a
+  * retried stage attempt is counted (and its task metrics summed) once
+  * per attempt — on queries with stage reuse or task retries the
+  * jobs/stages/task_sec split over- or under-attributes accordingly.
+  * Fine for the tool's purpose (relative cost structure on clean local
+  * runs, where retries are rare and reuse is part of the cost saved);
+  * do not read the stage count as "distinct stages in the plan".
   */
 object Profile {
 
