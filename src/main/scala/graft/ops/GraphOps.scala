@@ -64,20 +64,30 @@ object GraphOps {
     * dangling mass and the per-iteration update is exactly
     * r'(v) = (15·scale) div (100·N) + Σ_{u→v} (r(u)·85) div (100·deg(u)).
     *
-    * Iteration shape (measured 11.9 s → ~5 s at sf0.1): the edge relation
-    * is persisted ONCE and never moves again — each iteration joins it
-    * against a BROADCAST node-sized (rank, deg) relation and aggregates
-    * by dst, which is exchange-free when `edges` arrive dst-partitioned
-    * (coPurchaseEdges's layout; with any other layout the plan stays
-    * correct and pays one partial-aggregated exchange). Ranks are
-    * eagerly localCheckpoint'ed per iteration, so iteration i is exactly
-    * one pass over the cached edges — no lineage recompute, the q45 CC
-    * discipline. At cluster scale, when the node set outgrows the
-    * broadcast threshold, the same loop runs with edges written
-    * `bucketBy(src)` and a shuffled rank join — per-iteration edge
-    * movement stays zero. That crossover is now a GATE, not prose:
-    * above `broadcastGateNodes` live nodes the loop switches to the
-    * shuffled-rank plan automatically (see
+    * Iteration shape (round 19 — profile-driven unroll of the round-13
+    * loop): the edge relation is persisted ONCE (destination degrees
+    * attached while it is built) and never moves again — each iteration
+    * joins it against a BROADCAST node-sized (node, rank, deg) STATE and
+    * aggregates by dst, which is exchange-free when `edges` arrive
+    * dst-partitioned (coPurchaseEdges's layout; with any other layout
+    * the plan stays correct and pays one partial-aggregated exchange).
+    * The state carries each node's out-degree through the aggregation
+    * itself (min of the constant-within-group destination degree), so no
+    * per-iteration rank⋈deg join exists, and the node count enters as a
+    * driver literal from one bounded count. The fixed `iters` recurrence
+    * is UNROLLED into one lazy plan with a single final localCheckpoint:
+    * the state is referenced once per iteration, so the logical plan is
+    * linear in iters (no lineage compounding — the hazard that forces
+    * per-round checkpoints in connectedComponents' unbounded loop and in
+    * the maintain serve's twice-referenced split state), and the five
+    * per-iteration checkpoint actions the r18 profile showed as the
+    * query's fixed overhead (47 jobs warm) disappear. At cluster scale,
+    * when the node set outgrows the broadcast threshold, the same
+    * unrolled plan runs with edges pre-exchanged to (or written
+    * bucketed in) src layout and a shuffled rank join — per-iteration
+    * edge movement stays zero. That crossover is a GATE: above
+    * `broadcastGateNodes` live nodes the plan switches to the
+    * shuffled-rank form automatically (see
     * [[BroadcastGateNodesDefault]]).
     *
     * ONE-LIVE-GENERATION CONTRACT (ADVICE r16 #2): the returned frame
@@ -111,7 +121,16 @@ object GraphOps {
     // a failed job.
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
-    val nNodes = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    // Node count as a DRIVER CONSTANT (round 19, profile-driven): it
+    // used to enter the loop as a broadcast 1-row aggregate whose
+    // subtree every iteration's checkpoint action re-executed (one agg
+    // job + one BroadcastNestedLoopJoin per iteration). One bounded
+    // count over the checkpointed node-sized relation — a single long
+    // to the driver, the belowGate-probe class of driver action, no
+    // row data — embeds both integer terms as literals instead.
+    val nNodes = deg.count()
+    val r0 = scale / nNodes                      // `div` on non-negatives
+    val baseTerm = scale * 15L / (100L * nNodes) // = the SQL base term
     // Broadcast-vs-shuffle gate (round 17, VERDICT r16 #2): the
     // per-iteration (rank, deg) broadcast is node-sized, which is fine
     // for a dimension-sized node set but not for a graph whose node set
@@ -119,14 +138,26 @@ object GraphOps {
     // node relation is bounded by the gate itself (the
     // connectedComponents driverGateEdges discipline).
     val useBroadcast = belowGate(deg, broadcastGateNodes)
-    // Above the gate: ONE src-layout exchange before the loop, so the
-    // per-iteration join is edge-stationary (only the node-sized rank
-    // relation exchanges; see BroadcastGateNodesDefault for the
-    // crossover accounting).
+    // Degree-carrying state (round 19): the rank state is (node, r, deg)
+    // instead of (node, r), and each edge row carries its DESTINATION's
+    // degree (`ddeg`) — attached via the same node-sized relation the
+    // join strategy already moves (broadcast below the gate, where the
+    // identical deg subtree is exchange-REUSED across all unrolled
+    // iterations; riding the one pre-loop src exchange above it). The
+    // per-iteration aggregation then rebuilds the full state itself
+    // (min(ddeg) is constant within a dst group), which deletes the
+    // per-iteration ranks⋈deg join — and with it one broadcast build +
+    // one job per iteration — while every contribution term stays the
+    // identical integer expression.
+    val degDst = deg.select(col("src").as("dst"), col("deg").as("ddeg"))
+    // Above the gate: ONE src-layout exchange before the loop (ddeg
+    // attached while the edges move anyway), so the per-iteration join
+    // is edge-stationary — only the node-sized rank state exchanges.
     val edJoin =
-      if (useBroadcast) ed
+      if (useBroadcast) ed.join(broadcast(degDst), Seq("dst"))
       else {
-        val e = ed.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        val e = ed.join(degDst.hint("shuffle_hash"), Seq("dst"))
+          .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         // materialize BEFORE the loop (round 18): a cold InMemoryRelation
         // wraps a not-yet-final adaptive plan whose outputPartitioning is
         // UNKNOWN, so iteration 1's EnsureRequirements re-exchanges both
@@ -137,33 +168,36 @@ object GraphOps {
         e.count()
         e
       }
-    var ranks = deg.select(col("src").as("node")).crossJoin(nNodes)
-      .select(col("node"), expr(s"${scale}L div n_nodes").as("r"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+    // The recurrence UNROLLED into one lazy plan (round 19, profile-
+    // driven): the per-iteration eager localCheckpoint bought lineage
+    // truncation the fixed-depth loop does not need — the state is
+    // referenced ONCE per iteration, so the unrolled logical plan is
+    // LINEAR in iters (the exponential-growth hazard that forces
+    // checkpoints in connectedComponents and in the maintain serve's
+    // twice-referenced split state does not arise). What the checkpoints
+    // cost was the round's largest fixed overhead: one blocking action +
+    // node-sized block write per iteration, ~5 extra jobs plus their
+    // ~42 ms scheduling floors (q129 profile: 47 jobs warm, five 0.5 s
+    // checkpoint stages whose task work is milliseconds). One final
+    // checkpoint keeps the external contract identical — the returned
+    // frame is eagerly materialized, lineage-free, and tracker-owned,
+    // and the edge caches still release before return.
+    var state: DataFrame = deg.select(col("src").as("node"),
+      lit(r0).as("r"), col("deg"))
     for (_ <- 1 to iters) {
-      // (rank, deg) per node — a tiny checkpointed-⋈-checkpointed join,
-      // broadcast (or shuffle-hash-joined, above the gate) to the edge
-      // scan
-      val rd = ranks.join(deg, ranks("node") === deg("src"))
-        .select(col("node"), col("r"), col("deg"))
-      val prev = ranks
-      ranks = joinRanks(edJoin, rd, useBroadcast)
-        .select(col("dst"), expr("r * 85L div (100L * deg)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("rc"))
-        .crossJoin(nNodes)
-        .select(col("dst").as("node"),
-          (expr(s"${scale}L * 15L div (100L * n_nodes)") + col("rc"))
-            .as("r"))
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
-      // the superseded iteration's blocks — free the store. RDD-level
-      // release via GenTracker: Dataset.unpersist on a checkpointed
-      // frame is a CacheManager no-op (ADVICE r15 #1), so the previous
-      // `prev.unpersist()` never actually freed anything and iteration
-      // blocks accumulated until GC.
-      GenTracker.release(prev)
+      val contrib = joinRanks(edJoin, state, useBroadcast)
+        .select(col("dst"), expr("r * 85L div (100L * deg)").as("c"),
+          col("ddeg"))
+      state = contrib
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("rc"), min(col("ddeg")).as("deg"))
+        .select(col("dst").as("node"), (lit(baseTerm) + col("rc")).as("r"),
+          col("deg"))
     }
+    val ranks = state.select(col("node"), col("r"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     ed.unpersist()
-    if (!(edJoin eq ed)) edJoin.unpersist()
+    if (!useBroadcast) edJoin.unpersist()
     // deg + the returned fixed point stay block-backed until the
     // caller's action; the next rank-family invocation frees them
     liveRankCaches.set(deg, ranks)
@@ -295,7 +329,13 @@ object GraphOps {
         (coalesce(col("deg"), lit(0L)) + coalesce(col("ddeg"), lit(0L)))
           .as("deg"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
-    val nNodes = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    // node count as a driver constant (round 19 — the pageRankScaled
+    // change applied to the serve): one bounded count over the
+    // checkpointed node relation replaces the broadcast 1-row aggregate
+    // whose subtree every iteration re-executed
+    val nNodes = deg.count()
+    val r0 = scale / nNodes
+    val baseTerm = scale * 15L / (100L * nNodes)
     // The broadcast gate (round 17, VERDICT r16 #2 — see
     // BroadcastGateNodesDefault). Above it, the snapshot side of the
     // per-iteration join reads the WRITTEN src-bucketed layout
@@ -363,30 +403,76 @@ object GraphOps {
     // materialization makes the bucket-count layout visible to the
     // first iteration's planning, so the store never moves.
     if (!useBroadcast) { degJ.count(); incJoin.count() }
-    var ranks = deg.select(col("src").as("node")).crossJoin(nNodes)
-      .select(col("node"), expr(s"${scale}L div n_nodes").as("r"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 1 to iters) {
-      val rnk =
-        if (useBroadcast) ranks
-        else ranks.repartition(snapParts, col("node"))
-      val rd = rnk.join(degJ, rnk("node") === degJ("src"))
-        .select(col("node"), col("r"), col("deg"))
-      def contrib(e: DataFrame, out: String) =
-        joinRanks(e, rd, useBroadcast)
-          .select(col("dst"), expr("r * 85L div (100L * deg)").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as(out))
-      val prev = ranks
-      ranks = contrib(snapJoin, "rs")
-        .join(contrib(incJoin, "ri"), Seq("dst"), "full_outer")
-        .crossJoin(nNodes)
-        .select(col("dst").as("node"),
-          (expr(s"${scale}L * 15L div (100L * n_nodes)") +
-            coalesce(col("rs"), lit(0L)) + coalesce(col("ri"), lit(0L)))
-            .as("r"))
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
-      GenTracker.release(prev)
-    }
+    val ranks =
+      if (useBroadcast) {
+        // ---- below the gate (round 19): the pageRankScaled unroll,
+        // serve form. The anti-join above made snap and incOnly
+        // DISJOINT, so one aggregation over their union equals the old
+        // per-side aggregate pair joined full_outer — integer sum over
+        // a disjoint union, bit-exact — and the union collapses the
+        // state to ONE reference per iteration, which is what makes the
+        // unrolled logical plan linear in iters (the twice-referenced
+        // split state was exactly the lineage-compounding hazard the
+        // per-iteration checkpoints existed for). The degree-attached
+        // union is materialized ONCE per serve (measured: iterating the
+        // LAZY union re-ran the two-cache interleave + degree probe per
+        // iteration at ~8 task-s each — the one-pass cache fill costs a
+        // single such pass and the five iteration scans drop to the
+        // q129 shape), after which the two construction caches release
+        // early. Degrees ride the edge rows / the state (the
+        // pageRankScaled degree-carrying form), so no per-iteration
+        // rank⋈deg join exists.
+        val degDst = deg.select(col("src").as("dst"), col("deg").as("ddeg"))
+        val allEd = snap.unionByName(incOnly)
+          .join(broadcast(degDst), Seq("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        allEd.count() // eager fill; snap/incOnly are done after this
+        var state = deg.select(col("src").as("node"), lit(r0).as("r"),
+          col("deg"))
+        for (_ <- 1 to iters) {
+          val contrib = joinRanks(allEd, state, useBroadcast = true)
+            .select(col("dst"), expr("r * 85L div (100L * deg)").as("c"),
+              col("ddeg"))
+          state = contrib.groupBy(col("dst"))
+            .agg(sum(col("c")).as("rc"), min(col("ddeg")).as("deg"))
+            .select(col("dst").as("node"),
+              (lit(baseTerm) + col("rc")).as("r"), col("deg"))
+        }
+        val out = state.select(col("node"), col("r"))
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+        allEd.unpersist()
+        out
+      } else {
+        // ---- above the gate: the split per-side loop stays — each
+        // contribution aggregate must stay exchange-free on ITS OWN
+        // written/pre-exchanged src layout (a union of differently-
+        // partitioned sides would report unknown partitioning and
+        // re-exchange the full edge relation per iteration), and the
+        // twice-referenced state keeps the per-iteration checkpoint
+        // (lineage linearity). Round 19 still removes the per-iteration
+        // node-count subtree (driver literal).
+        var rks = deg.select(col("src").as("node"), lit(r0).as("r"))
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+        for (_ <- 1 to iters) {
+          val rnk = rks.repartition(snapParts, col("node"))
+          val rd = rnk.join(degJ, rnk("node") === degJ("src"))
+            .select(col("node"), col("r"), col("deg"))
+          def contrib(e: DataFrame, out: String) =
+            joinRanks(e, rd, useBroadcast = false)
+              .select(col("dst"), expr("r * 85L div (100L * deg)").as("c"))
+              .groupBy(col("dst")).agg(sum(col("c")).as(out))
+          val prev = rks
+          rks = contrib(snapJoin, "rs")
+            .join(contrib(incJoin, "ri"), Seq("dst"), "full_outer")
+            .select(col("dst").as("node"),
+              (lit(baseTerm) +
+                coalesce(col("rs"), lit(0L)) + coalesce(col("ri"), lit(0L)))
+                .as("r"))
+            .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+          GenTracker.release(prev)
+        }
+        rks
+      }
     if (incJoin eq incOnly) liveRankCaches.set(snap, incOnly, deg, ranks)
     else liveRankCaches.set(snap, incOnly, incJoin, degJ, deg, ranks)
     ranks
