@@ -463,8 +463,25 @@ object PipelineOps {
         Seq("id_b"), "left_outer")
       .select(coalesce(col("ca"), col("id_a")).as("a"),
         coalesce(col("cb"), col("id_b")).as("b"))
+      // EAGER checkpoint (round 19, the q210 lesson applied to the shared
+      // merge): connectedComponents' symmetric-edge construction
+      // references its input TWICE (a→b ∪ b→a), and both union legs sit
+      // in ONE stage — so the whole delta-pair derivation upstream
+      // (banding, index probe, candidate verify) executed twice, with
+      // the two legs additionally racing the verify path's cold persists
+      // (q144 profile: twin 2.8 task-s stages materializing the same
+      // pipeline). One eager checkpoint runs it once; the blocks are
+      // released as soon as CC's own symmetric-edge checkpoint holds the
+      // data.
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val relabel = connectedComponents(contracted)
       .select(col("node"), col("cluster_id").as("nlbl"))
+    // CC's sym checkpoint (or its driver collect) has consumed the
+    // contracted edges — free their blocks now instead of leaking them
+    // until the next generation (Dataset.unpersist on a checkpointed
+    // frame is a CacheManager no-op, hence the RDD-layer release)
+    GenTracker.release(contracted)
     val fromOld = lbl
       .join(relabel.withColumnRenamed("node", "olbl"),
         col("cluster_id") === col("olbl"), "left_outer")
@@ -500,7 +517,7 @@ object PipelineOps {
           .write.mode("overwrite").saveAsTable(s"${table}_labels")
       } finally { sp.unpersist(); () }
     }
-    s.table(s"${table}_labels")
+    s.table(s"${table}_labels").coalesce(1)
       .write.mode("overwrite").parquet(s"$labelStore/v0")
   }
 
@@ -556,7 +573,12 @@ object PipelineOps {
       .select(col("id_a"), col("id_b"))
     val base = Upsert.versionsOf(s, labelStore).filter(_ <= batchId).max
     val lbl = s.read.parquet(s"$labelStore/v$base")
-    mergeDeltaIntoLabels(lbl, edges)
+    // one file per version (round 19, guide §6 small files): a label
+    // version is a clustered-nodes-only control table — writing it at
+    // the shuffle width left 4-32 KB-sized files that every later
+    // batch's read re-lists and re-opens; at scale the width would
+    // follow the data via the same coalesce target
+    mergeDeltaIntoLabels(lbl, edges).coalesce(1)
       .write.mode("overwrite").parquet(s"$labelStore/v${batchId + 1}")
     // keyed slot write + threshold fold (round 17, VERDICT r16 #3): the
     // band store was the worst slot-accretion site — every batch LISTS

@@ -279,9 +279,20 @@ object RetrievalOps {
       .limit(20)
   }
 
+  /** The BM25 delta store's single slot root (round 19 — VERDICT r18
+    * #5): postings rows and the moment row share one kind-tagged slot,
+    * so each micro-batch pays ONE keyed write and ONE fold check
+    * instead of two of each (q212's profile: the per-batch pair of
+    * write jobs plus the twin fold machinery was the bulk of its 65
+    * warm jobs; postings and moments always land and fold together, so
+    * nothing is lost by co-locating them). Kind 1 = posting
+    * (t, doc_id, dl, tf), kind 2 = moment (n_docs, sum_dl); the unused
+    * columns of each kind are null. */
+  private[graft] def bm25DeltaRoot(store: String): String = s"$store/delta"
+
   /** One micro-batch's index delta (q188): the batch's aggregated
-    * postings land in `store/post/b<batchId>` and its moment row in
-    * `store/stats/b<batchId>` — OVERWRITE per batch id, so a replayed
+    * postings AND its moment row land in ONE kind-tagged slot
+    * `store/delta/b<batchId>` — OVERWRITE per batch id, so a replayed
     * micro-batch rewrites its own delta instead of double-counting it
     * (the q112 versioned-store rule in its append-free form: each batch
     * owns a keyed slot, and retry is idempotent by construction). */
@@ -292,39 +303,50 @@ object RetrievalOps {
       .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
       .persist()
     try {
-      // keyed slot writes + threshold fold (round 17, VERDICT r16 #3):
+      // keyed slot write + threshold fold (round 17, VERDICT r16 #3):
       // postings deltas are disjoint by batch and moment rows are
       // additive, so folding earlier slots into one artifact is a pure
       // relayout — the serve's union is algebraically unchanged.
       // `threshold` is caller-tunable so the q212 compaction leg can
       // force folds inside a short demo stream (threshold 2, ≥6
       // batches) while q188 keeps the default.
-      SlotStore.writeSlot(
-        tok.select(col("doc_id"), size(col("tk")).as("dl"),
-            explode(col("tk")).as("t"))
-          .groupBy(col("t"), col("doc_id"), col("dl"))
-          .agg(count(lit(1)).as("tf")),
-        s"$store/post", batchId, threshold)
-      SlotStore.writeSlot(
-        tok.agg(count(lit(1)).as("n_docs"),
-          sum(size(col("tk"))).as("sum_dl")),
-        s"$store/stats", batchId, threshold)
+      val post = tok
+        .select(col("doc_id"), size(col("tk")).as("dl"),
+          explode(col("tk")).as("t"))
+        .groupBy(col("t"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .select(lit(1).as("kind"), col("t"), col("doc_id"), col("dl"),
+          col("tf"), lit(null).cast("long").as("n_docs"),
+          lit(null).cast("long").as("sum_dl"))
+      val stats = tok
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("tk"))).as("sum_dl"))
+        .select(lit(2).as("kind"), lit(null).cast("string").as("t"),
+          lit(null).cast("long").as("doc_id"),
+          lit(null).cast("int").as("dl"), lit(null).cast("long").as("tf"),
+          col("n_docs"), col("sum_dl"))
+      SlotStore.writeSlot(post.unionByName(stats),
+        bm25DeltaRoot(store), batchId, threshold)
     } finally { tok.unpersist(); () }
   }
 
   /** Read back every micro-batch delta under `store` (q188 serve side):
-    * (postings, moment rows) — the newest compact artifact plus the
-    * live slot tail (SlotStore). Empty-safe so a zero-batch stream
-    * still serves the bare snapshot. */
+    * (postings, moment rows) split back out of the kind-tagged slots —
+    * the newest compact artifact plus the live slot tail (SlotStore).
+    * Empty-safe so a zero-batch stream still serves the bare
+    * snapshot. */
   private[graft] def readBm25Deltas(s: SparkSession,
       store: String): (DataFrame, DataFrame) = {
-    val post = SlotStore.read(s, s"$store/post")
-      .getOrElse(s.range(0).select(lit("").as("t"), lit(0L).as("doc_id"),
-        lit(0).as("dl"), lit(0L).as("tf")))
-    val stats = SlotStore.read(s, s"$store/stats")
-      .getOrElse(s.range(0).select(lit(0L).as("n_docs"),
-        lit(0L).as("sum_dl")))
-    (post, stats)
+    SlotStore.read(s, bm25DeltaRoot(store)) match {
+      case Some(d) =>
+        (d.filter(col("kind") === 1)
+          .select(col("t"), col("doc_id"), col("dl"), col("tf")),
+          d.filter(col("kind") === 2)
+            .select(col("n_docs"), col("sum_dl")))
+      case None =>
+        (s.range(0).select(lit("").as("t"), lit(0L).as("doc_id"),
+          lit(0).as("dl"), lit(0L).as("tf")),
+          s.range(0).select(lit(0L).as("n_docs"), lit(0L).as("sum_dl")))
+    }
   }
 
   val catalog: Seq[Q] = Seq(

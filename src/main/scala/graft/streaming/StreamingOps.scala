@@ -2098,7 +2098,7 @@ object StreamingOps {
     // BM25's deltas are order-independent: postings are disjoint by
     // batch, moment rows additive) and streamed with maxFilesPerTrigger
     // = 1, one micro-batch per shard, with fold threshold 2 — the run
-    // provably folds ≥3 times on both slot roots. Two `require`s RIDE
+    // provably folds ≥3 times on the kind-tagged slot root. Two `require`s RIDE
     // THE LEG (a committed compact artifact exists; the live tail is
     // threshold-bounded) so a silent no-fold run FAILS loudly instead of
     // reading as a weaker pass of the plain-slot path. After the drain,
@@ -2141,7 +2141,11 @@ object StreamingOps {
         } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         // the in-leg proof that the mechanism under test actually ran —
         // without it a regression to never-folding would still pass
-        Seq(s"$store/post", s"$store/stats").foreach { root =>
+        // (round 19: postings + moments share one kind-tagged slot root,
+        // so the proof checks that single root — see
+        // RetrievalOps.bm25DeltaRoot)
+        locally {
+          val root = RetrievalOps.bm25DeltaRoot(store)
           require(SlotStore.compactWatermark(s, root) >= 0,
             s"q212: no committed compact artifact under $root — the " +
               "compaction leg ran without folding")
