@@ -103,12 +103,17 @@ object MaterializedViewOps {
     * over raw data — serving cost is view-sized at any fact scale. */
   def serveQuantiles(state: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tot = state.groupBy(col("month"), col("status"))
-      .agg(sum(col("cnt")).as("n"))
-    val cum = state.withColumn("cum",
-      sum(col("cnt")).over(Window.partitionBy(col("month"), col("status"))
-        .orderBy(col("bin"))))
-      .join(tot, Seq("month", "status"))
+    // n as a SECOND WINDOW over the same partition keys instead of a
+    // separate aggregate joined back (round 19, profile-driven): the
+    // old tot-aggregate + join added an exchange, a join and their AQE
+    // stage-jobs to a view-sized serve whose whole input is occupied-bin
+    // rows; both windows ride ONE exchange (same partitioning; the
+    // unordered frame is the group total). PlanAuditSpec's no-partition-
+    // less-window rule is satisfied — both windows key on the group.
+    val grp = Window.partitionBy(col("month"), col("status"))
+    val cum = state
+      .withColumn("cum", sum(col("cnt")).over(grp.orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(grp))
     def estBin(pct: Int) =
       min(when(col("cum") >= expr(s"(n * $pct + 99) div 100"), col("bin")))
         .as(s"b$pct")

@@ -1735,7 +1735,7 @@ object PipelineOps {
       (s, d) => {
         val labels =
           if (VerifyGate.small(Tables.documents(s, d))) {
-            val sh = TextOps.docsWithShingles(s, d)
+            val sh = TextOps.docsWithShinglesHashed(s, d)
             connectedComponents(TextOps
               .exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
               .select(col("id_a").as("a"), col("id_b").as("b")))

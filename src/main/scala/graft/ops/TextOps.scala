@@ -72,6 +72,43 @@ object TextOps {
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), shingles(col("tk")).as("sh"))
 
+  /** Distinct word-trigram FINGERPRINTS — xxhash64 of the token triple —
+    * as the exact-similarity family's working representation (round 19,
+    * VERDICT r18 #6). Set cardinalities, intersections and document
+    * frequencies over these longs equal the string-shingle ones up to
+    * 2^-64 hash collisions (the q31 xxhash64-dedup precedent, stated
+    * there as "exact up to 2^-64 collisions, and deterministic"), and
+    * q35/q186/q190's jaccard/containment arithmetic consumes ONLY those
+    * set measures — the shingle strings never appear in their outputs.
+    * What the fingerprint buys at every stage: no per-position string
+    * allocation at build (the 3-token hash replaces concat_ws),
+    * long-typed array_distinct and array_intersect, 8 bytes/shingle
+    * through the persisted corpus cache, the candidate lookups and the
+    * verify joins — and the posting streams stop re-hashing per posting
+    * row (they previously applied xxhash64 AFTER exploding the string
+    * arrays). Tokens are split on non-alphanumerics, so triple identity
+    * equals concatenated-string identity and the fingerprint map is
+    * injective up to hash collisions. */
+  private[graft] def shinglesHashed(tokens: Column): Column =
+    array_distinct(
+      when(size(tokens) >= 3,
+        transform(sequence(lit(1), size(tokens) - 2), i =>
+          xxhash64(element_at(tokens, i), element_at(tokens, i + 1),
+            element_at(tokens, i + 2))))
+        .otherwise(array().cast("array<long>")))
+
+  /** The hashed twin of [[docsWithShingles]] — (doc_id, sh: array<long>),
+    * persisted for the same two load-bearing reasons. Used by the
+    * exact-similarity family (q35/q186/q190 and q45's small-corpus gated
+    * path), whose candidate generation and verification are pure set
+    * arithmetic over shingle identities. */
+  private[graft] def docsWithShinglesHashed(s: SparkSession,
+      d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), shinglesHashed(col("tk")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Restrict a (doc_id, sh) relation to the ids occurring in `cand`'s
     * id_a/id_b — the shared pre-verification prune: with a lazy shingle
     * relation the semi-join reaches the scan and verification cost is
@@ -736,7 +773,9 @@ object TextOps {
     // SQL, which proves the cap loses nothing here.
     Q("q35_ngram_jaccard",
       (s, d) => {
-        val sh = docsWithShingles(s, d)
+        // hashed shingle fingerprints (round 19 — see shinglesHashed):
+        // the whole pipeline is set arithmetic over shingle identities
+        val sh = docsWithShinglesHashed(s, d)
         exactJaccardPairsCapped(sh, 0.5, dfCap = 16)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
@@ -764,11 +803,11 @@ object TextOps {
     // filter prunes inside the bucket expansion before verification.
     Q("q186_prefix_filter_jaccard",
       (s, d) => {
-        // PERSISTED shingles (q35's posture, and the lazy-inlining
+        // PERSISTED hashed shingles (q35's posture, and the lazy-inlining
         // hazard: the posting stream reads `sh` twice — size + explode —
         // and a lazy relation would re-inline tokenize+shingle into each,
         // including inside every element_at lambda)
-        val sh = docsWithShingles(s, d)
+        val sh = docsWithShinglesHashed(s, d)
         prefixFilterJaccardPairs(sh, 0.5)
           .select(col("id_a"), col("id_b"),
             round(col("jaccard"), 4).as("jaccard"))
@@ -788,7 +827,7 @@ object TextOps {
     // by the prefix theorem.
     Q("q190_containment_dedup",
       (s, d) => {
-        val sh = docsWithShingles(s, d)
+        val sh = docsWithShinglesHashed(s, d)
         containmentPairs(sh, 0.8)
           .select(col("id_a"), col("id_b"),
             round(col("containment"), 4).as("containment"))
@@ -2049,10 +2088,13 @@ object TextOps {
     * semi-join prune reaches the documents scan. */
   def prefixFilterJaccardPairs(docs: DataFrame,
       threshold: Double): DataFrame = {
+    // `docs` carries HASHED shingle arrays ([[shinglesHashed]], round
+    // 19): the posting stream explodes longs directly instead of
+    // re-hashing each posting row, and the verify stage intersects
+    // long arrays
     val posts = docs
       .select(col("doc_id"), size(col("sh")).as("sz"),
-        explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("sz"), xxhash64(col("s0")).as("s"))
+        explode(col("sh")).as("s"))
     val dfRel = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // global total order by (df asc, token asc): rarest first, ties
     // broken deterministically so both endpoints of a pair rank their
@@ -2210,10 +2252,10 @@ object TextOps {
     * q186 there is no per-bucket quadratic bound; the verify stage is
     * what bounds the OUTPUT. */
   def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // `docs` carries HASHED shingle arrays (see prefixFilterJaccardPairs)
     val posts = docs
       .select(col("doc_id"), size(col("sh")).as("sz"),
-        explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("sz"), xxhash64(col("s0")).as("s"))
+        explode(col("sh")).as("s"))
     val dfRel = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val rarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("s"))
@@ -2243,8 +2285,8 @@ object TextOps {
 
   def exactJaccardPairsCapped(docs: DataFrame, threshold: Double,
       dfCap: Int): DataFrame = {
-    val posts = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    // `docs` carries HASHED shingle arrays (see prefixFilterJaccardPairs)
+    val posts = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val kept = capDf(posts, docs, dfCap)
     // Posting-list pair expansion as ONE aggregation instead of a self-join:
     // collect each shingle's doc list, then explode the a<b pairs in
