@@ -342,7 +342,15 @@ object TextOps {
     // processing; exact+near shares meter crawl redundancy over time.
     Q("q148_crawl_delta",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // PROJECTED to (doc_id, text) at the source (round 19, VERDICT
+        // r18 #9 scan-pruning audit): the query consumes only ids and
+        // text (hashing, shingling, counting), but the un-projected
+        // union persisted — and its scans decoded — all five document
+        // columns (ReadSchema carried lang/source/n_chars through every
+        // one of the plan's documents scans). The explicit select is
+        // the column-pruning barrier-breaker for the persist (guide
+        // §2.3: project before opaque/cached consumers).
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         val cut = graft.schema.Cuts.documents(s, d)
         val snap = docs.filter(col("doc_id") < cut)
         // PERSISTED (round 18): the increment union is consumed twice as

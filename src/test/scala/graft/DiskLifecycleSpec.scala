@@ -88,16 +88,16 @@ class DiskLifecycleSpec extends SparkSpec {
     // the live stream store is the single current generation of its prefix
     val store = graft.ops.TempDirs.snapshot.get("graft_bm25_fold_stream")
     assert(store.isDefined, "no live q212 stream store found")
-    Seq("post", "stats").foreach { side =>
-      val root = s"${store.get}/$side"
-      // layout bound: one compact artifact + a <threshold live tail +
-      // the replayed (excluded) b0 fixture slot — NOT one dir per batch
-      val pieces = new java.io.File(root).listFiles()
-        .count(_.getName.matches("[bc]\\d+"))
-      assert(pieces <= 4,
-        s"$root holds $pieces slot/compact dirs — compaction did not " +
-          "bound the store's disk footprint")
-    }
+    // round 19: postings + moments share ONE kind-tagged slot root
+    // (RetrievalOps.bm25DeltaRoot) — the bound now applies to it alone
+    val root = graft.ops.RetrievalOps.bm25DeltaRoot(store.get.toString)
+    // layout bound: one compact artifact + a <threshold live tail +
+    // the replayed (excluded) b0 fixture slot — NOT one dir per batch
+    val pieces = new java.io.File(root).listFiles()
+      .count(_.getName.matches("[bc]\\d+"))
+    assert(pieces <= 4,
+      s"$root holds $pieces slot/compact dirs — compaction did not " +
+        "bound the store's disk footprint")
   }
 
   test("a drained stream's versioned store is retention-vacuumed at the " +
